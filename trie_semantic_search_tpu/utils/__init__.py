@@ -1,0 +1,163 @@
+"""Utility helpers (rebuild of ``/root/reference/src/utils.rs:22-203``).
+
+``Timer`` / ``time_block``, ``TextUtils``, ``SystemUtils`` and
+``ValidationUtils`` with the same behaviour — including implementing the
+memory-usage/uptime probes the reference left as TODO stubs
+(``utils.rs:103-112``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import logging
+import re
+import time
+import uuid
+from typing import Iterator, Optional
+
+_log = logging.getLogger("tss_tpu.utils")
+
+
+class Timer:
+    """Performance timer (ref: ``utils.rs:34-54``)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.start = time.perf_counter()
+
+    def elapsed_ms(self) -> float:
+        return (time.perf_counter() - self.start) * 1000.0
+
+    def stop(self) -> float:
+        elapsed = self.elapsed_ms()
+        _log.debug("Timer '%s' completed in %.2fms", self.name, elapsed)
+        return elapsed
+
+
+@contextlib.contextmanager
+def time_block(name: str) -> Iterator[Timer]:
+    """Context-manager analogue of the ``time_block!`` macro
+    (ref: ``utils.rs:187-195``)."""
+    timer = Timer(name)
+    try:
+        yield timer
+    finally:
+        timer.stop()
+
+
+class TextUtils:
+    """Text helpers (ref: ``utils.rs:56-99``)."""
+
+    @staticmethod
+    def truncate(text: str, max_length: int) -> str:
+        if len(text) <= max_length:
+            return text
+        return text[: max(0, max_length - 3)] + "..."
+
+    @staticmethod
+    def extract_preview(text: str, max_words: int) -> str:
+        words = text.split()[:max_words]
+        preview = " ".join(words)
+        if len(words) >= max_words:
+            return preview + "..."
+        return preview
+
+    @staticmethod
+    def sanitize(text: str) -> str:
+        # Drop control chars but keep whitespace (ref: utils.rs:79-83).
+        return "".join(c for c in text if not _is_control(c) or c.isspace())
+
+    @staticmethod
+    def word_count(text: str) -> int:
+        return len(text.split())
+
+    @staticmethod
+    def text_hash(text: str) -> str:
+        # Stable across processes (unlike Rust's DefaultHasher, which was
+        # only stable within one run anyway) — used as a cache key.
+        return hashlib.blake2b(text.encode("utf-8"), digest_size=8).hexdigest()
+
+
+def _is_control(c: str) -> bool:
+    o = ord(c)
+    return o < 0x20 or o == 0x7F or (0x80 <= o <= 0x9F)
+
+
+class SystemUtils:
+    """System helpers (ref: ``utils.rs:101-147``; memory/uptime were TODO
+    stubs in the reference and are implemented for real here)."""
+
+    @staticmethod
+    def memory_usage() -> Optional[int]:
+        """Current RSS in bytes (Linux /proc; the ref stubbed this)."""
+        try:
+            with open("/proc/self/statm") as f:
+                parts = f.read().split()
+            import os
+
+            return int(parts[1]) * os.sysconf("SC_PAGE_SIZE")
+        except (OSError, IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def uptime() -> Optional[float]:
+        """System uptime in seconds (the ref stubbed this)."""
+        try:
+            with open("/proc/uptime") as f:
+                return float(f.read().split()[0])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    @staticmethod
+    def format_bytes(n: int) -> str:
+        units = ["B", "KB", "MB", "GB", "TB"]
+        size = float(n)
+        i = 0
+        while size >= 1024.0 and i < len(units) - 1:
+            size /= 1024.0
+            i += 1
+        if i == 0:
+            return f"{int(size)} {units[i]}"
+        return f"{size:.2f} {units[i]}"
+
+    @staticmethod
+    def format_duration(seconds: float) -> str:
+        total = int(seconds)
+        hours, rem = divmod(total, 3600)
+        minutes, secs = divmod(rem, 60)
+        if hours > 0:
+            return f"{hours}h {minutes}m {secs}s"
+        if minutes > 0:
+            return f"{minutes}m {secs}s"
+        return f"{secs}s"
+
+
+_CITATION_RE = re.compile(r"^\d+\s+[A-Za-z.]+\s+\d+.*\(\d{4}\)")
+
+
+class ValidationUtils:
+    """Validation helpers (ref: ``utils.rs:152-184``)."""
+
+    @staticmethod
+    def is_valid_case_id(s: str) -> bool:
+        try:
+            uuid.UUID(s)
+            return True
+        except (ValueError, AttributeError, TypeError):
+            return False
+
+    @staticmethod
+    def is_valid_citation(citation: str) -> bool:
+        return _CITATION_RE.match(citation) is not None
+
+    @staticmethod
+    def is_valid_search_query(query: str, min_length: int, max_length: int) -> bool:
+        trimmed = query.strip()
+        return bool(trimmed) and min_length <= len(trimmed) <= max_length
+
+    @staticmethod
+    def sanitize_filename(filename: str) -> str:
+        return "".join(
+            c if (c.isalnum() or c in "-_.") else "_" for c in filename
+        )
