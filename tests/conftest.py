@@ -1,21 +1,19 @@
 """Test configuration.
 
 JAX tests run on a virtual 8-device CPU mesh (SURVEY.md §4: fake meshes so
-sharded top-k merge is testable without TPU hardware). The env vars must be
-set before JAX initialises its backends, hence the module-level setdefault
-here (conftest imports before any test module).
+sharded top-k merge is testable without TPU hardware).
+
+This environment's ``sitecustomize`` registers a TPU PJRT plugin at
+interpreter startup and pins ``JAX_PLATFORMS`` to it, so env vars set here
+would be too late. ``jax.config`` updates still work as long as no backend
+has been initialised — force the CPU platform with 8 virtual devices before
+any test imports touch ``jax.devices()``.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-# Keep CPU compiles fast and deterministic in tests.
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
@@ -38,8 +36,6 @@ def tmp_config(tmp_path):
 
 @pytest.fixture(scope="session")
 def cpu_devices():
-    import jax
-
     devices = jax.devices()
     assert len(devices) >= 8, f"expected 8 virtual CPU devices, got {len(devices)}"
     return devices
