@@ -1,0 +1,227 @@
+"""Array-trie tests: builder → freeze → device walk vs a Python-dict oracle,
+plus reference-parity semantics (routing, is_end, completions cap)."""
+
+import numpy as np
+import pytest
+
+from trie_semantic_search_tpu.core.config import TrieConfig
+from trie_semantic_search_tpu.index.trie import (
+    PAD_TOKEN,
+    UNKNOWN_TOKEN,
+    FrozenTrie,
+    TrieBuilder,
+    TrieIndex,
+)
+
+
+@pytest.fixture()
+def small_trie():
+    b = TrieBuilder()
+    b.insert(["brown", "v", "board"], 0)
+    b.insert(["brown", "v", "board", "of", "education"], 1)
+    b.insert(["miranda", "v", "arizona"], 2)
+    b.insert(["brown", "act"], 3)
+    b.insert(["miranda", "v", "arizona"], 4)  # second posting, same path
+    return b.freeze()
+
+
+def test_freeze_structure(small_trie):
+    t = small_trie
+    assert t.num_nodes >= 9
+    assert t.edge_offsets[0] == 0
+    assert t.edge_offsets[-1] == t.num_edges
+    # edges sorted by token within each node span
+    for n in range(t.num_nodes):
+        span = t.edge_tokens[t.edge_offsets[n] : t.edge_offsets[n + 1]]
+        assert (np.diff(span) > 0).all() if len(span) > 1 else True
+    assert t.num_postings == 5
+
+
+def test_walk_exact_hits(small_trie):
+    t = small_trie
+    ids = t.encode_queries(
+        [
+            ["brown", "v", "board"],
+            ["miranda", "v", "arizona"],
+            ["brown", "act"],
+            ["brown", "v"],  # internal node: walk ok, not end
+            ["nope"],  # unknown token
+            ["brown", "v", "wrong"],
+        ],
+        max_len=8,
+    )
+    nodes, rows, valid = t.search_batch(ids)
+    # exact matches
+    assert valid[0].sum() == 1 and rows[0][valid[0]].tolist() == [0]
+    assert valid[1].sum() == 2 and sorted(rows[1][valid[1]].tolist()) == [2, 4]
+    assert valid[2].sum() == 1 and rows[2][valid[2]].tolist() == [3]
+    # internal node: walk succeeded but no postings (is_end false)
+    assert nodes[3] >= 0 and valid[3].sum() == 0
+    # misses
+    assert nodes[4] == -1 and valid[4].sum() == 0
+    assert nodes[5] == -1
+
+
+def test_walk_padding_semantics(small_trie):
+    t = small_trie
+    ids = t.encode_queries([["brown", "act"]], max_len=8)
+    assert (ids[0, 2:] == PAD_TOKEN).all()
+    nodes, rows, valid = t.search_batch(ids)
+    assert valid[0].sum() == 1  # padding doesn't kill the walk
+
+
+def test_unknown_token_id():
+    b = TrieBuilder()
+    b.insert(["a"], 0)
+    t = b.freeze()
+    ids = t.encode_queries([["zzz"]], 4)
+    assert ids[0, 0] == UNKNOWN_TOKEN
+
+
+def test_device_walk_matches_python_oracle():
+    """Randomized: device walk == dict-trie walk on 200 random queries."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    b = TrieBuilder()
+    inserted = []
+    for row in range(100):
+        path = [vocab[i] for i in rng.integers(0, 30, rng.integers(1, 6))]
+        b.insert(path, row)
+        inserted.append(path)
+    t = b.freeze()
+
+    # python oracle
+    oracle: dict = {}
+    for row, path in enumerate(inserted):
+        d = oracle
+        for tok in path:
+            d = d.setdefault(tok, {})
+        d.setdefault("__end__", []).append(row)
+
+    queries = []
+    for _ in range(200):
+        if rng.random() < 0.5:
+            queries.append(list(inserted[rng.integers(0, len(inserted))]))
+        else:
+            queries.append([vocab[i] for i in rng.integers(0, 30, rng.integers(1, 6))])
+
+    ids = t.encode_queries(queries, 8)
+    nodes, rows, valid = t.search_batch(ids, max_postings=128)
+    for qi, q in enumerate(queries):
+        d = oracle
+        ok = True
+        for tok in q:
+            if tok in d:
+                d = d[tok]
+            else:
+                ok = False
+                break
+        expected = sorted(d.get("__end__", [])) if ok else []
+        got = sorted(rows[qi][valid[qi]].tolist())
+        assert got == expected, f"query {q}: {got} != {expected}"
+
+
+def test_completions(small_trie):
+    t = small_trie
+    comps = t.completions(["brown"], limit=10)
+    assert "brown v board" in comps
+    assert "brown v board of education" in comps
+    assert "brown act" in comps
+    # deterministic ordering across calls
+    assert comps == t.completions(["brown"], limit=10)
+    # completions exclude the prefix itself
+    comps2 = t.completions(["brown", "v", "board"], limit=10)
+    assert comps2 == ["brown v board of education"]
+    # cap respected
+    assert len(t.completions([], limit=3)) == 3
+    # unknown prefix
+    assert t.completions(["zzz"]) == []
+
+
+def test_save_load_roundtrip(small_trie, tmp_path):
+    p = tmp_path / "trie.npz"
+    small_trie.save(p)
+    loaded = FrozenTrie.load(p)
+    assert loaded.num_nodes == small_trie.num_nodes
+    ids = loaded.encode_queries([["miranda", "v", "arizona"]], 8)
+    _, rows, valid = loaded.search_batch(ids)
+    assert sorted(rows[0][valid[0]].tolist()) == [2, 4]
+    assert loaded.completions(["brown"]) == small_trie.completions(["brown"])
+
+
+def test_empty_trie_safe():
+    t = TrieBuilder().freeze()
+    ids = t.encode_queries([["anything"]], 4)
+    nodes, rows, valid = t.search_batch(ids)
+    assert nodes[0] == -1 and valid.sum() == 0
+    assert t.completions(["x"]) == []
+
+
+# ---------------------------------------------------------------------------
+# TrieIndex facade
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def index():
+    idx = TrieIndex(TrieConfig())
+    idx.insert_case_name("Brown v. Board of Education", 0)
+    idx.insert_case_name("Miranda v. Arizona", 1)
+    idx.insert_citation("347 U.S. 483 (1954)", 0)
+    idx.insert_content("separate educational facilities are inherently unequal".split(), 0, 2)
+    idx.insert_content("you have the right to remain silent".split(), 1, 5)
+    idx.freeze()
+    return idx
+
+
+def test_index_routes_name_first(index):
+    res = index.search("brown v. board of education")
+    assert res.exact_matches == [(0, 0)]
+
+
+def test_index_routes_citation(index):
+    res = index.search("347 U.S. 483 (1954)")
+    assert res.exact_matches == [(0, 0)]
+
+
+def test_index_content_phrase_anywhere(index):
+    # window insertion → phrase match mid-paragraph
+    res = index.search("inherently unequal")
+    assert (0, 2) in res.exact_matches
+    res = index.search("right to remain silent")
+    assert (1, 5) in res.exact_matches
+
+
+def test_index_miss(index):
+    res = index.search("habeas corpus petition")
+    assert res.exact_matches == []
+
+
+def test_index_completions(index):
+    comps = index.get_completions("miranda")
+    assert any("arizona" in c for c in comps)
+
+
+def test_index_batch_rows(index):
+    rows, valid = index.search_batch_rows(
+        ["brown v. board of education", "right to remain silent", "no match here"]
+    )
+    assert rows.shape[0] == 3
+    assert 0 in rows[0][valid[0]]
+    assert 1 in rows[1][valid[1]]
+    assert valid[2].sum() == 0
+
+
+def test_index_save_load(index, tmp_path):
+    index.save_to_disk(tmp_path / "tries")
+    loaded = TrieIndex.load_from_disk(tmp_path / "tries")
+    res = loaded.search("miranda v. arizona")
+    assert res.exact_matches == [(1, 0)]
+    stats = loaded.get_stats()
+    assert stats["name"]["nodes"] > 1
+
+
+def test_index_stats(index):
+    st = index.get_stats()
+    assert st["content"]["postings"] > 0
+    assert st["name"]["bytes"] > 0

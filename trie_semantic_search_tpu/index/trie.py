@@ -1,0 +1,542 @@
+"""Trie index: host builder → frozen CSR arrays → device traversal.
+
+Rebuild of the reference's trie module (``/root/reference/src/trie.rs``):
+three token-level tries (case names, citations, content) giving exact-match
+and prefix-completion lookup, with the same insertion/search/routing
+semantics:
+
+  * insert = walk token path, mark ``is_end``, append posting, bump
+    frequency (ref trie.rs:211-221)
+  * search = walk the full query; miss → empty; exact matches = postings at
+    the final node iff ``is_end`` (ref trie.rs:223-245); completions from
+    the final node, capped (ref trie.rs:257-278, cap 10)
+  * routing: case-name trie → citation trie → content trie
+    (ref trie.rs:112-130); names/content lowercased, citations
+    case-preserving (ref trie.rs:147,171,190)
+
+TPU-native architecture (the reference's FST save/load and completions were
+TODO stubs, trie.rs:83-94,133-136 — implemented for real here):
+
+  * :class:`TrieBuilder` — host-side incremental builder (dict-of-nodes).
+  * :class:`FrozenTrie` — the compiled artifact: CSR edge arrays sorted by
+    token id per node span, postings arrays, is_end/frequency columns, and
+    the token vocabulary. Saved/loaded as one ``.npz`` (optionally mmap'd).
+  * Device traversal via :mod:`..ops.trie_kernels`: level-synchronous
+    batched walk (gathers + in-span binary search) and fixed-width postings
+    gather — a whole query batch resolves in one jit'd program.
+  * Completions run on the host over the same frozen arrays (iterative DFS,
+    deterministic order), since their output is strings for humans, not
+    device data.
+
+Content indexing: the reference never wired index building
+(``rebuild_indices`` TODO, main.rs:248-261), leaving content-trie semantics
+as "query matches paragraphs that start with it". The builder here inserts
+sliding token windows (``window`` tokens at every position, capped per
+paragraph), upgrading content search to phrase-anywhere matching while
+keeping the same node/search machinery.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TrieConfig
+from ..core.errors import AutomatonCompilationFailed, IndexCorrupted
+from ..ops.trie_kernels import batched_walk, gather_postings
+
+#: token id fed to the kernel for out-of-vocabulary query tokens
+UNKNOWN_TOKEN = -2
+#: padding token id
+PAD_TOKEN = -1
+
+
+@dataclass
+class TrieSearchResult:
+    """ref: trie.rs:60-65. ``exact_matches`` are (case_row, paragraph_index)
+    pairs — dense device ids; callers map rows → CaseIds via
+    MetadataColumns."""
+
+    exact_matches: list[tuple[int, int]] = field(default_factory=list)
+    prefix_completions: list[str] = field(default_factory=list)
+    total_matches: int = 0
+
+
+class _Node:
+    __slots__ = ("children", "is_end", "postings", "frequency")
+
+    def __init__(self) -> None:
+        self.children: dict[int, "_Node"] = {}
+        self.is_end = False
+        self.postings: list[tuple[int, int]] = []  # (case_row, para_idx)
+        self.frequency = 0
+
+
+class TrieBuilder:
+    """Host-side incremental trie over token-id paths."""
+
+    def __init__(self) -> None:
+        self.vocab: dict[str, int] = {}
+        self.root = _Node()
+        self.num_nodes = 1
+
+    def token_id(self, token: str, create: bool = False) -> int:
+        tid = self.vocab.get(token)
+        if tid is None:
+            if not create:
+                return UNKNOWN_TOKEN
+            tid = len(self.vocab)
+            self.vocab[token] = tid
+        return tid
+
+    def insert(self, tokens: Sequence[str], case_row: int, para_idx: int = 0) -> None:
+        """ref: TrieNode::insert (trie.rs:211-221)."""
+        if not tokens:
+            return
+        node = self.root
+        for t in tokens:
+            tid = self.token_id(t, create=True)
+            child = node.children.get(tid)
+            if child is None:
+                child = _Node()
+                node.children[tid] = child
+                self.num_nodes += 1
+            node = child
+        node.is_end = True
+        node.postings.append((case_row, para_idx))
+        node.frequency += 1
+
+    def freeze(self) -> "FrozenTrie":
+        """Compile to CSR arrays (BFS order, root = node 0; edges sorted by
+        token id within each span for binary-search lookup)."""
+        try:
+            order: list[_Node] = [self.root]
+            ids: dict[int, int] = {id(self.root): 0}
+            i = 0
+            while i < len(order):
+                node = order[i]
+                for tid in sorted(node.children):
+                    child = node.children[tid]
+                    ids[id(child)] = len(order)
+                    order.append(child)
+                i += 1
+
+            N = len(order)
+            edge_offsets = np.zeros(N + 1, np.int32)
+            post_offsets = np.zeros(N + 1, np.int32)
+            is_end = np.zeros(N, bool)
+            frequency = np.zeros(N, np.int32)
+            edge_tokens: list[int] = []
+            edge_targets: list[int] = []
+            post_case: list[int] = []
+            post_para: list[int] = []
+            for n, node in enumerate(order):
+                for tid in sorted(node.children):
+                    edge_tokens.append(tid)
+                    edge_targets.append(ids[id(node.children[tid])])
+                edge_offsets[n + 1] = len(edge_tokens)
+                for row, para in node.postings:
+                    post_case.append(row)
+                    post_para.append(para)
+                post_offsets[n + 1] = len(post_case)
+                is_end[n] = node.is_end
+                frequency[n] = node.frequency
+
+            id_to_token = [""] * len(self.vocab)
+            for tok, tid in self.vocab.items():
+                id_to_token[tid] = tok
+
+            return FrozenTrie(
+                edge_offsets=edge_offsets,
+                edge_tokens=np.asarray(edge_tokens, np.int32),
+                edge_targets=np.asarray(edge_targets, np.int32),
+                post_offsets=post_offsets,
+                post_case=np.asarray(post_case, np.int32),
+                post_para=np.asarray(post_para, np.int32),
+                is_end=is_end,
+                frequency=frequency,
+                vocab=dict(self.vocab),
+                id_to_token=id_to_token,
+            )
+        except (ValueError, OverflowError) as e:
+            raise AutomatonCompilationFailed(str(e)) from e
+
+
+@dataclass
+class FrozenTrie:
+    """Immutable compiled trie. numpy arrays on the host; ``device()``
+    uploads the traversal arrays once and caches them."""
+
+    edge_offsets: np.ndarray
+    edge_tokens: np.ndarray
+    edge_targets: np.ndarray
+    post_offsets: np.ndarray
+    post_case: np.ndarray
+    post_para: np.ndarray
+    is_end: np.ndarray
+    frequency: np.ndarray
+    vocab: dict[str, int]
+    id_to_token: list[str]
+
+    _device_arrays: Optional[tuple] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.is_end)
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.edge_tokens)
+
+    @property
+    def num_postings(self) -> int:
+        return len(self.post_case)
+
+    def nbytes(self) -> int:
+        return sum(
+            a.nbytes
+            for a in (
+                self.edge_offsets, self.edge_tokens, self.edge_targets,
+                self.post_offsets, self.post_case, self.post_para,
+                self.is_end, self.frequency,
+            )
+        )
+
+    # -- query prep ---------------------------------------------------------
+
+    def encode_queries(
+        self, token_seqs: Sequence[Sequence[str]], max_len: int
+    ) -> np.ndarray:
+        """Token strings → ``[B, max_len]`` id matrix (PAD/-1, UNK/-2)."""
+        out = np.full((len(token_seqs), max_len), PAD_TOKEN, np.int32)
+        for b, toks in enumerate(token_seqs):
+            for l, t in enumerate(toks[:max_len]):
+                out[b, l] = self.vocab.get(t, UNKNOWN_TOKEN)
+        return out
+
+    # -- device path --------------------------------------------------------
+
+    def device(self) -> tuple:
+        if self._device_arrays is None:
+            # Kernels index these arrays unconditionally; keep ≥1 element.
+            et = self.edge_tokens if self.num_edges else np.zeros(1, np.int32)
+            tg = self.edge_targets if self.num_edges else np.zeros(1, np.int32)
+            pc = self.post_case if self.num_postings else np.full(1, -1, np.int32)
+            object.__setattr__(
+                self,
+                "_device_arrays",
+                (
+                    jnp.asarray(self.edge_offsets),
+                    jnp.asarray(et),
+                    jnp.asarray(tg),
+                    jnp.asarray(self.post_offsets),
+                    jnp.asarray(pc),
+                    jnp.asarray(self.is_end),
+                ),
+            )
+        return self._device_arrays
+
+    def walk(self, token_ids: np.ndarray) -> np.ndarray:
+        """Batched device walk → final node id per query."""
+        eo, et, tg, _, _, _ = self.device()
+        return np.asarray(batched_walk(eo, et, tg, jnp.asarray(token_ids)))
+
+    def search_batch(
+        self, token_ids: np.ndarray, max_postings: int = 64
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched walk + postings gather → (nodes, case_rows, valid)."""
+        eo, et, tg, po, pc, ie = self.device()
+        nodes = batched_walk(eo, et, tg, jnp.asarray(token_ids))
+        rows, valid = gather_postings(po, pc, ie, nodes, max_postings)
+        return np.asarray(nodes), np.asarray(rows), np.asarray(valid)
+
+    # -- host helpers -------------------------------------------------------
+
+    def postings_of(self, node: int) -> list[tuple[int, int]]:
+        s, e = self.post_offsets[node], self.post_offsets[node + 1]
+        return list(zip(self.post_case[s:e].tolist(), self.post_para[s:e].tolist()))
+
+    def completions(
+        self, prefix_tokens: Sequence[str], limit: int = 10,
+        max_depth: int = 50,
+    ) -> list[str]:
+        """Prefix completions from the node reached by ``prefix_tokens``
+        (implements the reference's TODO ``get_completions``,
+        trie.rs:133-136; DFS shape per trie.rs:257-278 but deterministic —
+        edges visit in token-id order). ``max_depth`` mirrors
+        ``trie.max_prefix_length``."""
+        node = 0
+        for t in prefix_tokens:
+            tid = self.vocab.get(t)
+            if tid is None:
+                return []
+            lo, hi = self.edge_offsets[node], self.edge_offsets[node + 1]
+            span = self.edge_tokens[lo:hi]
+            pos = np.searchsorted(span, tid)
+            if pos >= len(span) or span[pos] != tid:
+                return []
+            node = int(self.edge_targets[lo + pos])
+
+        out: list[str] = []
+        prefix = list(prefix_tokens)
+        stack: list[tuple[int, list[str]]] = [(node, prefix)]
+        while stack and len(out) < limit:
+            cur, path = stack.pop()
+            if self.is_end[cur] and len(path) > len(prefix):
+                out.append(" ".join(path))
+            if len(path) - len(prefix) >= max_depth:
+                continue
+            lo, hi = self.edge_offsets[cur], self.edge_offsets[cur + 1]
+            # push in reverse so pops visit token-id order (deterministic)
+            for e in range(hi - 1, lo - 1, -1):
+                tok = self.id_to_token[self.edge_tokens[e]]
+                stack.append((int(self.edge_targets[e]), path + [tok]))
+        return out
+
+    # -- persistence (the reference's TODO save/load, trie.rs:83-94) --------
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path,
+            edge_offsets=self.edge_offsets,
+            edge_tokens=self.edge_tokens,
+            edge_targets=self.edge_targets,
+            post_offsets=self.post_offsets,
+            post_case=self.post_case,
+            post_para=self.post_para,
+            is_end=self.is_end,
+            frequency=self.frequency,
+            vocab_json=np.array(json.dumps(self.vocab)),
+        )
+
+    @classmethod
+    def load(cls, path: str | Path) -> "FrozenTrie":
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                vocab = json.loads(str(z["vocab_json"]))
+                id_to_token = [""] * len(vocab)
+                for tok, tid in vocab.items():
+                    id_to_token[tid] = tok
+                return cls(
+                    edge_offsets=z["edge_offsets"],
+                    edge_tokens=z["edge_tokens"],
+                    edge_targets=z["edge_targets"],
+                    post_offsets=z["post_offsets"],
+                    post_case=z["post_case"],
+                    post_para=z["post_para"],
+                    is_end=z["is_end"],
+                    frequency=z["frequency"],
+                    vocab=vocab,
+                    id_to_token=id_to_token,
+                )
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            raise IndexCorrupted(index_type="trie", details=str(e)) from e
+
+
+def _empty_frozen() -> FrozenTrie:
+    return TrieBuilder().freeze()
+
+
+class TrieIndex:
+    """Three-trie facade with the reference's public surface
+    (``TrieIndex::{new, insert_case_name, insert_content, insert_citation,
+    search, get_completions, save_to_disk, load_from_disk}``,
+    trie.rs:67-137)."""
+
+    #: maximum query tokens fed to the device walk
+    MAX_QUERY_TOKENS = 16
+
+    def __init__(self, config: Optional[TrieConfig] = None):
+        self.config = config or TrieConfig()
+        self._name_builder = TrieBuilder()
+        self._content_builder = TrieBuilder()
+        self._citation_builder = TrieBuilder()
+        self._name: Optional[FrozenTrie] = None
+        self._content: Optional[FrozenTrie] = None
+        self._citation: Optional[FrozenTrie] = None
+        #: sliding-window width for content phrase indexing
+        self.content_window = 8
+        #: cap on windows per paragraph (bounds index size)
+        self.max_windows_per_paragraph = 512
+
+    # -- insertion (ref trie.rs:97-109, 146-198) ----------------------------
+
+    def insert_case_name(self, case_name: str, case_row: int) -> None:
+        if not self.config.index_case_names:
+            return
+        tokens = case_name.lower().split()
+        self._name_builder.insert(tokens, case_row, 0)
+        self._name = None
+
+    def insert_content(
+        self, tokens: Sequence[str], case_row: int, para_idx: int = 0
+    ) -> None:
+        toks = [t.lower() for t in tokens]
+        if not toks:
+            return
+        w = self.content_window
+        n_windows = min(len(toks), self.max_windows_per_paragraph)
+        for start in range(n_windows):
+            self._content_builder.insert(toks[start : start + w], case_row, para_idx)
+        self._content = None
+
+    def insert_citation(self, citation: str, case_row: int, para_idx: int = 0) -> None:
+        if not self.config.index_citations:
+            return
+        tokens = citation.split()  # case-preserving (ref trie.rs:190)
+        self._citation_builder.insert(tokens, case_row, para_idx)
+        self._citation = None
+
+    # -- freeze -------------------------------------------------------------
+
+    def freeze(self) -> None:
+        """Compile all three tries to device-ready arrays."""
+        self._name = self._name_builder.freeze()
+        self._content = self._content_builder.freeze()
+        self._citation = self._citation_builder.freeze()
+
+    @property
+    def name_trie(self) -> FrozenTrie:
+        if self._name is None:
+            self._name = self._name_builder.freeze()
+        return self._name
+
+    @property
+    def content_trie(self) -> FrozenTrie:
+        if self._content is None:
+            self._content = self._content_builder.freeze()
+        return self._content
+
+    @property
+    def citation_trie(self) -> FrozenTrie:
+        if self._citation is None:
+            self._citation = self._citation_builder.freeze()
+        return self._citation
+
+    # -- search (ref trie.rs:112-130) ---------------------------------------
+
+    def _search_one(
+        self, trie: FrozenTrie, tokens: Sequence[str], with_completions: bool
+    ) -> TrieSearchResult:
+        ids = trie.encode_queries([list(tokens)], self.MAX_QUERY_TOKENS)
+        nodes, rows, valid = trie.search_batch(ids)
+        node = int(nodes[0])
+        exact: list[tuple[int, int]] = []
+        if node >= 0 and trie.is_end[node]:
+            exact = trie.postings_of(node)
+        completions: list[str] = []
+        if with_completions and node >= 0:
+            completions = trie.completions(
+                list(tokens), limit=10, max_depth=self.config.max_prefix_length
+            )
+        return TrieSearchResult(
+            exact_matches=exact,
+            prefix_completions=completions,
+            total_matches=len(exact) + len(completions),
+        )
+
+    def search(self, query: str) -> TrieSearchResult:
+        """Route: names → citations → content (ref trie.rs:112-130)."""
+        name_tokens = query.lower().split()
+        res = self._search_one(self.name_trie, name_tokens, True)
+        if res.exact_matches:
+            return res
+        res = self._search_one(self.citation_trie, query.split(), True)
+        if res.exact_matches:
+            return res
+        return self._search_one(self.content_trie, name_tokens, True)
+
+    def search_batch_rows(
+        self, queries: Sequence[str], max_postings: int = 64
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hot-path batched lexical match for the hybrid engine: for each
+        query, exact-match case rows from all three tries, concatenated as
+        ``[B, 3*max_postings]`` (-1 padded), with a parallel bool validity
+        mask. One device program per trie for the whole batch."""
+        B = len(queries)
+        lower = [q.lower().split() for q in queries]
+        raw = [q.split() for q in queries]
+        all_rows = []
+        all_valid = []
+        for trie, toks in (
+            (self.name_trie, lower),
+            (self.citation_trie, raw),
+            (self.content_trie, lower),
+        ):
+            ids = trie.encode_queries(toks, self.MAX_QUERY_TOKENS)
+            _, rows, valid = trie.search_batch(ids, max_postings)
+            all_rows.append(rows)
+            all_valid.append(valid)
+        return (
+            np.concatenate(all_rows, axis=1),
+            np.concatenate(all_valid, axis=1),
+        )
+
+    def get_completions(self, prefix: str, limit: int = 10) -> list[str]:
+        """Implements the reference's TODO (trie.rs:133-136): merged
+        completions from name, then citation, then content tries."""
+        out: list[str] = []
+        for trie, toks in (
+            (self.name_trie, prefix.lower().split()),
+            (self.citation_trie, prefix.split()),
+            (self.content_trie, prefix.lower().split()),
+        ):
+            if len(out) >= limit:
+                break
+            for c in trie.completions(
+                toks, limit - len(out), self.config.max_prefix_length
+            ):
+                if c not in out:
+                    out.append(c)
+        return out[:limit]
+
+    # -- persistence (ref trie.rs:83-94, TODO there) ------------------------
+
+    def save_to_disk(self, path: Optional[str | Path] = None) -> None:
+        base = Path(path or self.config.index_path)
+        base.mkdir(parents=True, exist_ok=True)
+        self.name_trie.save(base / "name_trie.npz")
+        self.content_trie.save(base / "content_trie.npz")
+        self.citation_trie.save(base / "citation_trie.npz")
+
+    @classmethod
+    def load_from_disk(
+        cls, path: str | Path, config: Optional[TrieConfig] = None
+    ) -> "TrieIndex":
+        base = Path(path)
+        idx = cls(config)
+        idx._name = FrozenTrie.load(base / "name_trie.npz")
+        idx._content = FrozenTrie.load(base / "content_trie.npz")
+        idx._citation = FrozenTrie.load(base / "citation_trie.npz")
+        return idx
+
+    # -- stats --------------------------------------------------------------
+
+    def get_stats(self) -> dict:
+        return {
+            "name": {
+                "nodes": self.name_trie.num_nodes,
+                "edges": self.name_trie.num_edges,
+                "postings": self.name_trie.num_postings,
+                "bytes": self.name_trie.nbytes(),
+            },
+            "content": {
+                "nodes": self.content_trie.num_nodes,
+                "edges": self.content_trie.num_edges,
+                "postings": self.content_trie.num_postings,
+                "bytes": self.content_trie.nbytes(),
+            },
+            "citation": {
+                "nodes": self.citation_trie.num_nodes,
+                "edges": self.citation_trie.num_edges,
+                "postings": self.citation_trie.num_postings,
+                "bytes": self.citation_trie.nbytes(),
+            },
+        }
