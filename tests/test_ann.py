@@ -1,0 +1,140 @@
+"""Partitioned ANN tests: recall vs exact brute-force oracle (SURVEY.md §4
+golden-recall tests), determinism, persistence, k-means sanity."""
+
+import numpy as np
+import pytest
+
+from trie_semantic_search_tpu.core.config import AnnConfig
+from trie_semantic_search_tpu.index.ann import PartitionedANN, _auto_partitions
+from trie_semantic_search_tpu.index.kmeans import assign_clusters, train_kmeans
+
+
+def normed(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(3)
+    # clustered data (ANN-friendly, like real embeddings)
+    centers = normed(rng.standard_normal((32, 64)).astype(np.float32))
+    pts = centers[rng.integers(0, 32, 4000)] + 0.25 * rng.standard_normal(
+        (4000, 64)
+    ).astype(np.float32)
+    return normed(pts)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, corpus.shape[0], 32)
+    q = corpus[idx] + 0.05 * rng.standard_normal((32, corpus.shape[1])).astype(
+        np.float32
+    )
+    return normed(q)
+
+
+@pytest.fixture(scope="module")
+def built(corpus):
+    ann = PartitionedANN(AnnConfig(num_partitions=64, num_probes=8))
+    ann.build(corpus, seed=0)
+    return ann
+
+
+def oracle_topk(q, c, k):
+    scores = q @ c.T
+    idx = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=-1), idx
+
+
+def test_kmeans_centroids_normalised(corpus):
+    c = train_kmeans(corpus, 16, iters=5)
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-4)
+    assign = assign_clusters(corpus, c)
+    assert assign.shape == (corpus.shape[0],)
+    assert assign.min() >= 0 and assign.max() < 16
+    # clusters actually used
+    assert len(np.unique(assign)) > 8
+
+
+def test_auto_partitions():
+    assert _auto_partitions(1_000_000) == 1000
+    assert _auto_partitions(100) % 8 == 0
+    assert _auto_partitions(1) == 8
+
+
+def test_brute_matches_oracle(built, corpus, queries):
+    v, i = built.search_brute(queries, 10)
+    ov, oi = oracle_topk(queries, corpus, 10)
+    # bf16 scoring: indices should overlap >= 95%, scores close
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
+    assert overlap >= 0.95
+    np.testing.assert_allclose(v, ov, atol=2e-2)
+
+
+def test_partitioned_recall_at_10_after_tuning(built, corpus, queries):
+    """North-star: recall@10 ≥ 0.95 vs exact oracle (a stricter bar than
+    matching hnsw_rs, which itself is approximate) after nprobe tuning."""
+    nprobe = built.tune_nprobe(queries, k=10, target_recall=0.95)
+    assert 1 <= nprobe <= 64
+    _, oi = oracle_topk(queries, corpus, 10)
+    _, i = built.search(queries, 10, nprobe=nprobe)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
+    assert recall >= 0.95, f"recall@10 = {recall} at nprobe={nprobe}"
+    # tuned value persisted as the default
+    assert built.config.num_probes == nprobe
+
+
+def test_partitioned_deterministic(built, queries):
+    v1, i1 = built.search(queries, 10)
+    v2, i2 = built.search(queries, 10)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_full_probe_equals_brute(corpus, queries):
+    """nprobe = P (scan everything) must reproduce exact top-k."""
+    ann = PartitionedANN(AnnConfig(num_partitions=16, rescore_factor=8))
+    ann.build(corpus, seed=0)
+    _, oi = oracle_topk(queries, corpus, 5)
+    _, i = ann.search(queries, 5, nprobe=16)
+    recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i, oi)])
+    assert recall >= 0.99
+
+
+def test_search_small_k_and_small_corpus():
+    rng = np.random.default_rng(0)
+    tiny = normed(rng.standard_normal((20, 16)).astype(np.float32))
+    ann = PartitionedANN(AnnConfig(num_partitions=8, num_probes=8))
+    ann.build(tiny)
+    v, i = ann.search(tiny[:3], 5)
+    assert i.shape == (3, 5)
+    # each query's own vector is its top hit
+    assert (i[:, 0] == np.arange(3)).all()
+
+
+def test_memory_less_than_hnsw_equal_budget(built):
+    """Equal-memory accounting: int8+bf16+rows < f32 + M=16 graph links."""
+    st = built.get_stats()
+    d = 64
+    hnsw_bytes = st.num_vectors * (4 * d + 16 * 8)
+    assert st.nbytes_total < hnsw_bytes
+
+
+def test_save_load_roundtrip(built, queries, tmp_path):
+    p = tmp_path / "ann.npz"
+    built.save(p)
+    loaded = PartitionedANN.load(p, built.config)
+    v1, i1 = built.search(queries, 10)
+    v2, i2 = loaded.search(queries, 10)
+    np.testing.assert_array_equal(i1, i2)
+    assert loaded.num_vectors == built.num_vectors
+
+
+def test_unbuilt_raises():
+    from trie_semantic_search_tpu.core.errors import VectorIndexConstructionFailed
+
+    with pytest.raises(VectorIndexConstructionFailed):
+        PartitionedANN().search(np.zeros((1, 8), np.float32), 5)
+    with pytest.raises(VectorIndexConstructionFailed):
+        PartitionedANN().build(np.zeros((0, 8), np.float32))

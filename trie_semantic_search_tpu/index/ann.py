@@ -1,0 +1,315 @@
+"""Partitioned ANN index — the TPU-native replacement for HNSW.
+
+The reference's HNSW was a stub (``/root/reference/src/vector.rs:184-208``;
+``hnsw_rs`` commented out of Cargo.toml:40). Graph-walk ANN is hostile to
+TPUs (pointer chasing, dynamic shapes); the TPU-native design (BASELINE.json
+north star, SURVEY.md §7 step 6, TPU-KNN/ScaNN per PAPERS.md) is a
+**partitioned scan**:
+
+  1. **Partition** (offline): spherical k-means over the corpus → P
+     centroids; every vector lands in its nearest partition. Partitions are
+     stored as a dense padded block ``[P, m, D]`` (int8 + per-row scales) so
+     probing is pure gathers + matmuls with static shapes.
+  2. **Probe** (query): score centroids (one small matmul), take the top
+     ``nprobe`` partitions per query.
+  3. **Scan**: int8 dot products over the probed blocks on the MXU (int32
+     accumulation), mask padding, partial top-(k·rescore_factor).
+  4. **Rescore**: gather survivors from the bf16 corpus and re-rank in
+     full precision → final exact-ordered top-k.
+
+Memory accounting vs HNSW at "equal memory": HNSW spends 4·D bytes/vector
+(f32) + ~M·8 bytes/vector of graph links; this index spends D bytes (int8)
++ 2·D (bf16 rescore copy) + 4 bytes (row map) ≈ 3·D+4 < 4·D+128 for D=384,
+M=16 — strictly less memory, no graph.
+
+Brute-force mode (``search_brute``) services large batches: at CAP scale a
+single bf16/int8 matmul over the full corpus saturates the MXU and beats
+partition probing on throughput; the engine picks per batch size.
+
+Both paths are deterministic (ties break to the lower row id).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import AnnConfig
+from ..core.errors import IndexCorrupted, VectorIndexConstructionFailed
+from ..ops.scoring import gather_rescore, l2_normalize
+from ..ops.topk import exact_topk, fast_topk, merge_topk
+from .kmeans import assign_clusters, train_kmeans
+
+
+def _auto_partitions(n: int) -> int:
+    """~sqrt(N), rounded up to a multiple of 8, min 8."""
+    p = max(8, int(np.sqrt(max(n, 1))))
+    return -(-p // 8) * 8
+
+
+@dataclass
+class AnnStats:
+    num_vectors: int = 0
+    num_partitions: int = 0
+    partition_capacity: int = 0
+    nbytes_int8: int = 0
+    nbytes_rescore: int = 0
+    nbytes_total: int = 0
+
+
+class PartitionedANN:
+    """ScaNN-style partitioned cosine ANN over a frozen corpus."""
+
+    def __init__(self, config: Optional[AnnConfig] = None):
+        self.config = config or AnnConfig()
+        # frozen artifacts (set by build/load)
+        self.centroids: Optional[jnp.ndarray] = None  # [P, D] f32
+        self.part_rows: Optional[jnp.ndarray] = None  # [P, m] int32, -1 pad
+        self.part_int8: Optional[jnp.ndarray] = None  # [P, m, D] int8
+        self.part_scale: Optional[jnp.ndarray] = None  # [P, m] f32
+        self.corpus_bf16: Optional[jnp.ndarray] = None  # [N, D] bf16 (rescore)
+        self.num_vectors = 0
+        self._search_fn = None
+        self._brute_fn = None
+
+    # -- build --------------------------------------------------------------
+
+    def build(self, vectors: np.ndarray, seed: int = 0) -> None:
+        """Freeze the index from ``[N, D]`` float vectors (normalised
+        internally)."""
+        if vectors.ndim != 2 or vectors.shape[0] == 0:
+            raise VectorIndexConstructionFailed(
+                f"need [N, D] vectors, got {vectors.shape}"
+            )
+        n, d = vectors.shape
+        v = np.asarray(vectors, np.float32)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+        P = self.config.num_partitions or _auto_partitions(n)
+        P = min(P, max(8, n))  # never more partitions than points (min 8)
+        centroids = train_kmeans(
+            v, P, iters=self.config.kmeans_iters,
+            sample=self.config.kmeans_sample, seed=seed,
+        )
+        assign = assign_clusters(v, centroids)
+
+        # Dense padded partition layout.
+        counts = np.bincount(assign, minlength=P)
+        m = int(counts.max()) if counts.size else 1
+        m = max(8, -(-m // 8) * 8)  # tile-aligned capacity
+        part_rows = np.full((P, m), -1, np.int32)
+        fill = np.zeros(P, np.int32)
+        for row, p in enumerate(assign):
+            part_rows[p, fill[p]] = row
+            fill[p] += 1
+
+        # int8 quantise per vector
+        absmax = np.max(np.abs(v), axis=1)
+        scale = np.maximum(absmax, 1e-12) / 127.0
+        q = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+
+        safe_rows = np.maximum(part_rows, 0)
+        part_int8 = q[safe_rows]  # [P, m, D]
+        part_scale = scale[safe_rows].astype(np.float32)
+        pad_mask = part_rows < 0
+        part_int8[pad_mask] = 0
+        part_scale[pad_mask] = 0.0
+
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.part_rows = jnp.asarray(part_rows)
+        self.part_int8 = jnp.asarray(part_int8)
+        self.part_scale = jnp.asarray(part_scale)
+        self.corpus_bf16 = jnp.asarray(v, jnp.bfloat16)
+        self.num_vectors = n
+        self._search_fn = None
+        self._brute_fn = None
+
+    # -- search -------------------------------------------------------------
+
+    @property
+    def default_nprobe(self) -> int:
+        P = int(self.centroids.shape[0]) if self.centroids is not None else 8
+        if self.config.num_probes:
+            return min(self.config.num_probes, P)
+        # ef_search is the reference's search-breadth knob; reuse its scale.
+        return min(max(8, P // 10, self.config.ef_search // 4), P)
+
+    def _make_search_fn(self, k: int, nprobe: int):
+        cfg = self.config
+        rescore_k = min(k * max(1, cfg.rescore_factor), self.num_vectors)
+
+        @jax.jit
+        def _search(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+            qn = l2_normalize(q.astype(jnp.float32))
+            # 1) probe partitions
+            cs = jnp.einsum("bd,pd->bp", qn, self.centroids,
+                            preferred_element_type=jnp.float32)
+            _, top_p = jax.lax.top_k(cs, nprobe)  # [B, nprobe]
+            # 2) gather probed blocks
+            rows = jnp.take(self.part_rows, top_p, axis=0)  # [B, np, m]
+            blocks = jnp.take(self.part_int8, top_p, axis=0)  # [B, np, m, D]
+            scales = jnp.take(self.part_scale, top_p, axis=0)  # [B, np, m]
+            # 3) int8 scan (int32 MXU accumulation)
+            q_abs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+            q_scale = jnp.maximum(q_abs, 1e-12) / 127.0
+            q8 = jnp.clip(jnp.round(qn / q_scale), -127, 127).astype(jnp.int8)
+            acc = jnp.einsum("bd,bpmd->bpm", q8, blocks,
+                             preferred_element_type=jnp.int32)
+            scores = acc.astype(jnp.float32) * scales * q_scale[:, :, None]
+            B = scores.shape[0]
+            flat_scores = scores.reshape(B, -1)
+            flat_rows = rows.reshape(B, -1)
+            flat_scores = jnp.where(flat_rows >= 0, flat_scores, -jnp.inf)
+            # 4) partial top, then full-precision rescore
+            cand_n = min(rescore_k, flat_scores.shape[-1])
+            _, cand_pos = exact_topk(flat_scores, cand_n)
+            cand_rows = jnp.take_along_axis(flat_rows, cand_pos, axis=-1)
+            safe = jnp.maximum(cand_rows, 0)
+            re = gather_rescore(qn, self.corpus_bf16, safe)
+            re = jnp.where(cand_rows >= 0, re, -jnp.inf)
+            kk = min(k, cand_n)
+            v, pos = exact_topk(re, kk)
+            idx = jnp.take_along_axis(cand_rows, pos, axis=-1)
+            return v, idx
+
+        return _search
+
+    def search(
+        self, queries: np.ndarray | jax.Array, k: int,
+        nprobe: Optional[int] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k ``(scores, rows)`` per query; rows are corpus row ids, -1
+        when fewer than k vectors exist."""
+        self._require_built()
+        nprobe = nprobe or self.default_nprobe
+        key = (int(k), int(nprobe))
+        if self._search_fn is None or self._search_fn[0] != key:
+            self._search_fn = (key, self._make_search_fn(k, nprobe))
+        v, i = self._search_fn[1](jnp.asarray(queries))
+        return np.asarray(v), np.asarray(i)
+
+    def search_brute(
+        self, queries: np.ndarray | jax.Array, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact full-scan top-k over the bf16 corpus (large-batch path /
+        recall oracle; BASELINE config 3)."""
+        self._require_built()
+        kk = min(k, self.num_vectors)
+        if self._brute_fn is None or self._brute_fn[0] != kk:
+
+            @jax.jit
+            def _brute(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+                qn = l2_normalize(q.astype(jnp.float32))
+                scores = jnp.einsum(
+                    "bd,nd->bn", qn.astype(jnp.bfloat16), self.corpus_bf16,
+                    preferred_element_type=jnp.float32,
+                )
+                return exact_topk(scores, kk)
+
+            self._brute_fn = (kk, _brute)
+        v, i = self._brute_fn[1](jnp.asarray(queries))
+        return np.asarray(v), np.asarray(i.astype(jnp.int32))
+
+    def tune_nprobe(
+        self,
+        sample_queries: np.ndarray,
+        k: int = 10,
+        target_recall: float = 0.95,
+    ) -> int:
+        """Pick the smallest ``nprobe`` whose recall@k vs the exact scan hits
+        ``target_recall`` on sample queries, and persist it in the config
+        (SURVEY.md §7 "tune (P, nprobe) to hit 0.95 recall@10").
+
+        Doubling sweep then midpoint refine — O(log P) search passes.
+        """
+        self._require_built()
+        _, oracle = self.search_brute(sample_queries, k)
+
+        def recall_at(nprobe: int) -> float:
+            _, got = self.search(sample_queries, k, nprobe=nprobe)
+            return float(
+                np.mean(
+                    [len(set(a) & set(b)) / k for a, b in zip(got, oracle)]
+                )
+            )
+
+        P = int(self.centroids.shape[0])
+        lo, hi = 1, None
+        n = max(1, self.default_nprobe // 2)
+        while n < P:
+            if recall_at(n) >= target_recall:
+                hi = n
+                break
+            lo = n
+            n *= 2
+        if hi is None:
+            hi = P
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if recall_at(mid) >= target_recall:
+                hi = mid
+            else:
+                lo = mid
+        self.config.num_probes = hi
+        return hi
+
+    def _require_built(self) -> None:
+        if self.centroids is None:
+            raise VectorIndexConstructionFailed("index not built/loaded")
+
+    # -- stats / persistence ------------------------------------------------
+
+    def get_stats(self) -> AnnStats:
+        if self.centroids is None:
+            return AnnStats()
+        int8_b = int(self.part_int8.size) + 4 * int(self.part_scale.size)
+        res_b = 2 * int(self.corpus_bf16.size)
+        total = int8_b + res_b + 4 * int(self.part_rows.size) + 4 * int(
+            self.centroids.size
+        )
+        return AnnStats(
+            num_vectors=self.num_vectors,
+            num_partitions=int(self.centroids.shape[0]),
+            partition_capacity=int(self.part_rows.shape[1]),
+            nbytes_int8=int8_b,
+            nbytes_rescore=res_b,
+            nbytes_total=total,
+        )
+
+    def save(self, path: str | Path) -> None:
+        self._require_built()
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path,
+            centroids=np.asarray(self.centroids),
+            part_rows=np.asarray(self.part_rows),
+            part_int8=np.asarray(self.part_int8),
+            part_scale=np.asarray(self.part_scale),
+            corpus_f16=np.asarray(self.corpus_bf16.astype(jnp.float32)).astype(
+                np.float16
+            ),
+            meta=np.array(json.dumps({"num_vectors": self.num_vectors})),
+        )
+
+    @classmethod
+    def load(cls, path: str | Path, config: Optional[AnnConfig] = None) -> "PartitionedANN":
+        idx = cls(config)
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                idx.centroids = jnp.asarray(z["centroids"], jnp.float32)
+                idx.part_rows = jnp.asarray(z["part_rows"])
+                idx.part_int8 = jnp.asarray(z["part_int8"])
+                idx.part_scale = jnp.asarray(z["part_scale"])
+                idx.corpus_bf16 = jnp.asarray(z["corpus_f16"], jnp.bfloat16)
+                idx.num_vectors = int(json.loads(str(z["meta"]))["num_vectors"])
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            raise IndexCorrupted(index_type="ann", details=str(e)) from e
+        return idx

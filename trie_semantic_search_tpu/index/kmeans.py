@@ -1,0 +1,84 @@
+"""Spherical k-means partitioner (JAX, jit-compiled Lloyd iterations).
+
+Trains the partition centroids for the ScaNN-style ANN index
+(SURVEY.md §7 step 6). Vectors are L2-normalised, so nearest-centroid by
+dot product == cosine; centroids are re-normalised every iteration
+(spherical k-means), which matches the cosine search metric.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
+def _lloyd(
+    x: jax.Array,  # [S, D] normalised sample
+    init: jax.Array,  # [P, D] initial centroids
+    num_clusters: int,
+    iters: int,
+) -> jax.Array:
+    def step(c: jax.Array, _: None) -> tuple[jax.Array, None]:
+        sims = jnp.einsum("sd,pd->sp", x, c, preferred_element_type=jnp.float32)
+        assign = jnp.argmax(sims, axis=1)
+        one_hot = jax.nn.one_hot(assign, num_clusters, dtype=x.dtype)  # [S, P]
+        sums = jnp.einsum("sp,sd->pd", one_hot, x)
+        counts = jnp.sum(one_hot, axis=0)[:, None]
+        new_c = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), c)
+        norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+        return new_c / jnp.maximum(norms, 1e-12), None
+
+    c, _ = jax.lax.scan(step, init, None, length=iters)
+    return c
+
+
+def train_kmeans(
+    vectors: np.ndarray,  # [N, D] L2-normalised
+    num_clusters: int,
+    iters: int = 20,
+    sample: int = 200_000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train centroids on (a sample of) the corpus. Returns ``[P, D]`` f32."""
+    n = vectors.shape[0]
+    rng = np.random.default_rng(seed)
+    if n > sample:
+        idx = rng.choice(n, size=sample, replace=False)
+        x = vectors[idx]
+    else:
+        x = vectors
+    # Init: distinct random points (k-means++ cost isn't worth it at this
+    # scale; spherical Lloyd converges fast from random distinct seeds).
+    init_idx = rng.choice(x.shape[0], size=min(num_clusters, x.shape[0]), replace=False)
+    init = x[init_idx]
+    if init.shape[0] < num_clusters:  # tiny corpora: tile + jitter
+        reps = -(-num_clusters // init.shape[0])
+        init = np.tile(init, (reps, 1))[:num_clusters]
+        init = init + rng.normal(0, 1e-3, init.shape).astype(init.dtype)
+        init = init / np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+    c = _lloyd(jnp.asarray(x, jnp.float32), jnp.asarray(init, jnp.float32),
+               num_clusters, iters)
+    return np.asarray(c)
+
+
+def assign_clusters(
+    vectors: np.ndarray, centroids: np.ndarray, block: int = 65536
+) -> np.ndarray:
+    """Nearest-centroid assignment, blocked to bound device memory."""
+    c = jnp.asarray(centroids, jnp.float32)
+
+    @jax.jit
+    def _assign(v: jax.Array) -> jax.Array:
+        sims = jnp.einsum("nd,pd->np", v, c, preferred_element_type=jnp.float32)
+        return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+    out = np.empty((vectors.shape[0],), np.int32)
+    for s in range(0, vectors.shape[0], block):
+        out[s : s + block] = np.asarray(
+            _assign(jnp.asarray(vectors[s : s + block], jnp.float32))
+        )
+    return out

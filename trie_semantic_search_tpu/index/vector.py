@@ -1,0 +1,210 @@
+"""Vector index orchestrator: embedder + partitioned ANN + embedding cache.
+
+Rebuild of the reference's ``VectorIndex`` (``/root/reference/src/
+vector.rs:26-160``): generate_embedding (cache → model), add_document,
+search(query, top_k) → (row, similarity), stats, save/load — with the
+stubbed internals (ONNX model, HNSW) replaced by the real JAX encoder and
+the partitioned TPU scan.
+
+Documents accumulate host-side (pending list); :meth:`freeze` compiles them
+into the immutable device index (atomic swap — the lock-free analogue of
+the reference's ``Arc<RwLock<VectorIndex>>``, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.config import VectorConfig
+from ..core.errors import AnnSearchError
+from ..models.embedder import Embedder
+from ..search.cache import VectorCache
+from .ann import AnnStats, PartitionedANN
+
+_log = logging.getLogger("tss_tpu.vector")
+
+
+@dataclass
+class VectorSearchResult:
+    """ref: vector.rs VectorSearchResult — (doc row, similarity)."""
+
+    row: int
+    paragraph_index: int
+    similarity_score: float
+
+
+@dataclass
+class VectorIndexStats:
+    """ref: vector.rs:152-159,237-243."""
+
+    total_documents: int = 0
+    dimension: int = 0
+    cache_size: int = 0
+    cache_hits: int = 0
+    ann: Optional[AnnStats] = None
+
+
+class VectorIndex:
+    """Semantic index over (case_row, paragraph) text chunks."""
+
+    def __init__(
+        self,
+        config: Optional[VectorConfig] = None,
+        embedder: Optional[Embedder] = None,
+    ):
+        self.config = config or VectorConfig()
+        self.embedder = embedder or Embedder(self.config.model)
+        self.cache = VectorCache(max_size=1000)
+        self.ann = PartitionedANN(self.config.hnsw)
+        # pending (not yet frozen) documents
+        self._pending_texts: list[str] = []
+        self._pending_refs: list[tuple[int, int]] = []  # (case_row, para)
+        # frozen state
+        self._refs: list[tuple[int, int]] = []
+        self._vectors: Optional[np.ndarray] = None
+
+    # -- embedding (ref vector.rs:98-114) -----------------------------------
+
+    def generate_embedding(self, text: str) -> np.ndarray:
+        cached = self.cache.get(text)
+        if cached is not None:
+            return cached
+        emb = self.embedder.embed_one(text)
+        self.cache.put(text, emb)
+        return emb
+
+    # -- building (ref vector.rs:117-125) -----------------------------------
+
+    def add_document(self, case_row: int, text: str, paragraph_index: int = 0) -> None:
+        self._pending_texts.append(text)
+        self._pending_refs.append((case_row, paragraph_index))
+
+    def add_documents(
+        self, items: Sequence[tuple[int, int, str]]
+    ) -> None:
+        """Bulk add: (case_row, paragraph_index, text)."""
+        for row, para, text in items:
+            self._pending_texts.append(text)
+            self._pending_refs.append((row, para))
+
+    def freeze(self, seed: int = 0) -> None:
+        """Embed pending docs and (re)build the ANN over all documents."""
+        if self._pending_texts:
+            embs = self.embedder.embed(self._pending_texts).embedding
+            if self._vectors is not None:
+                self._vectors = np.concatenate([self._vectors, embs])
+            else:
+                self._vectors = embs
+            self._refs.extend(self._pending_refs)
+            self._pending_texts = []
+            self._pending_refs = []
+        if self._vectors is not None and len(self._vectors):
+            self.ann.build(self._vectors, seed=seed)
+
+    @property
+    def size(self) -> int:
+        return len(self._refs)
+
+    @property
+    def refs(self) -> list[tuple[int, int]]:
+        return self._refs
+
+    @property
+    def vectors(self) -> Optional[np.ndarray]:
+        return self._vectors
+
+    # -- search (ref vector.rs:127-150) -------------------------------------
+
+    def search(
+        self, query: str, top_k: int = 50, use_brute: Optional[bool] = None
+    ) -> list[VectorSearchResult]:
+        res = self.search_batch([query], top_k, use_brute=use_brute)
+        return res[0]
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 50,
+        use_brute: Optional[bool] = None,
+    ) -> list[list[VectorSearchResult]]:
+        if self.ann.num_vectors == 0:
+            return [[] for _ in queries]
+        embs = np.stack([self.generate_embedding(q) for q in queries])
+        return self.search_embedded(embs, top_k, use_brute)
+
+    def search_embedded(
+        self,
+        query_vecs: np.ndarray,
+        top_k: int,
+        use_brute: Optional[bool] = None,
+    ) -> list[list[VectorSearchResult]]:
+        if self.ann.num_vectors == 0:
+            return [[] for _ in range(len(query_vecs))]
+        try:
+            if use_brute is None:
+                # partition probing wins at small batch; full scan amortises
+                # better for large batches (one big MXU matmul)
+                use_brute = len(query_vecs) >= 64 or self.ann.num_vectors < 10_000
+            if use_brute:
+                vals, rows = self.ann.search_brute(query_vecs, top_k)
+            else:
+                vals, rows = self.ann.search(query_vecs, top_k)
+        except Exception as e:
+            raise AnnSearchError(str(e)) from e
+        out: list[list[VectorSearchResult]] = []
+        for b in range(rows.shape[0]):
+            hits = []
+            for v, r in zip(vals[b], rows[b]):
+                if r < 0:
+                    continue
+                case_row, para = self._refs[int(r)]
+                hits.append(
+                    VectorSearchResult(
+                        row=case_row,
+                        paragraph_index=para,
+                        similarity_score=float(v),
+                    )
+                )
+            out.append(hits)
+        return out
+
+    # -- stats / persistence (ref vector.rs:83-95,152-159) ------------------
+
+    def get_stats(self) -> VectorIndexStats:
+        cs = self.cache.get_stats()
+        return VectorIndexStats(
+            total_documents=self.size,
+            dimension=self.embedder.dimension,
+            cache_size=cs.size,
+            cache_hits=cs.hits,
+            ann=self.ann.get_stats() if self.ann.num_vectors else None,
+        )
+
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        if self.ann.num_vectors:
+            self.ann.save(path / "ann.npz")
+        refs = np.asarray(self._refs or np.zeros((0, 2)), np.int32)
+        np.savez_compressed(
+            path / "refs.npz",
+            refs=refs,
+            vectors=self._vectors
+            if self._vectors is not None
+            else np.zeros((0, self.embedder.dimension), np.float32),
+        )
+
+    def load(self, path: str | Path) -> None:
+        path = Path(path)
+        with np.load(path / "refs.npz", allow_pickle=False) as z:
+            self._refs = [tuple(r) for r in z["refs"].tolist()]
+            v = z["vectors"]
+            self._vectors = v if len(v) else None
+        ann_path = path / "ann.npz"
+        if ann_path.exists():
+            self.ann = PartitionedANN.load(ann_path, self.config.hnsw)
