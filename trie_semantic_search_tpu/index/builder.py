@@ -1,0 +1,142 @@
+"""Index build pipeline: storage → frozen trie + vector + column artifacts.
+
+Implements the path the reference specified but never wired
+(``rebuild_indices`` TODO at ``/root/reference/src/main.rs:248-261``;
+insertion APIs at ``trie.rs:97-109`` / ``vector.rs:117-125``; SURVEY.md §3.5).
+
+Flow per case:
+  1. dense row id from :class:`MetadataColumns` (row order = storage order)
+  2. case name → name trie; primary + extracted citations → citation trie
+  3. full text → TextProcessor sentences; each sentence's word tokens →
+     content trie (windowed), and the sentence text → vector index chunk
+  4. freeze everything; optionally save artifacts + tune ANN probes
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..core.config import Config
+from ..models.embedder import Embedder
+from ..models.tokenizer import WordPieceTokenizer, train_wordpiece_vocab
+from ..storage.columns import MetadataColumns
+from ..storage.store import StorageManager
+from ..text.processor import TextProcessor
+from .trie import TrieIndex
+from .vector import VectorIndex
+
+_log = logging.getLogger("tss_tpu.builder")
+
+
+@dataclass
+class BuildReport:
+    cases: int = 0
+    content_chunks: int = 0
+    citations: int = 0
+    seconds: float = 0.0
+
+
+@dataclass
+class BuiltIndexes:
+    trie: TrieIndex
+    vector: VectorIndex
+    columns: MetadataColumns
+    report: BuildReport
+
+
+def build_indexes(
+    storage: StorageManager,
+    config: Config,
+    text_processor: Optional[TextProcessor] = None,
+    embedder: Optional[Embedder] = None,
+    max_chunks_per_case: int = 64,
+    tune_recall: Optional[float] = None,
+) -> BuiltIndexes:
+    """Build all frozen search artifacts from the document store."""
+    t0 = time.perf_counter()
+    tp = text_processor or TextProcessor(config.text_processing)
+    columns = MetadataColumns.build(storage.fetch_filter_columns())
+    trie = TrieIndex(config.trie)
+
+    if embedder is None:
+        # No external tokenizer/weights → train a corpus WordPiece vocab so
+        # embeddings are meaningful offline.
+        corpus_texts = (text for _, text in storage.iter_cases() if text)
+        vocab = train_wordpiece_vocab(corpus_texts, vocab_size=8192)
+        embedder = Embedder(
+            config.vector.model, tokenizer=WordPieceTokenizer(vocab)
+        )
+    vector = VectorIndex(config.vector, embedder=embedder)
+
+    report = BuildReport()
+    for meta, text in storage.iter_cases():
+        row = columns.row_of_case[meta.id]
+        trie.insert_case_name(meta.name, row)
+        if meta.citation:
+            trie.insert_citation(meta.citation, row)
+            report.citations += 1
+        for cit in meta.citations:
+            trie.insert_citation(cit, row)
+            report.citations += 1
+
+        body = text or meta.full_text
+        if body:
+            processed = tp.process_text(body)
+            chunks = processed.sentences[:max_chunks_per_case]
+            for para_idx, sentence in enumerate(chunks):
+                tokens = [t for t in sentence.lower().split() if t]
+                trie.insert_content(tokens, row, para_idx)
+                vector.add_document(row, sentence, para_idx)
+                report.content_chunks += 1
+            for cit in processed.citations:
+                trie.insert_citation(cit.normalized, row)
+        report.cases += 1
+
+    trie.freeze()
+    vector.freeze()
+
+    if tune_recall and vector.ann.num_vectors >= 100 and vector.vectors is not None:
+        rng = np.random.default_rng(0)
+        sample = vector.vectors[
+            rng.choice(vector.ann.num_vectors, min(64, vector.ann.num_vectors), replace=False)
+        ]
+        nprobe = vector.ann.tune_nprobe(sample, k=10, target_recall=tune_recall)
+        _log.info("tuned nprobe=%d for recall>=%.2f", nprobe, tune_recall)
+
+    report.seconds = time.perf_counter() - t0
+    _log.info(
+        "built indexes: %d cases, %d chunks, %d citations in %.2fs",
+        report.cases, report.content_chunks, report.citations, report.seconds,
+    )
+    return BuiltIndexes(trie=trie, vector=vector, columns=columns, report=report)
+
+
+def save_artifacts(built: BuiltIndexes, config: Config) -> None:
+    """Persist all frozen artifacts (checkpoint/resume surface, SURVEY.md §5:
+    "index build is checkpointed as serialized array shards + manifest")."""
+    built.trie.save_to_disk(config.trie.index_path)
+    built.vector.save(config.vector.hnsw.index_path)
+    built.columns.save(Path(config.trie.index_path) / "columns.npz")
+
+
+def load_artifacts(
+    config: Config, embedder: Optional[Embedder] = None
+) -> Optional[tuple[TrieIndex, VectorIndex, MetadataColumns]]:
+    """Load previously saved artifacts; None when absent."""
+    trie_dir = Path(config.trie.index_path)
+    vec_dir = Path(config.vector.hnsw.index_path)
+    cols_path = trie_dir / "columns.npz"
+    if not (trie_dir / "name_trie.npz").exists() or not cols_path.exists():
+        return None
+    trie = TrieIndex.load_from_disk(trie_dir, config.trie)
+    vector = VectorIndex(config.vector, embedder=embedder)
+    if (vec_dir / "refs.npz").exists():
+        vector.load(vec_dir)
+    columns = MetadataColumns.load(cols_path)
+    return trie, vector, columns

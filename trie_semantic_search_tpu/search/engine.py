@@ -1,0 +1,313 @@
+"""Hybrid search engine: trie lexical + semantic vector, merged and ranked.
+
+Rebuild of the reference's orchestrator (``/root/reference/src/search.rs:
+31-341``) with the same query semantics:
+
+  * validation: query length within [min, max] (ref 284-300)
+  * TTL query cache (ref 104-116, 344-385)
+  * hybrid execution (ref 185-240): trie exact hits score
+    ``exact_match_weight`` (MatchType.EXACT); semantic hits append above
+    ``min_similarity``; dedup by case id (first/better hit wins); sort by
+    score desc; court + date filters; truncate to max_results
+  * health_check / get_stats (ref 319-341)
+
+TPU-native differences:
+  * Indexes are frozen device arrays — search takes **no locks**; reload is
+    an atomic attribute swap (vs the reference's ``Arc<RwLock<...>>``).
+  * The trie walk and ANN scan are batched jit programs; the engine exposes
+    :meth:`search_batch` as the serving hot path (the API layer
+    micro-batches into it). Host code only hydrates the final ≤max_results
+    rows from storage.
+  * Metadata filters evaluate as int comparisons against the device-derived
+    columns before hydration, so filtered-out rows never touch storage.
+  * Snippets + highlights are real (the reference left both TODO).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.config import Config
+from ..core.errors import InvalidSearchQuery
+from ..core.types import CaseMetadata, SearchConfig
+from ..index.trie import TrieIndex
+from ..index.vector import VectorIndex
+from ..storage.columns import MetadataColumns, date_to_int
+from ..storage.store import StorageManager
+from .cache import CacheStats, QueryCache
+from .snippets import HighlightType, TextHighlight, generate_snippet
+
+_log = logging.getLogger("tss_tpu.search")
+
+
+class MatchType(str, Enum):
+    """ref: search.rs:70-82."""
+
+    EXACT = "exact"
+    PREFIX = "prefix"
+    SEMANTIC = "semantic"
+    CASE_NAME = "case_name"
+    CITATION = "citation"
+
+
+@dataclass(slots=True)
+class SearchQuery:
+    """ref: search.rs:40-52."""
+
+    query: str
+    max_results: Optional[int] = None
+    court_filter: Optional[list[str]] = None
+    date_range: Optional[tuple[Optional[_dt.date], Optional[_dt.date]]] = None
+    config: SearchConfig = field(default_factory=SearchConfig)
+
+
+@dataclass(slots=True)
+class SearchResult:
+    """ref: search.rs:55-67."""
+
+    case_metadata: CaseMetadata
+    score: float
+    match_type: MatchType
+    snippet: str = ""
+    highlights: list[TextHighlight] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "case_metadata": self.case_metadata.to_json(),
+            "score": self.score,
+            "match_type": self.match_type.value,
+            "snippet": self.snippet,
+            "highlights": [
+                {"start": h.start, "end": h.end, "highlight_type": h.highlight_type.value}
+                for h in self.highlights
+            ],
+        }
+
+
+@dataclass
+class SearchEngineStats:
+    """ref: search.rs:388-393."""
+
+    total_cases_indexed: int = 0
+    vector_index_stats: Optional[object] = None
+    trie_stats: Optional[dict] = None
+    cache_stats: Optional[CacheStats] = None
+    queries_served: int = 0
+
+
+class SearchEngine:
+    """Hybrid engine over frozen indexes (ref: SearchEngine, search.rs:118+)."""
+
+    def __init__(
+        self,
+        config: Config,
+        storage: StorageManager,
+        trie_index: Optional[TrieIndex] = None,
+        vector_index: Optional[VectorIndex] = None,
+        columns: Optional[MetadataColumns] = None,
+    ):
+        self.config = config
+        self.storage = storage
+        self.trie_index = trie_index or TrieIndex(config.trie)
+        self.vector_index = vector_index or VectorIndex(config.vector)
+        self.columns = columns or MetadataColumns.build(
+            storage.fetch_filter_columns()
+        )
+        self.query_cache = QueryCache(
+            max_size=config.search.query_cache_size,
+            ttl_seconds=config.search.query_cache_ttl_seconds,
+        )
+        self._queries_served = 0
+
+    # -- index swap (lock-free hot reload; README.md:161-165 hot-reload) ----
+
+    def swap_indexes(
+        self,
+        trie_index: Optional[TrieIndex] = None,
+        vector_index: Optional[VectorIndex] = None,
+        columns: Optional[MetadataColumns] = None,
+    ) -> None:
+        """Atomic replacement of frozen artifacts (single assignment per
+        attribute; readers see old or new, never a mix of a given index)."""
+        if trie_index is not None:
+            self.trie_index = trie_index
+        if vector_index is not None:
+            self.vector_index = vector_index
+        if columns is not None:
+            self.columns = columns
+        self.query_cache.clear()
+
+    # -- public API (ref search.rs:149-182) ---------------------------------
+
+    def search(self, query: str) -> list[SearchResult]:
+        return self.search_with_params(
+            SearchQuery(
+                query=query,
+                max_results=self.config.search.default_max_results,
+            )
+        )
+
+    def search_with_params(self, query: SearchQuery) -> list[SearchResult]:
+        cache_key = self._cache_key(query)
+        if self.config.search.enable_query_cache:
+            cached = self.query_cache.get(cache_key)
+            if cached is not None:
+                return cached
+        self.validate_query(query)
+        results = self._execute_batch([query])[0]
+        if self.config.search.enable_query_cache:
+            self.query_cache.put(cache_key, results)
+        self._queries_served += 1
+        return results
+
+    def search_batch(self, queries: Sequence[SearchQuery]) -> list[list[SearchResult]]:
+        """Batched hot path: one device program per stage for the whole
+        batch (the micro-batching API layer feeds this)."""
+        for q in queries:
+            self.validate_query(q)
+        out = self._execute_batch(list(queries))
+        self._queries_served += len(queries)
+        return out
+
+    # -- hybrid execution (ref search.rs:185-240) ---------------------------
+
+    def _execute_batch(self, queries: list[SearchQuery]) -> list[list[SearchResult]]:
+        B = len(queries)
+        texts = [q.query for q in queries]
+
+        # Stage 1: batched trie walk across all three tries (device).
+        trie_rows = trie_valid = None
+        if any(q.config.enable_prefix for q in queries):
+            trie_rows, trie_valid = self.trie_index.search_batch_rows(texts)
+
+        # Stage 2: batched semantic scan (device).
+        sem_hits = None
+        if any(q.config.enable_semantic for q in queries):
+            sem_hits = self.vector_index.search_batch(texts, top_k=50)
+
+        # Stage 3: merge / dedup / filter / truncate per query (host; ≤~200
+        # candidate rows per query by construction).
+        results: list[list[SearchResult]] = []
+        for b, q in enumerate(queries):
+            cands: dict[int, tuple[float, MatchType, int]] = {}  # row → (score, type, para)
+            if trie_rows is not None and q.config.enable_prefix:
+                for row in np.unique(trie_rows[b][trie_valid[b]]):
+                    cands[int(row)] = (q.config.exact_match_weight, MatchType.EXACT, 0)
+            if sem_hits is not None and q.config.enable_semantic:
+                for hit in sem_hits[b]:
+                    if hit.similarity_score < q.config.min_similarity:
+                        continue
+                    prev = cands.get(hit.row)
+                    if prev is None:  # dedup by case id (ref 194,214)
+                        cands[hit.row] = (
+                            hit.similarity_score,
+                            MatchType.SEMANTIC,
+                            hit.paragraph_index,
+                        )
+            rows = self._apply_filters(list(cands.keys()), q)
+            scored = sorted(
+                ((cands[r][0], r) for r in rows),
+                key=lambda t: (-t[0], t[1]),  # deterministic ties by row id
+            )
+            limit = q.max_results or q.config.max_results
+            out: list[SearchResult] = []
+            for score, row in scored[:limit]:
+                meta = self._hydrate(row)
+                if meta is None:
+                    continue
+                _, mtype, _para = cands[row]
+                text = self.storage.get_case_text(meta.id) or meta.full_text
+                snippet, highlights = generate_snippet(
+                    text or meta.name,
+                    q.query,
+                    highlight_type=HighlightType.EXACT_MATCH
+                    if mtype == MatchType.EXACT
+                    else HighlightType.SEMANTIC_MATCH,
+                )
+                out.append(
+                    SearchResult(
+                        case_metadata=meta,
+                        score=float(score),
+                        match_type=mtype,
+                        snippet=snippet,
+                        highlights=highlights,
+                    )
+                )
+            results.append(out)
+        return results
+
+    # -- filters (ref search.rs:254-274), on int columns --------------------
+
+    def _apply_filters(self, rows: list[int], q: SearchQuery) -> list[int]:
+        if not rows:
+            return rows
+        arr = np.asarray(rows, np.int64)
+        arr = arr[(arr >= 0) & (arr < len(self.columns))]
+        keep = np.ones(len(arr), bool)
+        if q.court_filter:
+            wanted = {
+                self.columns.court_vocab.get(c.strip(), -2) for c in q.court_filter
+            }
+            court_ids = self.columns.court_ids[arr]
+            keep &= np.isin(court_ids, list(wanted))
+        if q.date_range:
+            lo, hi = self.columns.encode_date_range(q.date_range)
+            dates = self.columns.dates[arr]
+            keep &= (dates >= lo) & (dates <= hi)
+        return [int(r) for r in arr[keep]]
+
+    def _hydrate(self, row: int) -> Optional[CaseMetadata]:
+        if row < 0 or row >= len(self.columns):
+            return None
+        return self.storage.get_case_metadata(self.columns.case_ids[row])
+
+    # -- validation (ref search.rs:284-300) ---------------------------------
+
+    def validate_query(self, query: SearchQuery) -> None:
+        n = len(query.query)
+        if n < self.config.search.min_query_length:
+            raise InvalidSearchQuery(
+                query=query.query,
+                reason=f"Query too short: minimum {self.config.search.min_query_length} characters",
+            )
+        if n > self.config.search.max_query_length:
+            raise InvalidSearchQuery(
+                query=query.query,
+                reason=f"Query too long: maximum {self.config.search.max_query_length} characters",
+            )
+
+    def _cache_key(self, q: SearchQuery) -> str:
+        parts = [q.query, str(q.max_results), str(q.court_filter)]
+        if q.date_range:
+            parts.append(
+                f"{date_to_int(q.date_range[0]) if q.date_range[0] else ''}-"
+                f"{date_to_int(q.date_range[1]) if q.date_range[1] else ''}"
+            )
+        parts.append(
+            f"{q.config.min_similarity}:{q.config.exact_match_weight}:"
+            f"{q.config.enable_semantic}:{q.config.enable_prefix}:{q.config.max_results}"
+        )
+        return "|".join(parts)
+
+    # -- ops surface (ref search.rs:319-341) --------------------------------
+
+    def health_check(self) -> None:
+        self.storage.health_check()
+        # indexes are plain frozen arrays; verify they answer
+        _ = self.trie_index.get_stats()
+
+    def get_stats(self) -> SearchEngineStats:
+        return SearchEngineStats(
+            total_cases_indexed=len(self.columns),
+            vector_index_stats=self.vector_index.get_stats(),
+            trie_stats=self.trie_index.get_stats(),
+            cache_stats=self.query_cache.get_stats(),
+            queries_served=self._queries_served,
+        )
