@@ -177,6 +177,21 @@ class StorageManager:
             ).fetchall()
         return [uuid.UUID(r[0]) for r in rows]
 
+    def find_case_id(self, name: str, citation: str) -> Optional[CaseId]:
+        """Content-identity lookup (name + citation) for ingest dedup.
+
+        The reference's duplicate check keyed on the freshly minted UUID
+        (pipeline.rs:287 via storage.case_exists), which can never match a
+        re-fetched case; matching on (name, citation) makes re-ingest
+        actually idempotent.
+        """
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT case_id FROM case_metadata WHERE name = ? AND citation = ?",
+                (name, citation),
+            ).fetchone()
+        return uuid.UUID(row[0]) if row else None
+
     def case_exists(self, case_id: CaseId) -> bool:
         with self._lock:
             row = self._conn.execute(
