@@ -1,0 +1,312 @@
+"""API server tests (aiohttp test client) + batching queue + CLI."""
+
+import asyncio
+import datetime as dt
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from trie_semantic_search_tpu.api.batching import BatchingQueue
+from trie_semantic_search_tpu.api.server import ApiServer
+from trie_semantic_search_tpu.core.config import Config
+from trie_semantic_search_tpu.core.types import AppState, CaseMetadata, new_case_id
+from trie_semantic_search_tpu.index.builder import build_indexes
+from trie_semantic_search_tpu.models.embedder import Embedder
+from trie_semantic_search_tpu.models.minilm import MiniLMConfig
+from trie_semantic_search_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    train_wordpiece_vocab,
+)
+from trie_semantic_search_tpu.search.engine import SearchEngine
+from trie_semantic_search_tpu.storage.store import StorageManager
+
+TEXTS = [
+    ("Brown v. Board of Education", "347 U.S. 483 (1954)",
+     "Separate educational facilities are inherently unequal in public education."),
+    ("Miranda v. Arizona", "384 U.S. 436 (1966)",
+     "You have the right to remain silent during custodial interrogation."),
+]
+
+TINY = MiniLMConfig(vocab_size=4096, hidden_size=64, num_layers=2,
+                    num_heads=4, intermediate_size=128, max_position=64)
+
+
+def make_state(tmp_path, api_key=None) -> AppState:
+    cfg = Config()
+    cfg.storage.db_path = str(tmp_path / "db.sqlite")
+    cfg.vector.hnsw.num_partitions = 8
+    cfg.vector.dimension = 64
+    if api_key:
+        cfg.server.api_key = api_key
+    storage = StorageManager(cfg.storage)
+    for name, cit, text in TEXTS:
+        meta = CaseMetadata(
+            id=new_case_id(), name=name, citation=cit,
+            court="Supreme Court of the United States",
+            decision_date=dt.date(1960, 1, 1),
+        )
+        storage.store_case_metadata(meta)
+        storage.store_case_text(meta.id, text)
+    vocab = train_wordpiece_vocab([t[2] for t in TEXTS], vocab_size=4096,
+                                  min_frequency=1)
+    embedder = Embedder(cfg.vector.model, tokenizer=WordPieceTokenizer(vocab),
+                        model_config=TINY)
+    built = build_indexes(storage, cfg, embedder=embedder)
+    engine = SearchEngine(cfg, storage, built.trie, built.vector, built.columns)
+    return AppState(config=cfg, search_engine=engine, storage=storage)
+
+
+@pytest.fixture()
+def client(tmp_path, event_loop=None):
+    state = make_state(tmp_path)
+    server = ApiServer(state)
+
+    async def _make():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        return c
+
+    loop = asyncio.new_event_loop()
+    c = loop.run_until_complete(_make())
+    yield c, loop
+    loop.run_until_complete(c.close())
+    loop.close()
+
+
+def test_search_endpoint(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/search", json={"query": "brown v. board of education"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["total_results"] >= 1
+        top = data["results"][0]
+        assert top["case_metadata"]["name"] == "Brown v. Board of Education"
+        assert top["match_type"] == "exact"
+        assert "query_time_ms" in data
+        assert data["pagination"]["page"] == 1
+
+    loop.run_until_complete(go())
+
+
+def test_search_with_filters(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/search", json={
+            "query": "right to remain silent",
+            "max_results": 5,
+            "court_filter": ["Supreme Court of the United States"],
+            "date_range": ["1950-01-01", "1970-01-01"],
+        })
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["total_results"] >= 1
+
+    loop.run_until_complete(go())
+
+
+def test_search_validation_errors(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/search", json={"query": "a"})
+        assert resp.status == 400
+        resp = await c.post("/search", json={})
+        assert resp.status == 400
+        resp = await c.post("/search", data=b"not json")
+        assert resp.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_health_endpoint(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/health")
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["status"] == "healthy"
+        assert data["components"]["storage"] == "healthy"
+        assert data["components"]["search_engine"] == "healthy"
+        assert data["components"]["trie_index"] == "healthy"
+        assert data["components"]["vector_index"] == "healthy"
+        assert "version" in data and "uptime_seconds" in data
+
+    loop.run_until_complete(go())
+
+
+def test_stats_endpoint(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/stats")
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["engine"]["total_cases_indexed"] == 2
+        assert data["storage"]["total_cases"] == 2
+        assert "trie" in data["engine"]
+
+    loop.run_until_complete(go())
+
+
+def test_completions_endpoint(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/completions?prefix=miranda")
+        assert resp.status == 200
+        data = await resp.json()
+        assert any("arizona" in x for x in data["completions"])
+        resp = await c.get("/completions")
+        assert resp.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_landing_page_and_cors(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/")
+        assert resp.status == 200
+        body = await resp.text()
+        assert "Legal Search" in body
+        assert resp.headers.get("Access-Control-Allow-Origin") == "*"
+
+    loop.run_until_complete(go())
+
+
+def test_api_key_auth(tmp_path):
+    state = make_state(tmp_path, api_key="sekrit")
+    server = ApiServer(state)
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        try:
+            resp = await c.post("/search", json={"query": "brown v. board"})
+            assert resp.status == 401
+            resp = await c.post("/search", json={"query": "brown v. board of education"},
+                                headers={"X-API-Key": "sekrit"})
+            assert resp.status == 200
+            # health stays unauthenticated
+            resp = await c.get("/health")
+            assert resp.status == 200
+        finally:
+            await c.close()
+
+    loop.run_until_complete(go())
+    loop.close()
+
+
+def test_concurrent_requests_batched(client):
+    """Many concurrent requests: all succeed through the batcher."""
+    c, loop = client
+
+    async def go():
+        async def one(q):
+            resp = await c.post("/search", json={"query": q})
+            assert resp.status == 200
+            return await resp.json()
+
+        results = await asyncio.gather(
+            *[one("right to remain silent") for _ in range(20)]
+        )
+        assert all(r["total_results"] >= 1 for r in results)
+
+    loop.run_until_complete(go())
+
+
+# ---------------------------------------------------------------------------
+# BatchingQueue unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_batching_queue_batches():
+    seen_batches = []
+
+    def run_batch(items):
+        seen_batches.append(len(items))
+        return [i * 2 for i in items]
+
+    async def go():
+        bq = BatchingQueue(run_batch, max_batch=8, window_ms=20)
+        await bq.start()
+        out = await asyncio.gather(*[bq.submit(i) for i in range(10)])
+        await bq.stop()
+        return out
+
+    out = asyncio.new_event_loop().run_until_complete(go())
+    assert sorted(out) == [i * 2 for i in range(10)]
+    assert max(seen_batches) > 1  # actually coalesced
+
+
+def test_batching_queue_poison_item_isolated():
+    def run_batch(items):
+        if any(i == "bad" for i in items):
+            raise ValueError("poisoned batch")
+        return [i.upper() for i in items]
+
+    async def go():
+        bq = BatchingQueue(run_batch, max_batch=8, window_ms=20)
+        await bq.start()
+        good = asyncio.create_task(bq.submit("ok"))
+        bad = asyncio.create_task(bq.submit("bad"))
+        r_good = await good
+        with pytest.raises(ValueError):
+            await bad
+        await bq.stop()
+        return r_good
+
+    assert asyncio.new_event_loop().run_until_complete(go()) == "OK"
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def test_cli_parser_and_help(capsys):
+    from trie_semantic_search_tpu.cli import build_parser, main
+
+    p = build_parser()
+    args = p.parse_args(["serve", "-p", "9000"])
+    assert args.port == 9000 and args.fn is not None
+    assert main([]) == 2  # no subcommand → help + exit 2
+
+
+def test_cli_ingest_and_search(tmp_path, capsys, monkeypatch):
+    from trie_semantic_search_tpu.cli import main
+
+    cfg = Config()
+    cfg.storage.db_path = str(tmp_path / "db.sqlite")
+    cfg.trie.index_path = str(tmp_path / "trie")
+    cfg.vector.hnsw.index_path = str(tmp_path / "vec")
+    cfg.vector.hnsw.num_partitions = 8
+    cfg_path = tmp_path / "config.toml"
+    cfg.save_to_file(cfg_path)
+
+    rc = main(["-c", str(cfg_path), "ingest", "--source", "mock"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["processed"] == 3
+
+    rc = main(["-c", str(cfg_path), "build-index"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["cases"] == 3
+
+    rc = main(["-c", str(cfg_path), "check-health"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["status"] == "healthy"
+
+    rc = main(["-c", str(cfg_path), "search", "miranda v. arizona", "--limit", "3"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out[0]["case_metadata"]["name"] == "Miranda v. Arizona"
+
+    rc = main(["-c", str(cfg_path), "completions", "brown"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and any("board" in x for x in out)

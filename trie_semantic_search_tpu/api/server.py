@@ -1,0 +1,302 @@
+"""REST API server (aiohttp).
+
+Rebuild of the reference's actix-web API (``/root/reference/src/api.rs``)
+with the same routes and payload shapes:
+
+* ``POST /search``  — ``{query, max_results, court_filter, date_range}`` →
+  ``{results, total_results, query_time_ms, pagination}`` (ref api.rs:33-58,
+  113-157)
+* ``GET /health``   — per-component status (ref api.rs:160-191)
+* ``GET /stats``    — engine/index/cache/storage stats (ref api.rs:194-214)
+* ``GET /``         — HTML landing page (ref api.rs:217-262)
+* ``GET /completions?prefix=`` — trie prefix completions (capability the
+  reference's trie promised; surfaced over HTTP here)
+
+Plus the serving features the reference only configured (config.rs:79-85)
+but never implemented: API-key auth, CORS headers, per-client rate
+limiting, payload size limit. Requests coalesce through the
+:class:`BatchingQueue` into the engine's batched device path.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import logging
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from .. import __version__
+from ..core.errors import InvalidSearchQuery, SearchError
+from ..core.types import AppState
+from ..search.engine import SearchQuery
+from .batching import BatchingQueue
+
+_log = logging.getLogger("tss_tpu.api")
+
+
+def _parse_date(v) -> Optional[_dt.date]:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return _dt.date.fromisoformat(v[:10])
+    raise ValueError(f"bad date: {v!r}")
+
+
+class _RateLimiterMiddleware:
+    """Fixed-window per-client request limiter (config.server.rate_limit_rpm)."""
+
+    def __init__(self, rpm: int):
+        self.rpm = rpm
+        self._counts: dict[str, tuple[int, int]] = {}
+
+    def allow(self, client: str) -> bool:
+        window = int(time.monotonic() // 60)
+        count, win = self._counts.get(client, (0, window))
+        if win != window:
+            count = 0
+        count += 1
+        self._counts[client] = (count, window)
+        if len(self._counts) > 10_000:  # bound memory
+            self._counts = {
+                k: v for k, v in self._counts.items() if v[1] == window
+            }
+        return count <= self.rpm
+
+
+class ApiServer:
+    """ref: ApiServer::{new, run} (api.rs:78-110)."""
+
+    def __init__(self, app_state: AppState):
+        self.state = app_state
+        cfg = app_state.config
+        self.batcher = BatchingQueue(
+            run_batch=app_state.search_engine.search_batch,
+            max_batch=64,
+            window_ms=2.0,
+        )
+        self.rate_limiter = _RateLimiterMiddleware(cfg.server.rate_limit_rpm)
+        self.started_at = time.monotonic()
+        self.app = web.Application(
+            middlewares=[self._middleware],
+            client_max_size=cfg.server.max_payload_size_mb * 1024 * 1024,
+        )
+        self.app.router.add_post("/search", self.search_handler)
+        self.app.router.add_get("/health", self.health_handler)
+        self.app.router.add_get("/stats", self.stats_handler)
+        self.app.router.add_get("/completions", self.completions_handler)
+        self.app.router.add_get("/", self.index_handler)
+        self.app.on_startup.append(lambda _app: self.batcher.start())
+        self.app.on_cleanup.append(lambda _app: self.batcher.stop())
+
+    # -- middleware: auth, rate limit, CORS ---------------------------------
+
+    @web.middleware
+    async def _middleware(self, request: web.Request, handler):
+        cfg = self.state.config.server
+        # API key (exempt health + landing page)
+        if cfg.api_key and request.path not in ("/health", "/"):
+            supplied = request.headers.get("X-API-Key") or request.headers.get(
+                "Authorization", ""
+            ).removeprefix("Bearer ").strip()
+            if supplied != cfg.api_key:
+                return web.json_response(
+                    {"error": "Authentication failed", "message": "invalid API key"},
+                    status=401,
+                )
+        client = request.remote or "unknown"
+        if not self.rate_limiter.allow(client):
+            return web.json_response(
+                {"error": "Rate limit exceeded",
+                 "message": f"{cfg.rate_limit_rpm} RPM exceeded"},
+                status=429,
+            )
+        try:
+            resp = await handler(request)
+        except web.HTTPException:
+            raise
+        if cfg.enable_cors:
+            resp.headers["Access-Control-Allow-Origin"] = "*"
+            resp.headers["Access-Control-Allow-Headers"] = "Content-Type, X-API-Key"
+        return resp
+
+    # -- handlers -----------------------------------------------------------
+
+    async def search_handler(self, request: web.Request) -> web.Response:
+        """ref: search_handler (api.rs:113-157)."""
+        t0 = time.perf_counter()
+        try:
+            body = await request.json()
+        except (json.JSONDecodeError, ValueError):
+            return web.json_response(
+                {"error": "Invalid API request", "message": "body must be JSON"},
+                status=400,
+            )
+        if not isinstance(body, dict) or "query" not in body:
+            return web.json_response(
+                {"error": "Invalid API request", "message": "missing 'query'"},
+                status=400,
+            )
+        try:
+            date_range = None
+            if body.get("date_range"):
+                lo, hi = body["date_range"]
+                date_range = (_parse_date(lo), _parse_date(hi))
+            q = SearchQuery(
+                query=str(body["query"]),
+                max_results=body.get("max_results"),
+                court_filter=body.get("court_filter"),
+                date_range=date_range,
+            )
+        except (ValueError, TypeError) as e:
+            return web.json_response(
+                {"error": "Invalid API request", "message": str(e)}, status=400
+            )
+
+        try:
+            self.state.search_engine.validate_query(q)
+            results = await self.batcher.submit(q)
+        except InvalidSearchQuery as e:
+            return web.json_response(
+                {"error": "Invalid search query", "message": str(e)}, status=400
+            )
+        except SearchError as e:
+            _log.error("search error: %s", e)
+            return web.json_response(
+                {"error": "Search failed", "message": str(e)}, status=500
+            )
+
+        query_time_ms = int((time.perf_counter() - t0) * 1000)
+        payload = {
+            "results": [r.to_json() for r in results],
+            "total_results": len(results),
+            "query_time_ms": query_time_ms,
+            "pagination": {
+                "page": 1,
+                "per_page": len(results),
+                "total_pages": 1,
+                "has_next": False,
+                "has_prev": False,
+            },
+        }
+        return web.json_response(payload)
+
+    async def health_handler(self, request: web.Request) -> web.Response:
+        """ref: health_handler (api.rs:160-191)."""
+        components = {}
+        overall = "healthy"
+        try:
+            self.state.storage.health_check()
+            components["storage"] = "healthy"
+        except Exception as e:
+            components["storage"] = f"unhealthy: {e}"
+            overall = "degraded"
+        try:
+            self.state.search_engine.health_check()
+            components["search_engine"] = "healthy"
+        except Exception as e:
+            components["search_engine"] = f"unhealthy: {e}"
+            overall = "degraded"
+        try:
+            _ = self.state.search_engine.trie_index.get_stats()
+            components["trie_index"] = "healthy"
+        except Exception as e:
+            components["trie_index"] = f"unhealthy: {e}"
+            overall = "degraded"
+        try:
+            _ = self.state.search_engine.vector_index.get_stats()
+            components["vector_index"] = "healthy"
+        except Exception as e:
+            components["vector_index"] = f"unhealthy: {e}"
+            overall = "degraded"
+        return web.json_response(
+            {
+                "status": overall,
+                "version": __version__,
+                "uptime_seconds": int(time.monotonic() - self.started_at),
+                "components": components,
+            },
+            status=200 if overall == "healthy" else 503,
+        )
+
+    async def stats_handler(self, request: web.Request) -> web.Response:
+        """ref: stats_handler (api.rs:194-214)."""
+        import dataclasses
+
+        def as_dict(x):
+            if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                return {k: as_dict(v) for k, v in dataclasses.asdict(x).items()}
+            if isinstance(x, dict):
+                return {k: as_dict(v) for k, v in x.items()}
+            return x
+
+        engine_stats = self.state.search_engine.get_stats()
+        storage_stats = self.state.storage.get_stats()
+        return web.json_response(
+            {
+                "engine": {
+                    "total_cases_indexed": engine_stats.total_cases_indexed,
+                    "queries_served": engine_stats.queries_served,
+                    "trie": engine_stats.trie_stats,
+                    "vector": as_dict(engine_stats.vector_index_stats),
+                    "query_cache": as_dict(engine_stats.cache_stats),
+                },
+                "storage": as_dict(storage_stats),
+            }
+        )
+
+    async def completions_handler(self, request: web.Request) -> web.Response:
+        prefix = request.query.get("prefix", "")
+        limit = int(request.query.get("limit", "10"))
+        if not prefix:
+            return web.json_response(
+                {"error": "Invalid API request", "message": "missing 'prefix'"},
+                status=400,
+            )
+        comps = self.state.search_engine.trie_index.get_completions(prefix, limit)
+        return web.json_response({"prefix": prefix, "completions": comps})
+
+    async def index_handler(self, request: web.Request) -> web.Response:
+        """ref: index_handler HTML landing page (api.rs:217-262)."""
+        html = f"""<!DOCTYPE html>
+<html>
+<head><title>Legal Search Engine (TPU)</title>
+<style>
+body {{ font-family: system-ui, sans-serif; margin: 3em auto; max-width: 46em; }}
+code {{ background: #f0f0f0; padding: 0.15em 0.4em; border-radius: 4px; }}
+li {{ margin: 0.5em 0; }}
+</style></head>
+<body>
+<h1>Trie + Semantic Legal Search (TPU-native)</h1>
+<p>Hybrid legal case-law search: array-trie lexical matching fused with
+MiniLM semantic retrieval on TPU. Version {__version__}.</p>
+<h2>Endpoints</h2>
+<ul>
+<li><code>POST /search</code> — {{"query": "...", "max_results": 10,
+"court_filter": [...], "date_range": ["1950-01-01", "1970-01-01"]}}</li>
+<li><code>GET /health</code> — component health</li>
+<li><code>GET /stats</code> — engine / index / storage statistics</li>
+<li><code>GET /completions?prefix=brown</code> — trie prefix completions</li>
+</ul>
+</body></html>"""
+        return web.Response(text=html, content_type="text/html")
+
+    # -- lifecycle ----------------------------------------------------------
+
+    async def run(self) -> None:
+        """Bind + serve forever (ref ApiServer::run, api.rs:85-109)."""
+        cfg = self.state.config.server
+        runner = web.AppRunner(self.app)
+        await runner.setup()
+        site = web.TCPSite(runner, cfg.host, cfg.port)
+        await site.start()
+        _log.info("API server listening on %s:%d", cfg.host, cfg.port)
+        import asyncio
+
+        try:
+            while True:
+                await asyncio.sleep(3600)
+        finally:
+            await runner.cleanup()

@@ -1,0 +1,285 @@
+"""CLI driver — the ``legal-search-server`` binary.
+
+Rebuild of ``/root/reference/src/main.rs:43-276`` widened into subcommands
+(SURVEY.md §2: "CLI (serve, ingest, build-index, bench) driving JAX runtime
+init"):
+
+* ``serve``        — config load → logging → components → health verify →
+  optional index rebuild → API server with graceful SIGINT shutdown
+  (ref main() flow, main.rs:43-138; the reference's rebuild and shutdown
+  were TODO stubs — both are real here)
+* ``ingest``       — run the ingestion pipeline from a named source
+* ``build-index``  — (re)build + save all frozen index artifacts
+  (ref rebuild_indices TODO, main.rs:248-261)
+* ``check-health`` — component health probes, exit code 0/1
+  (ref --check-health, main.rs:97-99,207-245)
+* ``completions``  — trie prefix completions from saved artifacts
+* ``search``       — one-shot query from the command line
+* ``bench``        — run the benchmark suite (see bench.py)
+
+Shared flags: ``--config/-c``, ``--port/-p`` (CLI > env > file > defaults,
+ref config.rs:20-24).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import signal
+import sys
+from typing import Optional
+
+from .core.config import Config
+from .core.logging import init_logging
+from .core.types import AppState
+
+_log = logging.getLogger("tss_tpu.cli")
+
+
+def _load_config(args: argparse.Namespace) -> Config:
+    cfg = Config.from_file(args.config)
+    if getattr(args, "port", None):
+        cfg.server.port = args.port
+    return cfg
+
+
+def _build_components(cfg: Config, rebuild: bool = False):
+    """ref: initialize_components (main.rs:164-186)."""
+    from .index.builder import build_indexes, load_artifacts, save_artifacts
+    from .search.engine import SearchEngine
+    from .storage.store import StorageManager
+
+    storage = StorageManager(cfg.storage)
+    artifacts = None if rebuild else load_artifacts(cfg)
+    if artifacts is None:
+        _log.info("building index artifacts from storage ...")
+        built = build_indexes(storage, cfg)
+        save_artifacts(built, cfg)
+        trie, vector, columns = built.trie, built.vector, built.columns
+    else:
+        _log.info("loaded index artifacts from %s", cfg.trie.index_path)
+        trie, vector, columns = artifacts
+    engine = SearchEngine(cfg, storage, trie, vector, columns)
+    # ref: verify_component_health (main.rs:189-204)
+    storage.health_check()
+    engine.health_check()
+    return storage, engine
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    storage, engine = _build_components(cfg, rebuild=args.rebuild_index)
+
+    from .api.server import ApiServer
+
+    if not args.no_warmup:
+        _log.info("warming up query-path compilations ...")
+        engine.warmup()
+    state = AppState(config=cfg, search_engine=engine, storage=storage)
+    server = ApiServer(state)
+
+    async def _main() -> None:
+        loop = asyncio.get_running_loop()
+        stop = asyncio.Event()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            loop.add_signal_handler(sig, stop.set)
+        serve_task = asyncio.create_task(server.run())
+        # ref main.rs:124-131 tokio::select!{ctrl_c | server}
+        done, _ = await asyncio.wait(
+            [serve_task, asyncio.create_task(stop.wait())],
+            return_when=asyncio.FIRST_COMPLETED,
+        )
+        # graceful shutdown (the reference's TODO, main.rs:264-276)
+        _log.info("shutting down: flushing storage, stopping batcher")
+        serve_task.cancel()
+        await server.batcher.stop()
+        storage.flush()
+        storage.close()
+
+    asyncio.run(_main())
+    return 0
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    from .ingest.manager import IngestionManager
+    from .ingest.sources import (
+        CapDataSource,
+        CourtListenerDataSource,
+        MockDataSource,
+    )
+    from .storage.store import StorageManager
+
+    storage = StorageManager(cfg.storage)
+    mgr = IngestionManager(cfg, storage)
+    mgr.register_source(MockDataSource())
+    mgr.register_source(CapDataSource(cfg.ingestion.cap))
+    mgr.register_source(CourtListenerDataSource(cfg.ingestion.courtlistener))
+
+    async def _run():
+        if args.incremental:
+            return await mgr.check_for_updates(args.source, args.limit)
+        return await mgr.ingest_bulk(args.source, args.limit)
+
+    job = asyncio.run(_run())
+    print(
+        json.dumps(
+            {
+                "job": job.id,
+                "status": job.status.value,
+                "processed": job.stats.processed if job.stats else 0,
+                "skipped": job.stats.skipped_duplicates if job.stats else 0,
+                "failed_validation": job.stats.failed_validation if job.stats else 0,
+                "error": job.error,
+            }
+        )
+    )
+    return 0 if job.error is None else 1
+
+
+def cmd_build_index(args: argparse.Namespace) -> int:
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    from .index.builder import build_indexes, save_artifacts
+    from .storage.store import StorageManager
+
+    storage = StorageManager(cfg.storage)
+    built = build_indexes(storage, cfg, tune_recall=args.tune_recall)
+    save_artifacts(built, cfg)
+    print(
+        json.dumps(
+            {
+                "cases": built.report.cases,
+                "content_chunks": built.report.content_chunks,
+                "citations": built.report.citations,
+                "seconds": round(built.report.seconds, 3),
+                "trie_path": cfg.trie.index_path,
+                "vector_path": cfg.vector.hnsw.index_path,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_check_health(args: argparse.Namespace) -> int:
+    """ref: run_health_checks (main.rs:207-245)."""
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    ok = True
+    report: dict[str, str] = {}
+    try:
+        from .storage.store import StorageManager
+
+        storage = StorageManager(cfg.storage)
+        storage.health_check()
+        report["storage"] = "healthy"
+    except Exception as e:
+        report["storage"] = f"unhealthy: {e}"
+        ok = False
+    try:
+        _storage, engine = _build_components(cfg)
+        engine.health_check()
+        report["search_engine"] = "healthy"
+    except Exception as e:
+        report["search_engine"] = f"unhealthy: {e}"
+        ok = False
+    print(json.dumps({"status": "healthy" if ok else "unhealthy", **report}))
+    return 0 if ok else 1
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    _storage, engine = _build_components(cfg)
+    from .search.engine import SearchQuery
+
+    q = SearchQuery(query=args.query, max_results=args.limit)
+    results = engine.search_with_params(q)
+    print(json.dumps([r.to_json() for r in results], indent=2))
+    return 0
+
+
+def cmd_completions(args: argparse.Namespace) -> int:
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    _storage, engine = _build_components(cfg)
+    print(json.dumps(engine.trie_index.get_completions(args.prefix, args.limit)))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import importlib.util
+    from pathlib import Path
+
+    bench_path = Path(__file__).resolve().parent.parent / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench", bench_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # type: ignore[union-attr]
+    mod.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="legal-search-server",
+        description="TPU-native trie + semantic legal search engine",
+    )
+    p.add_argument("-c", "--config", default="config.toml", help="config file path")
+    sub = p.add_subparsers(dest="command")
+
+    s = sub.add_parser("serve", help="run the API server")
+    s.add_argument("-p", "--port", type=int, help="override server port")
+    s.add_argument(
+        "--rebuild-index", action="store_true", help="rebuild indexes on startup"
+    )
+    s.add_argument(
+        "--no-warmup", action="store_true",
+        help="skip pre-compiling the query path at startup",
+    )
+    s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("ingest", help="ingest cases from a source")
+    s.add_argument("--source", default=None, help="source name (cap|courtlistener|mock)")
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--incremental", action="store_true")
+    s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("build-index", help="(re)build frozen index artifacts")
+    s.add_argument("--tune-recall", type=float, default=None,
+                   help="auto-tune nprobe to this recall@10 target")
+    s.set_defaults(fn=cmd_build_index)
+
+    s = sub.add_parser("check-health", help="probe component health and exit")
+    s.set_defaults(fn=cmd_check_health)
+
+    s = sub.add_parser("search", help="one-shot query")
+    s.add_argument("query")
+    s.add_argument("--limit", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("completions", help="trie prefix completions")
+    s.add_argument("prefix")
+    s.add_argument("--limit", type=int, default=10)
+    s.set_defaults(fn=cmd_completions)
+
+    s = sub.add_parser("bench", help="run the benchmark suite")
+    s.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not getattr(args, "fn", None):
+        parser.print_help()
+        return 2
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

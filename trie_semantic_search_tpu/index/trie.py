@@ -461,8 +461,13 @@ class TrieIndex:
         ``[B, 3*max_postings]`` (-1 padded), with a parallel bool validity
         mask. One device program per trie for the whole batch."""
         B = len(queries)
-        lower = [q.lower().split() for q in queries]
-        raw = [q.split() for q in queries]
+        # Pad the batch to a power-of-two bucket so the jit'd walk compiles
+        # once per bucket, not once per batch size (same policy as the
+        # embedder's shape bucketing).
+        Bpad = 1 if B <= 1 else max(8, 1 << (B - 1).bit_length())
+        pad = [""] * (Bpad - B)
+        lower = [q.lower().split() for q in queries] + [[] for _ in pad]
+        raw = [q.split() for q in queries] + [[] for _ in pad]
         all_rows = []
         all_valid = []
         for trie, toks in (
@@ -475,8 +480,8 @@ class TrieIndex:
             all_rows.append(rows)
             all_valid.append(valid)
         return (
-            np.concatenate(all_rows, axis=1),
-            np.concatenate(all_valid, axis=1),
+            np.concatenate(all_rows, axis=1)[:B],
+            np.concatenate(all_valid, axis=1)[:B],
         )
 
     def get_completions(self, prefix: str, limit: int = 10) -> list[str]:

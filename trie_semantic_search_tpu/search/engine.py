@@ -144,6 +144,22 @@ class SearchEngine:
             self.columns = columns
         self.query_cache.clear()
 
+    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 64)) -> None:
+        """Pre-compile the hot query-path programs for the serving batch
+        buckets, so the first user query doesn't pay jit latency (observed:
+        60+ s cold on the remote-compile path). Runs one throwaway query
+        per bucket with caching disabled."""
+        probe = "warmup probe query"
+        for b in batch_sizes:
+            qs = [
+                SearchQuery(query=f"{probe} {i}", config=SearchConfig())
+                for i in range(b)
+            ]
+            try:
+                self._execute_batch(qs)
+            except Exception as e:  # warmup must never block serving
+                _log.warning("warmup batch %d failed: %s", b, e)
+
     # -- public API (ref search.rs:149-182) ---------------------------------
 
     def search(self, query: str) -> list[SearchResult]:
