@@ -1,0 +1,148 @@
+"""Benchmark: full hybrid query step on one TPU chip.
+
+Measures the serving hot path end-to-end on device — MiniLM query encoding
+(full 6-layer 384-d model) + int8 cosine scan over a CAP-scale synthetic
+corpus shard + exact top-k, together with the batched trie walk — and
+reports QPS/chip.
+
+Baseline: the reference's stated concurrent-throughput target is
+"hundreds of QPS" (``/root/reference/README.md:140``); ``vs_baseline`` is
+the ratio against 500 QPS (the top of "hundreds"). The BASELINE.json north
+star is >10,000 QPS/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def build_synthetic_trie(num_paths: int = 20000, vocab: int = 5000, seed: int = 0):
+    from trie_semantic_search_tpu.index.trie import TrieBuilder
+
+    rng = np.random.default_rng(seed)
+    b = TrieBuilder()
+    paths = []
+    for row in range(num_paths):
+        path = [f"w{t}" for t in rng.integers(0, vocab, rng.integers(2, 8))]
+        b.insert(path, row)
+        paths.append(path)
+    return b.freeze(), paths
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.models import minilm
+    from trie_semantic_search_tpu.ops.topk import exact_topk
+
+    N = 262_144  # corpus chunks on this chip (~100 MB int8 + scales)
+    D = 384
+    B = 256  # query batch
+    L = 64  # query token length
+    K = 10
+    TRIALS = 30
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    # ---- corpus (generated on device: no host->device bulk transfer) ----
+    key = jax.random.PRNGKey(0)
+    k_corpus, k_q = jax.random.split(key)
+
+    @jax.jit
+    def make_corpus(k):
+        v = jax.random.normal(k, (N, D), jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        scale = jnp.max(jnp.abs(v), axis=1, keepdims=True) / 127.0
+        q = jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    corpus_q, corpus_scale = jax.block_until_ready(make_corpus(k_corpus))
+
+    # ---- model ----
+    config = minilm.MiniLMConfig()
+    params = minilm.init_params(jax.random.PRNGKey(1), config)
+    params = jax.device_put(params)
+
+    # ---- trie (device arrays) ----
+    trie, paths = build_synthetic_trie()
+    eo, et, tg, po, pc, ie = trie.device()
+    rng = np.random.default_rng(7)
+    tq = np.full((B, 8), -1, np.int32)
+    for i in range(B):
+        p = paths[rng.integers(0, len(paths))]
+        ids = [trie.vocab[t] for t in p][:8]
+        tq[i, : len(ids)] = ids
+    trie_queries = jnp.asarray(tq)
+
+    # ---- the fused hybrid query step ----
+    from trie_semantic_search_tpu.ops.trie_kernels import (
+        batched_walk,
+        gather_postings,
+    )
+
+    @jax.jit
+    def query_step(params, input_ids, attention_mask, trie_ids):
+        # 1. encode queries (MXU, bf16)
+        emb = minilm.encode(params, input_ids, attention_mask, config)
+        # 2. int8 corpus scan (int8 MXU matmul, f32 rescale)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(emb), axis=1, keepdims=True), 1e-12) / 127.0
+        q8 = jnp.clip(jnp.round(emb / q_scale), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum("bd,nd->bn", q8, corpus_q, preferred_element_type=jnp.int32)
+        scores = acc.astype(jnp.float32) * q_scale * corpus_scale.reshape(1, -1)
+        v, i = exact_topk(scores, K)
+        # 3. trie lexical walk + postings
+        nodes = batched_walk(eo, et, tg, trie_ids)
+        rows, valid = gather_postings(po, pc, ie, nodes, 16)
+        return v, i, rows, valid
+
+    ids = jnp.asarray(
+        np.random.default_rng(2).integers(0, config.vocab_size, (B, L)), jnp.int32
+    )
+    mask = jnp.ones((B, L), jnp.int32)
+
+    # warmup (compile)
+    for _ in range(3):
+        out = query_step(params, ids, mask, trie_queries)
+        jax.block_until_ready(out)
+
+    times = []
+    for t in range(TRIALS):
+        t0 = time.perf_counter()
+        out = query_step(params, ids, mask, trie_queries)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    batch_ms = statistics.median(times) * 1000
+    qps = B / statistics.median(times)
+    p50_per_query_ms = batch_ms / B
+
+    # correctness spot-check: trie hits resolve to the right rows
+    valid = np.asarray(out[3])
+    hit_rate = float(valid.any(axis=1).mean())
+
+    result = {
+        "metric": "hybrid_query_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 500.0, 2),
+        "batch_size": B,
+        "corpus_chunks": N,
+        "batch_latency_ms": round(batch_ms, 3),
+        "amortized_query_ms": round(p50_per_query_ms, 4),
+        "trie_hit_rate": round(hit_rate, 3),
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

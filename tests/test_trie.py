@@ -225,3 +225,47 @@ def test_index_stats(index):
     st = index.get_stats()
     assert st["content"]["postings"] > 0
     assert st["name"]["bytes"] > 0
+
+
+# ---------------------------------------------------------------------------
+# subtree (prefix) postings — DFS-order range gather
+# ---------------------------------------------------------------------------
+
+
+def test_subtree_postings_prefix_gather(small_trie):
+    t = small_trie
+    # "brown" is an internal node: exact gather finds nothing, prefix gather
+    # finds every path below it (rows 0, 1, 3)
+    ids = t.encode_queries([["brown"]], 8)
+    _, rows, valid = t.search_batch(ids, prefix=False)
+    assert valid.sum() == 0
+    _, rows, valid = t.search_batch(ids, prefix=True)
+    assert sorted(rows[0][valid[0]].tolist()) == [0, 1, 3]
+    # exact node: prefix gather includes its own + deeper postings
+    ids = t.encode_queries([["brown", "v", "board"]], 8)
+    _, rows, valid = t.search_batch(ids, prefix=True)
+    assert sorted(rows[0][valid[0]].tolist()) == [0, 1]
+
+
+def test_content_phrase_mid_sentence():
+    """Regression: phrases that do NOT end at a window/sentence boundary
+    must still match (found via the ingestion demo)."""
+    idx = TrieIndex(TrieConfig())
+    idx.insert_content(
+        "the person has the right to remain silent and anything said".split(),
+        7, 3,
+    )
+    idx.freeze()
+    res = idx.search("right to remain")
+    assert (7, 3) in res.exact_matches
+    rows, valid = idx.search_batch_rows(["right to remain"])
+    assert 7 in rows[0][valid[0]]
+
+
+def test_subtree_postings_survive_save_load(small_trie, tmp_path):
+    p = tmp_path / "t.npz"
+    small_trie.save(p)
+    loaded = FrozenTrie.load(p)
+    ids = loaded.encode_queries([["brown"]], 8)
+    _, rows, valid = loaded.search_batch(ids, prefix=True)
+    assert sorted(rows[0][valid[0]].tolist()) == [0, 1, 3]

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import json
+import logging
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -90,6 +91,12 @@ class PartitionedANN:
             )
         n, d = vectors.shape
         v = np.asarray(vectors, np.float32)
+        if not np.isfinite(v).all():
+            bad = int((~np.isfinite(v)).any(axis=1).sum())
+            logging.getLogger("tss_tpu.ann").warning(
+                "%d/%d vectors contain non-finite values; zeroing them", bad, n
+            )
+            v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
         P = self.config.num_partitions or _auto_partitions(n)

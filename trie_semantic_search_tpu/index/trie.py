@@ -48,7 +48,7 @@ import numpy as np
 
 from ..core.config import TrieConfig
 from ..core.errors import AutomatonCompilationFailed, IndexCorrupted
-from ..ops.trie_kernels import batched_walk, gather_postings
+from ..ops.trie_kernels import batched_walk, gather_postings, gather_range_postings
 
 #: token id fed to the kernel for out-of-vocabulary query tokens
 UNKNOWN_TOKEN = -2
@@ -112,19 +112,29 @@ class TrieBuilder:
         node.frequency += 1
 
     def freeze(self) -> "FrozenTrie":
-        """Compile to CSR arrays (BFS order, root = node 0; edges sorted by
-        token id within each span for binary-search lookup)."""
+        """Compile to CSR arrays.
+
+        Node ids are **DFS pre-order** (root = 0, children visited in token
+        order) and postings are laid out in the same order, so every node's
+        subtree postings form one contiguous range
+        ``[post_offsets[n], subtree_post_end[n])`` — prefix/phrase matches
+        resolve as a single bounded range-gather on device (suffix-array
+        style), while exact matches use the node's own range
+        ``[post_offsets[n], post_offsets[n+1])``. Edges stay sorted within
+        each span for the binary-search walk.
+        """
         try:
-            order: list[_Node] = [self.root]
-            ids: dict[int, int] = {id(self.root): 0}
-            i = 0
-            while i < len(order):
-                node = order[i]
-                for tid in sorted(node.children):
-                    child = node.children[tid]
-                    ids[id(child)] = len(order)
-                    order.append(child)
-                i += 1
+            # DFS pre-order numbering.
+            order: list[_Node] = []
+            ids: dict[int, int] = {}
+            stack: list[_Node] = [self.root]
+            while stack:
+                node = stack.pop()
+                ids[id(node)] = len(order)
+                order.append(node)
+                # push children in reverse token order → popped in order
+                for tid in sorted(node.children, reverse=True):
+                    stack.append(node.children[tid])
 
             N = len(order)
             edge_offsets = np.zeros(N + 1, np.int32)
@@ -147,6 +157,24 @@ class TrieBuilder:
                 is_end[n] = node.is_end
                 frequency[n] = node.frequency
 
+            # DFS pre-order ⇒ each subtree is a contiguous id block
+            # [n, n + size(n)); its postings end where the block's last
+            # node's postings end. Sizes via one iterative post-order sweep.
+            size = np.ones(N, np.int64)
+            post: list[tuple[_Node, bool]] = [(self.root, False)]
+            while post:
+                node, done = post.pop()
+                if done:
+                    n = ids[id(node)]
+                    for child in node.children.values():
+                        size[n] += size[ids[id(child)]]
+                else:
+                    post.append((node, True))
+                    for child in node.children.values():
+                        post.append((child, False))
+            span_end = np.arange(N, dtype=np.int64) + size - 1
+            subtree_post_end = post_offsets[span_end + 1].astype(np.int32)
+
             id_to_token = [""] * len(self.vocab)
             for tok, tid in self.vocab.items():
                 id_to_token[tid] = tok
@@ -158,6 +186,7 @@ class TrieBuilder:
                 post_offsets=post_offsets,
                 post_case=np.asarray(post_case, np.int32),
                 post_para=np.asarray(post_para, np.int32),
+                subtree_post_end=subtree_post_end,
                 is_end=is_end,
                 frequency=frequency,
                 vocab=dict(self.vocab),
@@ -178,6 +207,7 @@ class FrozenTrie:
     post_offsets: np.ndarray
     post_case: np.ndarray
     post_para: np.ndarray
+    subtree_post_end: np.ndarray
     is_end: np.ndarray
     frequency: np.ndarray
     vocab: dict[str, int]
@@ -236,6 +266,7 @@ class FrozenTrie:
                     jnp.asarray(tg),
                     jnp.asarray(self.post_offsets),
                     jnp.asarray(pc),
+                    jnp.asarray(self.subtree_post_end),
                     jnp.asarray(self.is_end),
                 ),
             )
@@ -243,16 +274,25 @@ class FrozenTrie:
 
     def walk(self, token_ids: np.ndarray) -> np.ndarray:
         """Batched device walk → final node id per query."""
-        eo, et, tg, _, _, _ = self.device()
+        eo, et, tg, _, _, _, _ = self.device()
         return np.asarray(batched_walk(eo, et, tg, jnp.asarray(token_ids)))
 
     def search_batch(
-        self, token_ids: np.ndarray, max_postings: int = 64
+        self, token_ids: np.ndarray, max_postings: int = 64,
+        prefix: bool = False,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Batched walk + postings gather → (nodes, case_rows, valid)."""
-        eo, et, tg, po, pc, ie = self.device()
+        """Batched walk + postings gather → (nodes, case_rows, valid).
+
+        ``prefix=False``: exact semantics — postings only at is_end nodes
+        (ref trie.rs:241-245). ``prefix=True``: subtree range gather — every
+        posting whose inserted path starts with the query (phrase-anywhere
+        matching for the windowed content trie)."""
+        eo, et, tg, po, pc, se, ie = self.device()
         nodes = batched_walk(eo, et, tg, jnp.asarray(token_ids))
-        rows, valid = gather_postings(po, pc, ie, nodes, max_postings)
+        if prefix:
+            rows, valid = gather_range_postings(po, se, pc, nodes, max_postings)
+        else:
+            rows, valid = gather_postings(po, pc, ie, nodes, max_postings)
         return np.asarray(nodes), np.asarray(rows), np.asarray(valid)
 
     # -- host helpers -------------------------------------------------------
@@ -311,6 +351,7 @@ class FrozenTrie:
             post_offsets=self.post_offsets,
             post_case=self.post_case,
             post_para=self.post_para,
+            subtree_post_end=self.subtree_post_end,
             is_end=self.is_end,
             frequency=self.frequency,
             vocab_json=np.array(json.dumps(self.vocab)),
@@ -331,6 +372,7 @@ class FrozenTrie:
                     post_offsets=z["post_offsets"],
                     post_case=z["post_case"],
                     post_para=z["post_para"],
+                    subtree_post_end=z["subtree_post_end"],
                     is_end=z["is_end"],
                     frequency=z["frequency"],
                     vocab=vocab,
@@ -423,13 +465,18 @@ class TrieIndex:
     # -- search (ref trie.rs:112-130) ---------------------------------------
 
     def _search_one(
-        self, trie: FrozenTrie, tokens: Sequence[str], with_completions: bool
+        self, trie: FrozenTrie, tokens: Sequence[str], with_completions: bool,
+        prefix_postings: bool = False,
     ) -> TrieSearchResult:
         ids = trie.encode_queries([list(tokens)], self.MAX_QUERY_TOKENS)
-        nodes, rows, valid = trie.search_batch(ids)
+        nodes, rows, valid = trie.search_batch(ids, prefix=prefix_postings)
         node = int(nodes[0])
         exact: list[tuple[int, int]] = []
-        if node >= 0 and trie.is_end[node]:
+        if prefix_postings and node >= 0:
+            s_, e_ = trie.post_offsets[node], trie.subtree_post_end[node]
+            exact = list(zip(trie.post_case[s_:e_].tolist(),
+                             trie.post_para[s_:e_].tolist()))
+        elif node >= 0 and trie.is_end[node]:
             exact = trie.postings_of(node)
         completions: list[str] = []
         if with_completions and node >= 0:
@@ -451,7 +498,9 @@ class TrieIndex:
         res = self._search_one(self.citation_trie, query.split(), True)
         if res.exact_matches:
             return res
-        return self._search_one(self.content_trie, name_tokens, True)
+        return self._search_one(
+            self.content_trie, name_tokens, True, prefix_postings=True
+        )
 
     def search_batch_rows(
         self, queries: Sequence[str], max_postings: int = 64
@@ -470,13 +519,13 @@ class TrieIndex:
         raw = [q.split() for q in queries] + [[] for _ in pad]
         all_rows = []
         all_valid = []
-        for trie, toks in (
-            (self.name_trie, lower),
-            (self.citation_trie, raw),
-            (self.content_trie, lower),
+        for trie, toks, prefix in (
+            (self.name_trie, lower, False),
+            (self.citation_trie, raw, False),
+            (self.content_trie, lower, True),
         ):
             ids = trie.encode_queries(toks, self.MAX_QUERY_TOKENS)
-            _, rows, valid = trie.search_batch(ids, max_postings)
+            _, rows, valid = trie.search_batch(ids, max_postings, prefix=prefix)
             all_rows.append(rows)
             all_valid.append(valid)
         return (

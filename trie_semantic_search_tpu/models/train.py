@@ -1,0 +1,234 @@
+"""Contrastive training for the MiniLM encoder.
+
+The reference treated its embedding model as a black-box ONNX artifact
+(stubbed — ``/root/reference/src/vector.rs:162-181``). A TPU-native
+framework owns the model, so it can *train* it: in-batch-negative InfoNCE
+(the sentence-transformers recipe) over (anchor, positive) text pairs —
+e.g. neighbouring sentences of the same opinion, or (case name, sentence)
+pairs — which turns the deterministic random-init encoder into a corpus-
+adapted semantic model with zero external downloads.
+
+Sharding (SURVEY.md §2.1): data parallelism over the ``data`` mesh axis
+(batch sharded, gradients psum'd by XLA) with optional tensor parallelism
+over ``model`` (attention heads / FFN intermediate sharded via
+``param_partition_specs``). The loss's all-pairs similarity matrix needs
+every embedding in the batch, so embeddings are implicitly all-gathered
+across ``data`` by XLA (the batch axis appears unsharded in the loss) —
+exactly the communication a hand-written NCCL allgather would do, derived
+from shardings instead.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+from . import minilm
+
+_log = logging.getLogger("tss_tpu.train")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-4
+    weight_decay: float = 0.01
+    temperature: float = 0.05
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    max_grad_norm: float = 1.0
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=cfg.warmup_steps,
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def info_nce_loss(
+    anchors: jax.Array,  # [B, D] L2-normalised
+    positives: jax.Array,  # [B, D] L2-normalised
+    temperature: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Symmetric in-batch-negative InfoNCE. Returns (loss, accuracy)."""
+    logits = anchors @ positives.T / temperature  # [B, B]
+    labels = jnp.arange(logits.shape[0])
+    loss_a = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_b = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    loss = (loss_a + loss_b).mean() / 2
+    acc = (jnp.argmax(logits, axis=1) == labels).mean()
+    return loss, acc
+
+
+def train_step(
+    params: minilm.Params,
+    opt_state: optax.OptState,
+    batch: dict[str, jax.Array],  # ids_a, mask_a, ids_b, mask_b  [B, L]
+    model_config: minilm.MiniLMConfig,
+    optimizer: optax.GradientTransformation,
+    temperature: float,
+) -> tuple[minilm.Params, optax.OptState, jax.Array, jax.Array]:
+    """One InfoNCE step: returns (params, opt_state, loss, accuracy)."""
+
+    def loss_fn(p: minilm.Params) -> tuple[jax.Array, jax.Array]:
+        a = minilm.encode(p, batch["ids_a"], batch["mask_a"], model_config)
+        b = minilm.encode(p, batch["ids_b"], batch["mask_b"], model_config)
+        return info_nce_loss(a, b, temperature)
+
+    (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, acc
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    model_config: minilm.MiniLMConfig,
+    optimizer: optax.GradientTransformation,
+    temperature: float = 0.05,
+):
+    """jit-compiled train step with explicit dp×tp shardings over ``mesh``.
+
+    Params shard per :func:`minilm.param_partition_specs` (tensor parallel
+    over ``model``); the batch shards over ``data``; XLA inserts the psum
+    for gradients and the gather for the in-batch similarity matrix.
+    """
+    pspecs = minilm.param_partition_specs(model_config)
+    param_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    def _step(params, opt_state, batch):
+        return train_step(
+            params, opt_state, batch, model_config, optimizer, temperature
+        )
+
+    # Optimizer state mirrors param shardings leaf-for-leaf where shaped.
+    def opt_sharding(tree):
+        def per_leaf(x):
+            return repl
+
+        return jax.tree.map(per_leaf, tree)
+
+    return jax.jit(
+        _step,
+        in_shardings=(param_sh, None, {k: batch_sh for k in
+                                       ("ids_a", "mask_a", "ids_b", "mask_b")}),
+        out_shardings=(param_sh, None, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair mining + the offline pretraining loop
+# ---------------------------------------------------------------------------
+
+
+def mine_pairs(
+    docs: Sequence[Sequence[str]],  # per-document sentence lists
+    seed: int = 0,
+) -> list[tuple[str, str]]:
+    """Self-supervised pairs: adjacent sentences of the same document
+    (positives) — the classic "neighbouring spans agree" signal."""
+    rng = np.random.default_rng(seed)
+    pairs: list[tuple[str, str]] = []
+    for sents in docs:
+        for i in range(len(sents) - 1):
+            pairs.append((sents[i], sents[i + 1]))
+        if len(sents) >= 3:  # long-range pair for document-level coherence
+            i, j = rng.choice(len(sents), 2, replace=False)
+            pairs.append((sents[i], sents[j]))
+    rng.shuffle(pairs)  # type: ignore[arg-type]
+    return pairs
+
+
+def batches_from_pairs(
+    pairs: Sequence[tuple[str, str]],
+    tokenizer,
+    batch_size: int,
+    max_len: int,
+    seed: int = 0,
+) -> Iterator[dict[str, jnp.ndarray]]:
+    """Cycle tokenised [B, L] batches forever (caller bounds steps)."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(pairs))
+    while True:
+        rng.shuffle(order)
+        for s in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[s : s + batch_size]
+            a = tokenizer.encode_batch([pairs[i][0] for i in idx], max_len)
+            b = tokenizer.encode_batch([pairs[i][1] for i in idx], max_len)
+            yield {
+                "ids_a": jnp.asarray(a.input_ids),
+                "mask_a": jnp.asarray(a.attention_mask),
+                "ids_b": jnp.asarray(b.input_ids),
+                "mask_b": jnp.asarray(b.attention_mask),
+            }
+
+
+def pretrain_encoder(
+    embedder,  # models.embedder.Embedder (params updated in place)
+    docs: Sequence[Sequence[str]],
+    steps: int = 200,
+    batch_size: int = 32,
+    max_len: int = 64,
+    train_config: Optional[TrainConfig] = None,
+    log_every: int = 50,
+) -> dict:
+    """Corpus-contrastive pretraining: adapts the encoder to the corpus so
+    semantic search is meaningful with zero downloaded weights."""
+    cfg = train_config or TrainConfig(total_steps=steps)
+    pairs = mine_pairs(docs)
+    if len(pairs) < batch_size:
+        _log.warning(
+            "only %d pairs (< batch %d); skipping pretraining", len(pairs), batch_size
+        )
+        return {"steps": 0, "pairs": len(pairs)}
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(embedder.params)
+    step_fn = jax.jit(
+        partial(
+            train_step,
+            model_config=embedder.model_config,
+            optimizer=optimizer,
+            temperature=cfg.temperature,
+        )
+    )
+    params = embedder.params
+    it = batches_from_pairs(pairs, embedder.tokenizer, batch_size, max_len)
+    last_loss = last_acc = float("nan")
+    for step in range(steps):
+        batch = next(it)
+        params, opt_state, loss, acc = step_fn(params, opt_state, batch)
+        if (step + 1) % log_every == 0 or step == steps - 1:
+            last_loss, last_acc = float(loss), float(acc)
+            _log.info(
+                "pretrain step %d/%d: loss=%.4f acc=%.3f",
+                step + 1, steps, last_loss, last_acc,
+            )
+    embedder.params = params
+    return {
+        "steps": steps,
+        "pairs": len(pairs),
+        "final_loss": last_loss,
+        "final_accuracy": last_acc,
+    }

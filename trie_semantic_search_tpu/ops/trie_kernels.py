@@ -115,6 +115,32 @@ def gather_postings(
     return jnp.where(valid, rows, -1), valid
 
 
+@functools.partial(jax.jit, static_argnames=("max_postings",))
+def gather_range_postings(
+    post_offsets: jax.Array,  # [N+1] int32 (DFS-order postings)
+    subtree_end: jax.Array,  # [N] int32: end of node's subtree range
+    post_rows: jax.Array,  # [P] int32 case-row ids
+    nodes: jax.Array,  # [B] int32 final node per query (-1 = miss)
+    max_postings: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Subtree (prefix-match) postings gather.
+
+    With postings in DFS pre-order, every posting whose inserted path starts
+    with the query lives in ``[post_offsets[n], subtree_end[n])`` — so
+    phrase-anywhere matching over the windowed content trie is one bounded
+    range gather, no ``is_end`` requirement.
+    """
+    safe = jnp.maximum(nodes, 0)
+    matched = nodes >= 0
+    start = jnp.take(post_offsets, safe)
+    end = jnp.take(subtree_end, safe)
+    offs = jnp.arange(max_postings, dtype=jnp.int32)[None, :]
+    idx = start[:, None] + offs
+    valid = matched[:, None] & (idx < end[:, None])
+    rows = jnp.take(post_rows, jnp.minimum(idx, post_rows.shape[0] - 1))
+    return jnp.where(valid, rows, -1), valid
+
+
 def walk_and_gather(
     edge_offsets: jax.Array,
     edge_tokens: jax.Array,
