@@ -269,3 +269,56 @@ def test_subtree_postings_survive_save_load(small_trie, tmp_path):
     ids = loaded.encode_queries([["brown"]], 8)
     _, rows, valid = loaded.search_batch(ids, prefix=True)
     assert sorted(rows[0][valid[0]].tolist()) == [0, 1, 3]
+
+
+# ---------------------------------------------------------------------------
+# native builder parity
+# ---------------------------------------------------------------------------
+
+
+def test_native_builder_matches_python():
+    from trie_semantic_search_tpu import native
+    from trie_semantic_search_tpu.index.trie import FastTrieBuilder
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    paths = [
+        [f"tok{t}" for t in rng.integers(0, 40, rng.integers(1, 7))]
+        for _ in range(300)
+    ]
+    fast = FastTrieBuilder()
+    assert fast.is_native
+    py = TrieBuilder()
+    for row, p in enumerate(paths):
+        fast.insert(p, row, row % 4)
+        py.insert(p, row, row % 4)
+    a, b = fast.freeze(), py.freeze()
+    assert a.vocab == b.vocab
+    np.testing.assert_array_equal(a.edge_offsets, b.edge_offsets)
+    np.testing.assert_array_equal(a.edge_tokens, b.edge_tokens)
+    np.testing.assert_array_equal(a.edge_targets, b.edge_targets)
+    np.testing.assert_array_equal(a.post_offsets, b.post_offsets)
+    np.testing.assert_array_equal(a.post_case, b.post_case)
+    np.testing.assert_array_equal(a.post_para, b.post_para)
+    np.testing.assert_array_equal(a.subtree_post_end, b.subtree_post_end)
+    np.testing.assert_array_equal(a.is_end, b.is_end)
+    np.testing.assert_array_equal(a.frequency, b.frequency)
+
+
+def test_native_insert_windows_matches_loop():
+    from trie_semantic_search_tpu import native
+    from trie_semantic_search_tpu.index.trie import FastTrieBuilder
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    toks = "the quick brown fox jumps over the lazy dog again and again".split()
+    fast = FastTrieBuilder()
+    fast.insert_windows(toks, window=4, max_windows=100, case_row=9, para_idx=2)
+    py = TrieBuilder()
+    for s in range(len(toks)):
+        py.insert(toks[s : s + 4], 9, 2)
+    a, b = fast.freeze(), py.freeze()
+    np.testing.assert_array_equal(a.edge_tokens, b.edge_tokens)
+    np.testing.assert_array_equal(a.post_case, b.post_case)
+    np.testing.assert_array_equal(a.subtree_post_end, b.subtree_post_end)

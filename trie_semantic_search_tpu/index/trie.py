@@ -386,6 +386,79 @@ def _empty_frozen() -> FrozenTrie:
     return TrieBuilder().freeze()
 
 
+class FastTrieBuilder:
+    """Trie builder backed by the native C++ pool when available
+    (``native/trie_builder.cpp``), with the Python :class:`TrieBuilder` as
+    a drop-in fallback. The string→token-id vocabulary stays in Python (a
+    dict lookup per token); path insertion and the freeze run natively.
+    Produces bit-identical ``FrozenTrie`` arrays either way (tested)."""
+
+    def __init__(self) -> None:
+        from .. import native as _native
+
+        self.vocab: dict[str, int] = {}
+        self._py: Optional[TrieBuilder] = None
+        self._nat = None
+        if _native.available():
+            try:
+                self._nat = _native.NativeTrieBuilder()
+            except RuntimeError:
+                self._nat = None
+        if self._nat is None:
+            self._py = TrieBuilder()
+            self.vocab = self._py.vocab
+
+    @property
+    def is_native(self) -> bool:
+        return self._nat is not None
+
+    def _ids(self, tokens: Sequence[str]) -> np.ndarray:
+        vocab = self.vocab
+        out = np.empty(len(tokens), np.int32)
+        for i, t in enumerate(tokens):
+            tid = vocab.get(t)
+            if tid is None:
+                tid = len(vocab)
+                vocab[t] = tid
+            out[i] = tid
+        return out
+
+    def insert(self, tokens: Sequence[str], case_row: int, para_idx: int = 0) -> None:
+        if not tokens:
+            return
+        if self._nat is not None:
+            self._nat.insert(self._ids(tokens), case_row, para_idx)
+        else:
+            self._py.insert(tokens, case_row, para_idx)
+
+    def insert_windows(
+        self, tokens: Sequence[str], window: int, max_windows: int,
+        case_row: int, para_idx: int = 0,
+    ) -> None:
+        """All suffix windows in one native call (content-trie inner loop)."""
+        if not tokens:
+            return
+        if self._nat is not None:
+            self._nat.insert_windows(
+                self._ids(tokens), window, max_windows, case_row, para_idx
+            )
+        else:
+            n_windows = min(len(tokens), max_windows)
+            for s in range(n_windows):
+                self._py.insert(tokens[s : s + window], case_row, para_idx)
+
+    def freeze(self) -> FrozenTrie:
+        if self._nat is None:
+            return self._py.freeze()
+        arrays = self._nat.freeze_arrays()
+        id_to_token = [""] * len(self.vocab)
+        for tok, tid in self.vocab.items():
+            id_to_token[tid] = tok
+        return FrozenTrie(
+            vocab=dict(self.vocab), id_to_token=id_to_token, **arrays
+        )
+
+
 class TrieIndex:
     """Three-trie facade with the reference's public surface
     (``TrieIndex::{new, insert_case_name, insert_content, insert_citation,
@@ -397,9 +470,9 @@ class TrieIndex:
 
     def __init__(self, config: Optional[TrieConfig] = None):
         self.config = config or TrieConfig()
-        self._name_builder = TrieBuilder()
-        self._content_builder = TrieBuilder()
-        self._citation_builder = TrieBuilder()
+        self._name_builder = FastTrieBuilder()
+        self._content_builder = FastTrieBuilder()
+        self._citation_builder = FastTrieBuilder()
         self._name: Optional[FrozenTrie] = None
         self._content: Optional[FrozenTrie] = None
         self._citation: Optional[FrozenTrie] = None
@@ -423,10 +496,10 @@ class TrieIndex:
         toks = [t.lower() for t in tokens]
         if not toks:
             return
-        w = self.content_window
-        n_windows = min(len(toks), self.max_windows_per_paragraph)
-        for start in range(n_windows):
-            self._content_builder.insert(toks[start : start + w], case_row, para_idx)
+        self._content_builder.insert_windows(
+            toks, self.content_window, self.max_windows_per_paragraph,
+            case_row, para_idx,
+        )
         self._content = None
 
     def insert_citation(self, citation: str, case_row: int, para_idx: int = 0) -> None:
