@@ -74,7 +74,16 @@ def cmd_serve(args: argparse.Namespace) -> int:
     storage, engine = _build_components(cfg, rebuild=args.rebuild_index)
 
     from .api.server import ApiServer
+    from .core.metrics import MetricsReporter
+    from .utils import SystemUtils
 
+    reporter = None
+    if cfg.logging.enable_metrics:
+        reporter = MetricsReporter(
+            interval_seconds=cfg.logging.metrics_interval_seconds,
+            extra=lambda: {"rss": SystemUtils.memory_usage()},
+        )
+        reporter.start()
     if not args.no_warmup:
         _log.info("warming up query-path compilations ...")
         engine.warmup()
@@ -96,6 +105,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
         _log.info("shutting down: flushing storage, stopping batcher")
         serve_task.cancel()
         await server.batcher.stop()
+        if reporter is not None:
+            reporter.stop()
         storage.flush()
         storage.close()
 

@@ -29,6 +29,15 @@ from .ann import AnnStats, PartitionedANN
 _log = logging.getLogger("tss_tpu.vector")
 
 
+def _mesh_data_size(mesh) -> int:
+    from ..parallel.mesh import DATA_AXIS
+
+    try:
+        return int(mesh.shape[DATA_AXIS])
+    except (KeyError, TypeError):
+        return 1
+
+
 @dataclass
 class VectorSearchResult:
     """ref: vector.rs VectorSearchResult — (doc row, similarity)."""
@@ -56,11 +65,20 @@ class VectorIndex:
         self,
         config: Optional[VectorConfig] = None,
         embedder: Optional[Embedder] = None,
+        mesh: Optional[object] = None,  # jax.sharding.Mesh
     ):
         self.config = config or VectorConfig()
         self.embedder = embedder or Embedder(self.config.model)
         self.cache = VectorCache(max_size=1000)
-        self.ann = PartitionedANN(self.config.hnsw)
+        self.mesh = mesh
+        if mesh is not None and _mesh_data_size(mesh) > 1:
+            from .sharded import ShardedCorpusIndex
+
+            self.ann = ShardedCorpusIndex(
+                mesh, use_int8=self.config.hnsw.quantize_int8
+            )
+        else:
+            self.ann = PartitionedANN(self.config.hnsw)
         # pending (not yet frozen) documents
         self._pending_texts: list[str] = []
         self._pending_refs: list[tuple[int, int]] = []  # (case_row, para)
@@ -188,7 +206,9 @@ class VectorIndex:
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
-        if self.ann.num_vectors:
+        if self.ann.num_vectors and hasattr(self.ann, "save"):
+            # the sharded index has no serialised form: it rebuilds from
+            # the saved vectors at load time (device placement is cheap)
             self.ann.save(path / "ann.npz")
         refs = np.asarray(self._refs or np.zeros((0, 2)), np.int32)
         np.savez_compressed(
@@ -206,5 +226,7 @@ class VectorIndex:
             v = z["vectors"]
             self._vectors = v if len(v) else None
         ann_path = path / "ann.npz"
-        if ann_path.exists():
+        if isinstance(self.ann, PartitionedANN) and ann_path.exists():
             self.ann = PartitionedANN.load(ann_path, self.config.hnsw)
+        elif self._vectors is not None and len(self._vectors):
+            self.ann.build(self._vectors)

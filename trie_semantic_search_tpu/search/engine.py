@@ -36,6 +36,7 @@ import numpy as np
 
 from ..core.config import Config
 from ..core.errors import InvalidSearchQuery
+from ..core.metrics import metrics
 from ..core.types import CaseMetadata, SearchConfig
 from ..index.trie import TrieIndex
 from ..index.vector import VectorIndex
@@ -188,7 +189,9 @@ class SearchEngine:
         batch (the micro-batching API layer feeds this)."""
         for q in queries:
             self.validate_query(q)
-        out = self._execute_batch(list(queries))
+        with metrics.timed("search_batch"):
+            out = self._execute_batch(list(queries))
+        metrics.inc("queries", len(queries))
         self._queries_served += len(queries)
         return out
 
