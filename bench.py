@@ -175,5 +175,152 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def suite() -> None:
+    """Run the five BASELINE.json benchmark configs end-to-end and print a
+    JSON line per config to stderr (stdout keeps the single headline line
+    for the driver). Configs (BASELINE.md §'Benchmark configs'):
+
+      1. simple_demo   — case-name/citation trie exact + prefix lookup
+      2. ingestion_demo— content-trie build + batched prefix queries
+      3. brute cosine  — exact top-k over 384-d embeddings
+      4. partitioned   — ANN at recall@10 >= 0.95 vs exact oracle
+      5. hybrid        — trie + semantic + metadata filters
+    """
+    import datetime as dt
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.core.config import Config
+    from trie_semantic_search_tpu.core.types import CaseMetadata, new_case_id
+    from trie_semantic_search_tpu.index.ann import PartitionedANN
+    from trie_semantic_search_tpu.index.builder import build_indexes
+    from trie_semantic_search_tpu.index.trie import TrieIndex
+    from trie_semantic_search_tpu.ops.scoring import brute_force_topk, l2_normalize
+    from trie_semantic_search_tpu.search.engine import SearchEngine, SearchQuery
+    from trie_semantic_search_tpu.storage.store import StorageManager
+
+    rng = np.random.default_rng(0)
+    out: list[dict] = []
+
+    def report(name: str, **kw) -> None:
+        rec = {"config": name, **kw}
+        out.append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+
+    # -- 1. simple_demo: trie exact + prefix lookups ------------------------
+    trie = TrieIndex()
+    names = [f"case number {i} v. state of example {i % 50}" for i in range(5000)]
+    for row, n in enumerate(names):
+        trie.insert_case_name(n, row)
+        trie.insert_citation(f"{row} U.S. {row * 3 + 1} (19{50 + row % 50})", row)
+    trie.freeze()
+    queries = [names[i] for i in rng.integers(0, len(names), 256)]
+    t0 = time.perf_counter()
+    rows, valid = trie.search_batch_rows(queries)
+    dt1 = time.perf_counter() - t0
+    hits = float(valid.any(axis=1).mean())
+    report("simple_demo", lookups=len(queries), hit_rate=hits,
+           ms_per_lookup=round(dt1 / len(queries) * 1000, 4))
+
+    # -- 2. ingestion_demo: content trie + batched prefix queries -----------
+    t0 = time.perf_counter()
+    content = TrieIndex()
+    vocab = [f"word{i}" for i in range(2000)]
+    for row in range(2000):
+        toks = [vocab[i] for i in rng.integers(0, 2000, 40)]
+        content.insert_content(toks, row, 0)
+    content.freeze()
+    build_s = time.perf_counter() - t0
+    phrase_qs = []
+    for _ in range(256):
+        phrase_qs.append(" ".join(vocab[i] for i in rng.integers(0, 2000, 3)))
+    t0 = time.perf_counter()
+    content.search_batch_rows(phrase_qs)
+    q_s = time.perf_counter() - t0
+    st = content.get_stats()["content"]
+    report("ingestion_demo", build_seconds=round(build_s, 3),
+           nodes=st["nodes"], postings=st["postings"],
+           ms_per_query=round(q_s / 256 * 1000, 4))
+
+    # -- 3. brute-force cosine top-k ----------------------------------------
+    corpus = np.asarray(
+        l2_normalize(jnp.asarray(rng.standard_normal((100_000, 384)), jnp.float32))
+    )
+    qv = corpus[rng.integers(0, len(corpus), 256)]
+    f = jax.jit(lambda q, c: brute_force_topk(q, c, 10))
+    cj = jnp.asarray(corpus, jnp.bfloat16)
+    qj = jnp.asarray(qv)
+    jax.block_until_ready(f(qj, cj))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(f(qj, cj))
+    dt3 = (time.perf_counter() - t0) / 5
+    report("brute_cosine_topk", corpus=100_000, batch=256,
+           batch_ms=round(dt3 * 1000, 3), qps=round(256 / dt3, 1))
+
+    # -- 4. partitioned ANN recall -------------------------------------------
+    ann = PartitionedANN()
+    ann.config.num_partitions = 256
+    ann.build(corpus)
+    nprobe = ann.tune_nprobe(qv[:64], k=10, target_recall=0.95)
+    _, oracle_i = ann.search_brute(qv, 10)
+    t0 = time.perf_counter()
+    _, got_i = ann.search(qv, 10, nprobe=nprobe)
+    dt4 = time.perf_counter() - t0
+    recall = float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(got_i, oracle_i)
+    ]))
+    report("partitioned_ann", recall_at_10=round(recall, 4), nprobe=nprobe,
+           partitions=256, batch_ms=round(dt4 * 1000, 3))
+
+    # -- 5. hybrid search with filters --------------------------------------
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = Config()
+        cfg.storage.db_path = f"{tmp}/b.db"
+        cfg.vector.hnsw.num_partitions = 16
+        storage = StorageManager(cfg.storage)
+        courts = ["Supreme Court of the United States", "Ninth Circuit"]
+        for i in range(200):
+            meta = CaseMetadata(
+                id=new_case_id(), name=f"Hybrid Case {i} v. Example",
+                citation=f"{i} U.S. {i + 1} (1960)", court=courts[i % 2],
+                decision_date=dt.date(1950 + i % 40, 1, 1),
+            )
+            storage.store_case_metadata(meta)
+            storage.store_case_text(
+                meta.id,
+                f"Opinion text about doctrine {i % 20} and procedure "
+                f"{i % 7} in the matter of case {i}. " * 3,
+            )
+        built = build_indexes(storage, cfg)
+        engine = SearchEngine(cfg, storage, built.trie, built.vector, built.columns)
+        qs = [
+            SearchQuery(
+                query=f"doctrine {i % 20} and procedure",
+                court_filter=[courts[i % 2]],
+                date_range=(dt.date(1950, 1, 1), dt.date(1995, 1, 1)),
+            )
+            for i in range(64)
+        ]
+        engine.search_batch(qs[:1])  # warm
+        t0 = time.perf_counter()
+        res = engine.search_batch(qs)
+        dt5 = time.perf_counter() - t0
+        filled = float(np.mean([len(r) > 0 for r in res]))
+        report("hybrid_filtered", batch=64, batch_ms=round(dt5 * 1000, 2),
+               qps=round(64 / dt5, 1), result_rate=filled)
+
+    print(json.dumps({"metric": "baseline_suite", "value": len(out),
+                      "unit": "configs", "vs_baseline": 1.0,
+                      "results": out}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--suite" in sys.argv:
+        import jax  # noqa: F401
+
+        suite()
+    else:
+        main()

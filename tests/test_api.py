@@ -37,6 +37,9 @@ def make_state(tmp_path, api_key=None) -> AppState:
     cfg.storage.db_path = str(tmp_path / "db.sqlite")
     cfg.vector.hnsw.num_partitions = 8
     cfg.vector.dimension = 64
+    # first-query jit compiles exceed the 5 s production budget on the CPU
+    # test backend; the timeout path itself is covered explicitly below
+    cfg.search.search_timeout_ms = 120_000
     if api_key:
         cfg.server.api_key = api_key
     storage = StorageManager(cfg.storage)
@@ -310,3 +313,47 @@ def test_cli_ingest_and_search(tmp_path, capsys, monkeypatch):
     rc = main(["-c", str(cfg_path), "completions", "brown"])
     out = json.loads(capsys.readouterr().out.strip())
     assert rc == 0 and any("board" in x for x in out)
+
+
+def test_reindex_endpoint(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/admin/reindex")
+        assert resp.status == 202
+        data = await resp.json()
+        assert data["status"] == "started"
+        # wait for background rebuild to finish (small corpus)
+        for _ in range(100):
+            await asyncio.sleep(0.1)
+            resp = await c.post("/admin/reindex")
+            if resp.status == 202:
+                break
+        # search still works after the swap
+        resp = await c.post("/search", json={"query": "brown v. board of education"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["total_results"] >= 1
+
+    loop.run_until_complete(go())
+
+
+def test_search_timeout_returns_504(tmp_path):
+    state = make_state(tmp_path)
+    state.config.search.search_timeout_ms = 1  # everything times out
+    server = ApiServer(state)
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        try:
+            resp = await c.post("/search", json={"query": "brown v. board of education"})
+            assert resp.status == 504
+            data = await resp.json()
+            assert "timeout" in data["error"].lower()
+        finally:
+            await c.close()
+
+    loop.run_until_complete(go())
+    loop.close()

@@ -449,3 +449,20 @@ def test_manager_job_bookkeeping(storage, tmp_config):
     assert job.started_at is not None and job.finished_at is not None
     assert mgr.get_jobs()[-1].id == job.id
     assert job.stats.total_cases == 2
+
+
+def test_manager_reprocess_job(storage, tmp_config):
+    mgr = IngestionManager(tmp_config, storage)
+    mgr.register_source(MockDataSource())
+    run(mgr.ingest_bulk("mock"))
+    # wipe enrichment then reprocess restores it
+    ids = storage.list_case_ids()
+    meta = storage.get_case_metadata(ids[0])
+    meta.word_count = 0
+    meta.judges = []
+    storage.store_case_metadata(meta)
+    job = run(mgr.reprocess())
+    assert job.status == JobStatus.COMPLETED
+    assert job.stats.processed == 3
+    restored = storage.get_case_metadata(ids[0])
+    assert restored.word_count > 0

@@ -20,6 +20,7 @@ limiting, payload size limit. Requests coalesce through the
 
 from __future__ import annotations
 
+import asyncio
 import datetime as _dt
 import json
 import logging
@@ -87,7 +88,9 @@ class ApiServer:
         self.app.router.add_get("/health", self.health_handler)
         self.app.router.add_get("/stats", self.stats_handler)
         self.app.router.add_get("/completions", self.completions_handler)
+        self.app.router.add_post("/admin/reindex", self.reindex_handler)
         self.app.router.add_get("/", self.index_handler)
+        self._reindexing = False
         self.app.on_startup.append(lambda _app: self.batcher.start())
         self.app.on_cleanup.append(lambda _app: self.batcher.stop())
 
@@ -157,7 +160,19 @@ class ApiServer:
 
         try:
             self.state.search_engine.validate_query(q)
-            results = await self.batcher.submit(q)
+            # search timeout budget (ref config.rs:589 search_timeout_ms —
+            # configured in the reference, enforced here)
+            timeout_s = self.state.config.search.search_timeout_ms / 1000
+            results = await asyncio.wait_for(self.batcher.submit(q), timeout_s)
+        except asyncio.TimeoutError:
+            return web.json_response(
+                {
+                    "error": "Search timeout",
+                    "message": f"query took longer than "
+                    f"{self.state.config.search.search_timeout_ms}ms",
+                },
+                status=504,
+            )
         except InvalidSearchQuery as e:
             return web.json_response(
                 {"error": "Invalid search query", "message": str(e)}, status=400
@@ -258,6 +273,42 @@ class ApiServer:
         comps = self.state.search_engine.trie_index.get_completions(prefix, limit)
         return web.json_response({"prefix": prefix, "completions": comps})
 
+    async def reindex_handler(self, request: web.Request) -> web.Response:
+        """Rebuild index artifacts from storage in the background and swap
+        them atomically into the live engine (zero-downtime hot reload —
+        the reference README promised hot-reload, README.md:161-165, and
+        its rebuild path was a TODO)."""
+        if self._reindexing:
+            return web.json_response(
+                {"status": "already_running"}, status=409
+            )
+        self._reindexing = True
+
+        async def _rebuild() -> None:
+            try:
+                from ..index.builder import build_indexes, save_artifacts
+
+                engine = self.state.search_engine
+                built = await asyncio.to_thread(
+                    build_indexes,
+                    self.state.storage,
+                    self.state.config,
+                    embedder=engine.vector_index.embedder,
+                )
+                save_artifacts(built, self.state.config)
+                engine.swap_indexes(built.trie, built.vector, built.columns)
+                _log.info(
+                    "reindex complete: %d cases, %d chunks",
+                    built.report.cases, built.report.content_chunks,
+                )
+            except Exception:
+                _log.exception("background reindex failed")
+            finally:
+                self._reindexing = False
+
+        asyncio.create_task(_rebuild())
+        return web.json_response({"status": "started"}, status=202)
+
     async def index_handler(self, request: web.Request) -> web.Response:
         """ref: index_handler HTML landing page (api.rs:217-262)."""
         html = f"""<!DOCTYPE html>
@@ -293,8 +344,6 @@ MiniLM semantic retrieval on TPU. Version {__version__}.</p>
         site = web.TCPSite(runner, cfg.host, cfg.port)
         await site.start()
         _log.info("API server listening on %s:%d", cfg.host, cfg.port)
-        import asyncio
-
         try:
             while True:
                 await asyncio.sleep(3600)

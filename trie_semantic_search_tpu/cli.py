@@ -159,7 +159,10 @@ def cmd_build_index(args: argparse.Namespace) -> int:
     from .storage.store import StorageManager
 
     storage = StorageManager(cfg.storage)
-    built = build_indexes(storage, cfg, tune_recall=args.tune_recall)
+    built = build_indexes(
+        storage, cfg, tune_recall=args.tune_recall,
+        pretrain_steps=args.pretrain_steps,
+    )
     save_artifacts(built, cfg)
     print(
         json.dumps(
@@ -262,6 +265,8 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("build-index", help="(re)build frozen index artifacts")
     s.add_argument("--tune-recall", type=float, default=None,
                    help="auto-tune nprobe to this recall@10 target")
+    s.add_argument("--pretrain-steps", type=int, default=0,
+                   help="corpus-contrastive encoder pretraining steps")
     s.set_defaults(fn=cmd_build_index)
 
     s = sub.add_parser("check-health", help="probe component health and exit")

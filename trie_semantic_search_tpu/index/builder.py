@@ -57,8 +57,15 @@ def build_indexes(
     embedder: Optional[Embedder] = None,
     max_chunks_per_case: int = 64,
     tune_recall: Optional[float] = None,
+    pretrain_steps: int = 0,
+    mesh=None,
 ) -> BuiltIndexes:
-    """Build all frozen search artifacts from the document store."""
+    """Build all frozen search artifacts from the document store.
+
+    ``pretrain_steps > 0`` runs corpus-contrastive InfoNCE pretraining on
+    the encoder before embedding (meaningful semantics with zero downloaded
+    weights); ``mesh`` routes the vector index to the multi-chip sharded
+    scan."""
     t0 = time.perf_counter()
     tp = text_processor or TextProcessor(config.text_processing)
     columns = MetadataColumns.build(storage.fetch_filter_columns())
@@ -72,7 +79,20 @@ def build_indexes(
         embedder = Embedder(
             config.vector.model, tokenizer=WordPieceTokenizer(vocab)
         )
-    vector = VectorIndex(config.vector, embedder=embedder)
+    if pretrain_steps > 0:
+        from ..models.train import pretrain_encoder
+
+        docs = [
+            tp.extract_sentences(tp.normalize_text(text))
+            for _, text in storage.iter_cases()
+            if text
+        ]
+        report = pretrain_encoder(
+            embedder, docs, steps=pretrain_steps,
+            max_len=min(64, config.vector.model.max_sequence_length),
+        )
+        _log.info("encoder pretraining: %s", report)
+    vector = VectorIndex(config.vector, embedder=embedder, mesh=mesh)
 
     report = BuildReport()
     for meta, text in storage.iter_cases():

@@ -133,6 +133,14 @@ class IngestionManager:
         job.status = JobStatus.RUNNING
         job.started_at = _dt.datetime.now(_dt.timezone.utc)
         try:
+            if job.job_type == IngestionJobType.REPROCESS:
+                job.stats = await asyncio.to_thread(self._reprocess_all)
+                job.status = JobStatus.COMPLETED
+                self.stats.jobs_run += 1
+                self.stats.last_run = _dt.datetime.now(_dt.timezone.utc)
+                if self.on_ingest_complete and job.stats.processed:
+                    self.on_ingest_complete()
+                return job
             if job.job_type in (
                 IngestionJobType.BULK_ALL,
                 IngestionJobType.INCREMENTAL_ALL,
@@ -197,6 +205,33 @@ class IngestionManager:
             limit=limit,
         )
         return await self.run_job(job)
+
+    async def reprocess(self) -> IngestionJob:
+        """Re-run text processing + metadata enhancement over every stored
+        case (ref job type ``Reprocess``, ingestion/mod.rs:116-185 — the
+        reference declared it without a driver)."""
+        return await self.run_job(IngestionJob(job_type=IngestionJobType.REPROCESS))
+
+    def _reprocess_all(self) -> PipelineStats:
+        stats = PipelineStats()
+        for meta, text in self.storage.iter_cases():
+            stats.total_cases += 1
+            try:
+                processed = self.pipeline.text_processor.process_text(text)
+                # re-derive enriched fields from scratch
+                meta.word_count = processed.stats.word_count
+                if processed.citations:
+                    meta.citations = [c.normalized for c in processed.citations]
+                    if not meta.citation:
+                        meta.citation = meta.citations[0]
+                self.pipeline._enhance_metadata(meta, processed)
+                self.storage.store_case_metadata(meta)
+                stats.processed += 1
+            except Exception as e:
+                stats.failed_processing += 1
+                _log.warning("reprocess failed for %s: %s", meta.id, e)
+        self.storage.flush()
+        return stats
 
     # -- internals ----------------------------------------------------------
 
