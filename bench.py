@@ -217,6 +217,7 @@ def suite() -> None:
         trie.insert_citation(f"{row} U.S. {row * 3 + 1} (19{50 + row % 50})", row)
     trie.freeze()
     queries = [names[i] for i in rng.integers(0, len(names), 256)]
+    trie.search_batch_rows(queries)  # warm (compile)
     t0 = time.perf_counter()
     rows, valid = trie.search_batch_rows(queries)
     dt1 = time.perf_counter() - t0
@@ -236,6 +237,7 @@ def suite() -> None:
     phrase_qs = []
     for _ in range(256):
         phrase_qs.append(" ".join(vocab[i] for i in rng.integers(0, 2000, 3)))
+    content.search_batch_rows(phrase_qs)  # warm (compile)
     t0 = time.perf_counter()
     content.search_batch_rows(phrase_qs)
     q_s = time.perf_counter() - t0
@@ -264,14 +266,25 @@ def suite() -> None:
     ann = PartitionedANN()
     ann.config.num_partitions = 256
     ann.build(corpus)
-    nprobe = ann.tune_nprobe(qv[:64], k=10, target_recall=0.95)
     _, oracle_i = ann.search_brute(qv, 10)
+
+    def recall_at(nprobe):
+        _, got = ann.search(qv, 10, nprobe=nprobe)
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(got, oracle_i)
+        ]))
+
+    # fixed probe ladder (each nprobe is a separate jit compile over the
+    # remote tunnel - a full binary-search tune is minutes of compiles)
+    nprobe = 32
+    recall = recall_at(nprobe)
+    if recall < 0.95:
+        nprobe = 64
+        recall = recall_at(nprobe)
     t0 = time.perf_counter()
-    _, got_i = ann.search(qv, 10, nprobe=nprobe)
+    ann.search(qv, 10, nprobe=nprobe)  # timed (already compiled above)
     dt4 = time.perf_counter() - t0
-    recall = float(np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(got_i, oracle_i)
-    ]))
     report("partitioned_ann", recall_at_10=round(recall, 4), nprobe=nprobe,
            partitions=256, batch_ms=round(dt4 * 1000, 3))
 

@@ -466,3 +466,49 @@ def test_manager_reprocess_job(storage, tmp_config):
     assert job.stats.processed == 3
     restored = storage.get_case_metadata(ids[0])
     assert restored.word_count > 0
+
+
+def test_pipeline_fetch_retries(storage, tmp_config):
+    """Recoverable fetch errors retry per config; success on a later
+    attempt completes the run."""
+    from trie_semantic_search_tpu.core.errors import NetworkError
+
+    class FlakySource(MockDataSource):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        async def fetch_cases(self, limit=None):
+            self.calls += 1
+            if self.calls < 3:
+                raise NetworkError("transient blip")
+            return await super().fetch_cases(limit)
+
+    tmp_config.ingestion.retry_attempts = 3
+    tmp_config.ingestion.retry_delay_seconds = 0
+    pipe = IngestionPipeline(tmp_config.ingestion, storage)
+    src = FlakySource()
+    stats = run(pipe.run_ingestion(src))
+    assert src.calls == 3
+    assert stats.processed == 3
+
+
+def test_pipeline_fetch_nonrecoverable_no_retry(storage, tmp_config):
+    from trie_semantic_search_tpu.core.errors import ParseError
+
+    class BrokenSource(MockDataSource):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        async def fetch_cases(self, limit=None):
+            self.calls += 1
+            raise ParseError(source="broken", details="bad schema")
+
+    tmp_config.ingestion.retry_attempts = 3
+    tmp_config.ingestion.retry_delay_seconds = 0
+    pipe = IngestionPipeline(tmp_config.ingestion, storage)
+    src = BrokenSource()
+    with pytest.raises(ParseError):
+        run(pipe.run_ingestion(src))
+    assert src.calls == 1  # not recoverable -> no retry

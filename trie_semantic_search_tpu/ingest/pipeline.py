@@ -100,7 +100,7 @@ class IngestionPipeline:
         if not health.healthy:
             raise SourceUnavailable(source=source.name, details=health.message)
 
-        cases = await source.fetch_cases(limit)
+        cases = await self._fetch_with_retries(source, limit)
         self.stats.total_cases = len(cases)
         _log.info("fetched %d cases from %s", len(cases), source.name)
 
@@ -128,6 +128,32 @@ class IngestionPipeline:
             )
         self.stats.eta_seconds = 0.0
         return self.stats
+
+    async def _fetch_with_retries(
+        self, source: DataSource, limit: Optional[int]
+    ) -> list[CasePayload]:
+        """Fetch with the configured retry policy (``retry_attempts`` /
+        ``retry_delay_seconds``, ref config.rs:105-107,511-512 — declared by
+        the reference, enforced here). Only recoverable errors retry
+        (``SearchError.is_recoverable``, ref errors.rs:222-232)."""
+        from ..core.errors import SearchError
+
+        attempts = max(1, self.config.retry_attempts)
+        delay = self.config.retry_delay_seconds
+        last: Optional[Exception] = None
+        for attempt in range(attempts):
+            try:
+                return await source.fetch_cases(limit)
+            except SearchError as e:
+                if not e.is_recoverable() or attempt == attempts - 1:
+                    raise
+                last = e
+                _log.warning(
+                    "fetch from %s failed (attempt %d/%d): %s; retrying in %ss",
+                    source.name, attempt + 1, attempts, e, delay,
+                )
+                await asyncio.sleep(delay)
+        raise last  # pragma: no cover — loop always returns or raises
 
     async def _process_batch(self, batch: list[CasePayload]) -> None:
         """Concurrent per-case processing under the job semaphore

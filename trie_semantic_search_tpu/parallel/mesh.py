@@ -54,6 +54,32 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_distributed_mesh(
+    config: Optional[MeshConfig] = None,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-slice / multi-host mesh over DCN via ``jax.distributed``
+    (SURVEY.md §5: "DCN via jax.distributed only if the corpus exceeds one
+    slice — no custom transport").
+
+    Call once per host before any other JAX use; each host contributes its
+    local chips and the returned mesh spans the whole job. The corpus
+    continues to shard over ``data`` — XLA routes intra-slice collectives
+    over ICI and the final k-way merge hop over DCN automatically based on
+    device topology. No-op initialisation when coordinator details are
+    absent (single-process job).
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh(config, jax.devices())
+
+
 def single_device_mesh() -> Mesh:
     """1×1 mesh — lets every code path be mesh-shaped even on one chip."""
     return Mesh(np.array(jax.devices()[:1]).reshape(1, 1), (DATA_AXIS, MODEL_AXIS))
