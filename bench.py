@@ -247,9 +247,17 @@ def suite() -> None:
            ms_per_query=round(q_s / 256 * 1000, 4))
 
     # -- 3. brute-force cosine top-k ----------------------------------------
-    corpus = np.asarray(
-        l2_normalize(jnp.asarray(rng.standard_normal((100_000, 384)), jnp.float32))
-    )
+    # clustered corpus (like real sentence embeddings; uniform random
+    # vectors have no neighborhood structure and are meaningless for ANN)
+    centers = np.asarray(l2_normalize(
+        jnp.asarray(rng.standard_normal((512, 384)), jnp.float32)))
+    # noise scaled so ||noise|| ~ 0.5 (per-dim std 0.5/sqrt(D)); with
+    # unscaled per-dim noise the 384-d points are ~5x noise and the data
+    # degenerates to uniform-random (meaningless for ANN)
+    noise_std = 0.5 / np.sqrt(384)
+    pts = centers[rng.integers(0, 512, 100_000)] + noise_std * rng.standard_normal(
+        (100_000, 384)).astype(np.float32)
+    corpus = np.asarray(l2_normalize(jnp.asarray(pts)))
     qv = corpus[rng.integers(0, len(corpus), 256)]
     f = jax.jit(lambda q, c: brute_force_topk(q, c, 10))
     cj = jnp.asarray(corpus, jnp.bfloat16)
@@ -317,7 +325,8 @@ def suite() -> None:
             )
             for i in range(64)
         ]
-        engine.search_batch(qs[:1])  # warm
+        engine.search_batch(qs)  # warm at the timed batch size (compile)
+        engine.query_cache.clear()
         t0 = time.perf_counter()
         res = engine.search_batch(qs)
         dt5 = time.perf_counter() - t0

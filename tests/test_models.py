@@ -155,3 +155,24 @@ def test_jit_and_grad(tiny_params):
     g = jax.jit(jax.grad(loss_fn))(tiny_params)
     leaves = jax.tree.leaves(g)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+def test_model_family_dispatch():
+    from trie_semantic_search_tpu.core.config import EmbeddingModelConfig
+    from trie_semantic_search_tpu.models.embedder import Embedder
+    from trie_semantic_search_tpu.models.minilm import config_for_model_type
+    from trie_semantic_search_tpu.models.tokenizer import WordPieceTokenizer
+
+    lb = config_for_model_type("legal-bert", vocab_size=1000, max_position=64)
+    assert lb.hidden_size == 768 and lb.num_layers == 12
+    ml = config_for_model_type("minilm-l6", vocab_size=1000, max_position=64)
+    assert ml.hidden_size == 384 and ml.num_layers == 6
+    unknown = config_for_model_type("mystery", vocab_size=1000, max_position=64)
+    assert unknown.hidden_size == 384  # MiniLM fallback
+
+    vocab = train_wordpiece_vocab(CORPUS, vocab_size=256, min_frequency=1)
+    emb = Embedder(
+        EmbeddingModelConfig(model_type="legal-bert", max_sequence_length=32),
+        tokenizer=WordPieceTokenizer(vocab),
+    )
+    assert emb.dimension == 768

@@ -67,7 +67,10 @@ class Embedder:
         self.config = config or EmbeddingModelConfig()
         self.tokenizer = tokenizer or load_tokenizer(self.config.tokenizer_path)
         vocab_size = max(len(self.tokenizer), 128)
-        self.model_config = model_config or minilm.MiniLMConfig(
+        # model_type selects the family geometry (minilm-l6 384-d vs
+        # legal-bert 768-d — the reference's two configured options)
+        self.model_config = model_config or minilm.config_for_model_type(
+            self.config.model_type,
             vocab_size=vocab_size,
             max_position=self.config.max_sequence_length,
         )

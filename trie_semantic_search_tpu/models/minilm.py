@@ -59,6 +59,31 @@ class MiniLMConfig:
         return self.hidden_size // self.num_heads
 
 
+#: Named model geometries — the reference's two embedding model options
+#: (``model_type`` "legal-bert" 768-d default vs the MiniLM 384-d target;
+#: ref config.rs:218,559,571 + README.md:143). Same BERT-family forward.
+MODEL_FAMILIES: dict[str, "MiniLMConfig"] = {
+    "minilm-l6": MiniLMConfig(),
+    "all-minilm-l6-v2": MiniLMConfig(),
+    "legal-bert": MiniLMConfig(
+        hidden_size=768, num_layers=12, num_heads=12, intermediate_size=3072
+    ),
+    "bert-base": MiniLMConfig(
+        hidden_size=768, num_layers=12, num_heads=12, intermediate_size=3072
+    ),
+}
+
+
+def config_for_model_type(model_type: str, vocab_size: int, max_position: int) -> "MiniLMConfig":
+    """Resolve a named model family to its geometry (falls back to MiniLM)."""
+    import dataclasses
+
+    base = MODEL_FAMILIES.get(model_type.lower(), MiniLMConfig())
+    return dataclasses.replace(
+        base, vocab_size=vocab_size, max_position=max_position
+    )
+
+
 # ---------------------------------------------------------------------------
 # Initialisation
 # ---------------------------------------------------------------------------
