@@ -87,7 +87,7 @@ def test_search_endpoint(client):
         assert data["total_results"] >= 1
         top = data["results"][0]
         assert top["case_metadata"]["name"] == "Brown v. Board of Education"
-        assert top["match_type"] == "exact"
+        assert top["match_type"] == "case_name"
         assert "query_time_ms" in data
         assert data["pagination"]["page"] == 1
 

@@ -118,14 +118,14 @@ def test_case_name_exact_match(engine):
     results = engine.search("brown v. board of education")
     assert results
     assert results[0].case_metadata.name == "Brown v. Board of Education"
-    assert results[0].match_type == MatchType.EXACT
+    assert results[0].match_type == MatchType.CASE_NAME
     assert results[0].score == 2.0  # exact_match_weight
 
 
 def test_citation_match(engine):
     results = engine.search("384 U.S. 436 (1966)")
     assert results and results[0].case_metadata.name == "Miranda v. Arizona"
-    assert results[0].match_type == MatchType.EXACT
+    assert results[0].match_type == MatchType.CITATION
 
 
 def test_content_phrase_match(engine):

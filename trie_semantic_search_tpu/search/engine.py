@@ -214,11 +214,20 @@ class SearchEngine:
         # Stage 3: merge / dedup / filter / truncate per query (host; ≤~200
         # candidate rows per query by construction).
         results: list[list[SearchResult]] = []
+        # search_batch_rows concatenates [name | citation | content] spans of
+        # equal width; the span a hit came from determines its MatchType
+        # (ref search.rs MatchType::{CaseName, Citation, Exact}).
+        span = trie_rows.shape[1] // 3 if trie_rows is not None else 0
+        span_types = (MatchType.CASE_NAME, MatchType.CITATION, MatchType.EXACT)
         for b, q in enumerate(queries):
             cands: dict[int, tuple[float, MatchType, int]] = {}  # row → (score, type, para)
             if trie_rows is not None and q.config.enable_prefix:
-                for row in np.unique(trie_rows[b][trie_valid[b]]):
-                    cands[int(row)] = (q.config.exact_match_weight, MatchType.EXACT, 0)
+                cols = np.nonzero(trie_valid[b])[0]
+                for col in cols:
+                    row = int(trie_rows[b][col])
+                    if row not in cands:
+                        mtype = span_types[min(col // span, 2)]
+                        cands[row] = (q.config.exact_match_weight, mtype, 0)
             if sem_hits is not None and q.config.enable_semantic:
                 for hit in sem_hits[b]:
                     if hit.similarity_score < q.config.min_similarity:
@@ -243,12 +252,13 @@ class SearchEngine:
                     continue
                 _, mtype, _para = cands[row]
                 text = self.storage.get_case_text(meta.id) or meta.full_text
+                ht = {
+                    MatchType.EXACT: HighlightType.EXACT_MATCH,
+                    MatchType.CASE_NAME: HighlightType.CASE_NAME,
+                    MatchType.CITATION: HighlightType.CITATION,
+                }.get(mtype, HighlightType.SEMANTIC_MATCH)
                 snippet, highlights = generate_snippet(
-                    text or meta.name,
-                    q.query,
-                    highlight_type=HighlightType.EXACT_MATCH
-                    if mtype == MatchType.EXACT
-                    else HighlightType.SEMANTIC_MATCH,
+                    text or meta.name, q.query, highlight_type=ht,
                 )
                 out.append(
                     SearchResult(
