@@ -357,3 +357,46 @@ def test_search_timeout_returns_504(tmp_path):
 
     loop.run_until_complete(go())
     loop.close()
+
+
+def test_rate_limit_429(tmp_path):
+    state = make_state(tmp_path)
+    state.config.server.rate_limit_rpm = 3
+    server = ApiServer(state)
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        try:
+            codes = []
+            for _ in range(5):
+                resp = await c.get("/stats")
+                codes.append(resp.status)
+            assert codes[:3] == [200, 200, 200]
+            assert 429 in codes[3:]
+        finally:
+            await c.close()
+
+    loop.run_until_complete(go())
+    loop.close()
+
+
+def test_payload_too_large_413(tmp_path):
+    state = make_state(tmp_path)
+    state.config.server.max_payload_size_mb = 1
+    server = ApiServer(state)  # client_max_size set at construction
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        try:
+            big = {"query": "x" * (2 * 1024 * 1024)}
+            resp = await c.post("/search", json=big)
+            assert resp.status == 413
+        finally:
+            await c.close()
+
+    loop.run_until_complete(go())
+    loop.close()

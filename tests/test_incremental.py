@@ -1,0 +1,119 @@
+"""Incremental index updates: append cases without re-embedding old chunks
+or retraining partitions; row ids stay stable under append."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from trie_semantic_search_tpu.core.config import Config
+from trie_semantic_search_tpu.core.types import CaseMetadata, new_case_id
+from trie_semantic_search_tpu.index.builder import build_indexes, update_indexes
+from trie_semantic_search_tpu.models.embedder import Embedder
+from trie_semantic_search_tpu.models.minilm import MiniLMConfig
+from trie_semantic_search_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    train_wordpiece_vocab,
+)
+from trie_semantic_search_tpu.search.engine import SearchEngine
+from trie_semantic_search_tpu.storage.store import StorageManager
+
+TINY = MiniLMConfig(vocab_size=4096, hidden_size=64, num_layers=2,
+                    num_heads=4, intermediate_size=128, max_position=64)
+
+BASE = [
+    ("Brown v. Board of Education", "347 U.S. 483 (1954)",
+     "Separate educational facilities are inherently unequal."),
+    ("Miranda v. Arizona", "384 U.S. 436 (1966)",
+     "You have the right to remain silent during interrogation."),
+]
+NEW = ("Gideon v. Wainwright", "372 U.S. 335 (1963)",
+       "The right to counsel is fundamental and essential to fair trials.")
+
+
+def store_case(storage, name, cit, text):
+    meta = CaseMetadata(
+        id=new_case_id(), name=name, citation=cit,
+        court="Supreme Court of the United States",
+        decision_date=dt.date(1960, 1, 1),
+    )
+    storage.store_case_metadata(meta)
+    storage.store_case_text(meta.id, text)
+    return meta
+
+
+@pytest.fixture()
+def setup(tmp_path):
+    cfg = Config()
+    cfg.storage.db_path = str(tmp_path / "db.sqlite")
+    cfg.vector.hnsw.num_partitions = 8
+    cfg.vector.dimension = 64
+    storage = StorageManager(cfg.storage)
+    for c in BASE:
+        store_case(storage, *c)
+    vocab = train_wordpiece_vocab(
+        [c[2] for c in BASE] + [NEW[2]], vocab_size=4096, min_frequency=1
+    )
+    emb = Embedder(cfg.vector.model, tokenizer=WordPieceTokenizer(vocab),
+                   model_config=TINY)
+    built = build_indexes(storage, cfg, embedder=emb)
+    return cfg, storage, built
+
+
+def test_rows_stable_under_append(setup):
+    cfg, storage, built = setup
+    old_ids = list(built.columns.case_ids)
+    store_case(storage, *NEW)
+    from trie_semantic_search_tpu.storage.columns import MetadataColumns
+
+    cols = MetadataColumns.build(storage.fetch_filter_columns())
+    assert cols.case_ids[: len(old_ids)] == old_ids  # append-only rows
+
+
+def test_update_indexes_appends(setup):
+    cfg, storage, built = setup
+    n_chunks_before = built.report.content_chunks
+    embed_calls_before = built.vector.embedder.get_stats()["texts_embedded"]
+    store_case(storage, *NEW)
+    updated = update_indexes(built, storage, cfg)
+    assert updated.report.cases == 3
+    assert updated.report.content_chunks > n_chunks_before
+    # only the NEW case's chunks were embedded
+    embedded = updated.vector.embedder.get_stats()["texts_embedded"]
+    assert embedded - embed_calls_before <= 3
+
+    engine = SearchEngine(cfg, storage, updated.trie, updated.vector,
+                          updated.columns)
+    res = engine.search("gideon v. wainwright")
+    assert res and res[0].case_metadata.name == "Gideon v. Wainwright"
+    res = engine.search("right to counsel")
+    assert any(r.case_metadata.name == "Gideon v. Wainwright" for r in res)
+    # old cases still findable
+    res = engine.search("miranda v. arizona")
+    assert res and res[0].case_metadata.name == "Miranda v. Arizona"
+
+
+def test_update_indexes_noop_when_no_new_cases(setup):
+    cfg, storage, built = setup
+    updated = update_indexes(built, storage, cfg)
+    assert updated.report.cases == built.report.cases
+    assert updated.trie is built.trie
+
+
+def test_ann_centroid_reuse():
+    from trie_semantic_search_tpu.core.config import AnnConfig
+    from trie_semantic_search_tpu.index.ann import PartitionedANN
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((200, 32)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ann = PartitionedANN(AnnConfig(num_partitions=8, num_probes=8))
+    ann.build(v)
+    cents = np.asarray(ann.centroids)
+    v2 = np.concatenate([v, v[:20] + 0.01])
+    v2 /= np.linalg.norm(v2, axis=1, keepdims=True)
+    ann.build(v2, reuse_centroids=cents)
+    np.testing.assert_allclose(np.asarray(ann.centroids), cents, atol=1e-6)
+    assert ann.num_vectors == 220
+    _, i = ann.search(v[:5], 3, nprobe=8)
+    assert (i[:, 0] == np.arange(5)).all()

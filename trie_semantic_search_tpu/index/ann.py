@@ -82,9 +82,16 @@ class PartitionedANN:
 
     # -- build --------------------------------------------------------------
 
-    def build(self, vectors: np.ndarray, seed: int = 0) -> None:
+    def build(
+        self,
+        vectors: np.ndarray,
+        seed: int = 0,
+        reuse_centroids: Optional[np.ndarray] = None,
+    ) -> None:
         """Freeze the index from ``[N, D]`` float vectors (normalised
-        internally)."""
+        internally). ``reuse_centroids`` skips k-means training (incremental
+        refresh: new vectors assign to the existing partitioning — the IVF
+        equivalent of appending to the index)."""
         if vectors.ndim != 2 or vectors.shape[0] == 0:
             raise VectorIndexConstructionFailed(
                 f"need [N, D] vectors, got {vectors.shape}"
@@ -99,12 +106,16 @@ class PartitionedANN:
             v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
 
-        P = self.config.num_partitions or _auto_partitions(n)
-        P = min(P, max(8, n))  # never more partitions than points (min 8)
-        centroids = train_kmeans(
-            v, P, iters=self.config.kmeans_iters,
-            sample=self.config.kmeans_sample, seed=seed,
-        )
+        if reuse_centroids is not None:
+            centroids = np.asarray(reuse_centroids, np.float32)
+            P = centroids.shape[0]
+        else:
+            P = self.config.num_partitions or _auto_partitions(n)
+            P = min(P, max(8, n))  # never more partitions than points (min 8)
+            centroids = train_kmeans(
+                v, P, iters=self.config.kmeans_iters,
+                sample=self.config.kmeans_sample, seed=seed,
+            )
         assign = assign_clusters(v, centroids)
 
         # Dense padded partition layout.

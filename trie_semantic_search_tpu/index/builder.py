@@ -137,6 +137,97 @@ def build_indexes(
     return BuiltIndexes(trie=trie, vector=vector, columns=columns, report=report)
 
 
+def update_indexes(
+    built: BuiltIndexes,
+    storage: StorageManager,
+    config: Config,
+    text_processor: Optional[TextProcessor] = None,
+    max_chunks_per_case: int = 64,
+) -> BuiltIndexes:
+    """Incremental refresh: index only cases added to storage since
+    ``built`` was produced, reusing the existing encoder, trie builders and
+    ANN partitioning (no re-embedding of old chunks, no k-means retrain).
+    Returns a new BuiltIndexes ready for an atomic engine swap.
+
+    This is the incremental-update path the reference configured
+    (``enable_incremental_updates``, config.rs:109) but never wired to its
+    indexes.
+    """
+    t0 = time.perf_counter()
+    tp = text_processor or TextProcessor(config.text_processing)
+    columns = MetadataColumns.build(storage.fetch_filter_columns())
+    trie = built.trie
+    vector = built.vector
+    known = set(built.columns.row_of_case)
+    report = BuildReport(cases=built.report.cases,
+                         content_chunks=built.report.content_chunks,
+                         citations=built.report.citations)
+
+    new_cases = 0
+    for meta, text in storage.iter_cases():
+        if meta.id in known:
+            continue
+        row = columns.row_of_case[meta.id]
+        trie.insert_case_name(meta.name, row)
+        if meta.citation:
+            trie.insert_citation(meta.citation, row)
+            report.citations += 1
+        for cit in meta.citations:
+            trie.insert_citation(cit, row)
+        body = text or meta.full_text
+        if body:
+            processed = tp.process_text(body)
+            for para_idx, sentence in enumerate(
+                processed.sentences[:max_chunks_per_case]
+            ):
+                tokens = [t for t in sentence.lower().split() if t]
+                trie.insert_content(tokens, row, para_idx)
+                vector.add_document(row, sentence, para_idx)
+                report.content_chunks += 1
+        report.cases += 1
+        new_cases += 1
+
+    if new_cases:
+        # NOTE: row ids are positional in MetadataColumns (sorted by case
+        # id); adding cases can renumber rows, so existing postings would
+        # go stale. Re-map by rebuilding postings only when the old order
+        # is preserved; otherwise fall back to a full rebuild.
+        old_rows = built.columns.case_ids
+        if columns.case_ids[: len(old_rows)] != old_rows:
+            _log.info("row order changed; falling back to full rebuild")
+            return build_indexes(
+                storage, config, text_processor=tp,
+                embedder=vector.embedder, max_chunks_per_case=max_chunks_per_case,
+            )
+        trie.freeze()
+        # reuse the ANN partitioning when one exists
+        centroids = None
+        if hasattr(vector.ann, "centroids") and vector.ann.centroids is not None:
+            centroids = np.asarray(vector.ann.centroids)
+        if vector._pending_texts:
+            embs = vector.embedder.embed(vector._pending_texts).embedding
+            vector._vectors = (
+                np.concatenate([vector._vectors, embs])
+                if vector._vectors is not None
+                else embs
+            )
+            vector._refs.extend(vector._pending_refs)
+            vector._pending_texts = []
+            vector._pending_refs = []
+        if vector._vectors is not None and len(vector._vectors):
+            if centroids is not None and hasattr(vector.ann, "build"):
+                try:
+                    vector.ann.build(vector._vectors, reuse_centroids=centroids)
+                except TypeError:  # sharded index has no centroid reuse
+                    vector.ann.build(vector._vectors)
+            else:
+                vector.ann.build(vector._vectors)
+
+    report.seconds = time.perf_counter() - t0
+    _log.info("incremental update: %d new cases in %.2fs", new_cases, report.seconds)
+    return BuiltIndexes(trie=trie, vector=vector, columns=columns, report=report)
+
+
 def save_artifacts(built: BuiltIndexes, config: Config) -> None:
     """Persist all frozen artifacts (checkpoint/resume surface, SURVEY.md §5:
     "index build is checkpointed as serialized array shards + manifest")."""

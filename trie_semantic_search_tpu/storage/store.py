@@ -240,11 +240,15 @@ class StorageManager:
             yield meta, text
 
     def fetch_filter_columns(self) -> list[tuple[str, str, str]]:
-        """(case_id, court, decision_date) rows for the device-column export."""
+        """(case_id, court, decision_date) rows for the device-column export.
+
+        Ordered by insertion (sqlite rowid) so dense row ids are **stable
+        under append** — incremental index updates extend the row space
+        without renumbering existing postings."""
         with self._lock:
             return self._conn.execute(
                 "SELECT case_id, COALESCE(court, ''), COALESCE(decision_date, '') "
-                "FROM case_metadata ORDER BY case_id"
+                "FROM case_metadata ORDER BY rowid"
             ).fetchall()
 
     # -- maintenance --------------------------------------------------------
