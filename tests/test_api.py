@@ -400,3 +400,22 @@ def test_payload_too_large_413(tmp_path):
 
     loop.run_until_complete(go())
     loop.close()
+
+
+def test_cli_config_dump(tmp_path, capsys):
+    from trie_semantic_search_tpu.cli import main
+
+    cfg = Config()
+    cfg.server.port = 9123
+    cfg_path = tmp_path / "c.toml"
+    cfg.save_to_file(cfg_path)
+    rc = main(["-c", str(cfg_path), "config-dump"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "port = 9123" in out
+    # round-trips through the parser
+    import tomllib
+
+    parsed = tomllib.loads(out)
+    assert parsed["server"]["port"] == 9123
+    assert parsed["trie"]["content_window"] == 8

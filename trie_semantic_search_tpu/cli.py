@@ -225,6 +225,14 @@ def cmd_completions(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_config_dump(args: argparse.Namespace) -> int:
+    """Print the effective config (defaults + file + env) as TOML — the
+    reference's Config::to_toml surface (config.rs:468-479)."""
+    cfg = _load_config(args)
+    print(cfg.to_toml())
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import importlib.util
     from pathlib import Path
@@ -284,6 +292,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("bench", help="run the benchmark suite")
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("config-dump", help="print the effective config as TOML")
+    s.set_defaults(fn=cmd_config_dump)
 
     return p
 

@@ -151,6 +151,11 @@ class TrieConfig:
     max_prefix_length: int = 50
     index_path: str = "./data/trie_index"
     enable_memory_mapping: bool = True
+    # TPU-native content-indexing budget: sliding window width and the cap
+    # on windows per paragraph (bounds content-trie size; phrase matches
+    # up to `content_window` tokens long match anywhere).
+    content_window: int = 8
+    max_windows_per_paragraph: int = 512
 
 
 @dataclass

@@ -477,9 +477,9 @@ class TrieIndex:
         self._content: Optional[FrozenTrie] = None
         self._citation: Optional[FrozenTrie] = None
         #: sliding-window width for content phrase indexing
-        self.content_window = 8
+        self.content_window = self.config.content_window
         #: cap on windows per paragraph (bounds index size)
-        self.max_windows_per_paragraph = 512
+        self.max_windows_per_paragraph = self.config.max_windows_per_paragraph
 
     # -- insertion (ref trie.rs:97-109, 146-198) ----------------------------
 
