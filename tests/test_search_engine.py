@@ -286,3 +286,19 @@ def test_generate_snippet_fallback():
 
 def test_generate_snippet_empty():
     assert generate_snippet("", "q") == ("", [])
+
+
+def test_snippet_paragraph_anchor():
+    """Semantic-only hit with no term overlap anchors at the hit chunk."""
+    text = ("First sentence about nothing relevant. " * 3
+            + "Target sentence with the matched content here. "
+            + "Trailing sentence after the target. " * 3)
+    snippet, highlights = generate_snippet(
+        text, "completely unrelated words", paragraph_hint=3
+    )
+    assert snippet.startswith("...")
+    assert "Target sentence" in snippet
+    assert highlights == []
+    # hint out of range falls back to leading window
+    snippet2, _ = generate_snippet(text, "unrelated", paragraph_hint=99)
+    assert snippet2.startswith("First sentence")

@@ -250,7 +250,7 @@ class SearchEngine:
                 meta = self._hydrate(row)
                 if meta is None:
                     continue
-                _, mtype, _para = cands[row]
+                _, mtype, para = cands[row]
                 text = self.storage.get_case_text(meta.id) or meta.full_text
                 ht = {
                     MatchType.EXACT: HighlightType.EXACT_MATCH,
@@ -259,6 +259,7 @@ class SearchEngine:
                 }.get(mtype, HighlightType.SEMANTIC_MATCH)
                 snippet, highlights = generate_snippet(
                     text or meta.name, q.query, highlight_type=ht,
+                    paragraph_hint=para if mtype == MatchType.SEMANTIC else None,
                 )
                 out.append(
                     SearchResult(

@@ -40,17 +40,31 @@ def _term_pattern(terms: Sequence[str]) -> Optional[re.Pattern[str]]:
     return re.compile(r"\b(" + "|".join(words) + r")\b", re.IGNORECASE)
 
 
+_SENTENCE_SPLIT = re.compile(r"[.!?]+\s+")
+
+
+def _sentence_offsets(text: str) -> list[int]:
+    """Start offsets of sentences (same split rule as the text processor)."""
+    offsets = [0]
+    for m in _SENTENCE_SPLIT.finditer(text):
+        offsets.append(m.end())
+    return offsets
+
+
 def generate_snippet(
     text: str,
     query: str,
     window: int = 240,
     highlight_type: HighlightType = HighlightType.EXACT_MATCH,
+    paragraph_hint: Optional[int] = None,
 ) -> tuple[str, list[TextHighlight]]:
     """Context window around the first query-term hit, with highlight spans
     for every term occurrence inside the window.
 
-    Falls back to the leading ``window`` characters when no term matches
-    (semantic-only hits). Returns ``(snippet, highlights)``.
+    When no term matches (semantic-only hits), anchors on the matched chunk
+    via ``paragraph_hint`` (the hit's sentence index — the DocRef
+    ``paragraph_index`` the reference carried but never used for snippets),
+    else falls back to the leading ``window`` characters.
     """
     if not text:
         return "", []
@@ -61,12 +75,27 @@ def generate_snippet(
         if m:
             anchor = m.start()
 
+    if anchor is None and paragraph_hint is not None and paragraph_hint > 0:
+        offsets = _sentence_offsets(text)
+        if paragraph_hint < len(offsets):
+            anchor = offsets[paragraph_hint]
+
     if anchor is None:
         snippet = text[:window]
         cut = snippet.rfind(" ")
         if 0 < cut < len(snippet) and len(text) > window:
             snippet = snippet[:cut]
         return (snippet + ("..." if len(text) > len(snippet) else ""), [])
+    if pattern is None or not pattern.search(text):
+        # paragraph-anchored, no term highlights
+        start = anchor
+        end = min(len(text), start + window)
+        sp = text.rfind(" ", start, end)
+        if sp > start and end < len(text):
+            end = sp
+        prefix = "..." if start > 0 else ""
+        suffix = "..." if end < len(text) else ""
+        return prefix + text[start:end] + suffix, []
 
     start = max(0, anchor - window // 3)
     end = min(len(text), start + window)
