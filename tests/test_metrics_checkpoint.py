@@ -109,3 +109,67 @@ def test_restore_missing_returns_none(tmp_path):
     params = minilm.init_params(jax.random.PRNGKey(0), TINY)
     assert restore_checkpoint(tmp_path / "nope", params) is None
     assert latest_step(tmp_path / "nope") is None
+
+
+def test_periodic_task_runs_and_stops():
+    from trie_semantic_search_tpu.core.maintenance import PeriodicTask
+
+    hits = []
+    t = PeriodicTask("t", 0.02, lambda: hits.append(1))
+    t.start()
+    time.sleep(0.09)
+    t.stop()
+    n = len(hits)
+    assert n >= 2
+    time.sleep(0.05)
+    assert len(hits) == n  # stopped
+
+
+def test_periodic_task_survives_errors():
+    from trie_semantic_search_tpu.core.maintenance import PeriodicTask
+
+    def boom():
+        raise RuntimeError("x")
+
+    t = PeriodicTask("b", 0.02, boom)
+    t.start()
+    time.sleep(0.07)
+    t.stop()
+    assert t.errors >= 1
+
+
+def test_backup_task(tmp_path):
+    from trie_semantic_search_tpu.core.config import StorageConfig
+    from trie_semantic_search_tpu.core.maintenance import make_backup_task
+    from trie_semantic_search_tpu.storage.store import StorageManager
+
+    cfg = StorageConfig(db_path=str(tmp_path / "x.db"))
+    cfg.backup.backup_dir = str(tmp_path / "backups")
+    s = StorageManager(cfg)
+    task = make_backup_task(s, cfg.backup)
+    assert task is not None
+    task.fn()  # one tick
+    assert list((tmp_path / "backups").glob("*.db"))
+    cfg.backup.enabled = False
+    assert make_backup_task(s, cfg.backup) is None
+
+
+def test_gc_task_triggers_on_threshold(monkeypatch):
+    from trie_semantic_search_tpu.core.config import GcConfig
+    from trie_semantic_search_tpu.core import maintenance
+
+    cleared = []
+
+    class FakeCache:
+        def clear(self):
+            cleared.append(1)
+
+    monkeypatch.setattr(
+        maintenance.SystemUtils, "memory_usage", staticmethod(lambda: 99)
+    )
+    task = maintenance.make_gc_task(
+        GcConfig(memory_threshold_percent=0), caches=[FakeCache()]
+    )
+    # patch total memory to 100 bytes → pct = 99 >= 0 → fires
+    task.fn()
+    assert cleared

@@ -77,6 +77,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     from .core.metrics import MetricsReporter
     from .utils import SystemUtils
 
+    from .core.maintenance import make_backup_task, make_gc_task
+
     reporter = None
     if cfg.logging.enable_metrics:
         reporter = MetricsReporter(
@@ -84,6 +86,18 @@ def cmd_serve(args: argparse.Namespace) -> int:
             extra=lambda: {"rss": SystemUtils.memory_usage()},
         )
         reporter.start()
+    maintenance = []
+    backup_task = make_backup_task(storage, cfg.storage.backup)
+    if backup_task:
+        maintenance.append(backup_task)
+    gc_task = make_gc_task(
+        cfg.performance.gc,
+        caches=[engine.query_cache, engine.vector_index.cache],
+    )
+    if gc_task:
+        maintenance.append(gc_task)
+    for task in maintenance:
+        task.start()
     if not args.no_warmup:
         _log.info("warming up query-path compilations ...")
         engine.warmup()
@@ -107,6 +121,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
         await server.batcher.stop()
         if reporter is not None:
             reporter.stop()
+        for task in maintenance:
+            task.stop()
         storage.flush()
         storage.close()
 
