@@ -322,3 +322,21 @@ def test_native_insert_windows_matches_loop():
     np.testing.assert_array_equal(a.edge_tokens, b.edge_tokens)
     np.testing.assert_array_equal(a.post_case, b.post_case)
     np.testing.assert_array_equal(a.subtree_post_end, b.subtree_post_end)
+
+
+def test_content_phrase_adjacent_to_punctuation():
+    """Regression (found running the ingestion demo): phrases whose last
+    word abuts punctuation in the source text must still match."""
+    idx = TrieIndex(TrieConfig())
+    idx.insert_content(
+        "he has the right to remain silent, and that anything he says".split(),
+        4, 1,
+    )
+    idx.freeze()
+    res = idx.search("right to remain silent")
+    assert (4, 1) in res.exact_matches
+    # names match punctuation-insensitively too
+    idx2 = TrieIndex(TrieConfig())
+    idx2.insert_case_name("Brown v. Board of Education", 7)
+    idx2.freeze()
+    assert idx2.search("brown v board of education").exact_matches == [(7, 0)]

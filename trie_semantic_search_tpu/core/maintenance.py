@@ -19,12 +19,24 @@ _log = logging.getLogger("tss_tpu.maintenance")
 
 
 class PeriodicTask:
-    """Daemon thread running ``fn`` every ``interval_seconds``."""
+    """Daemon thread running ``fn`` every ``interval_seconds``.
 
-    def __init__(self, name: str, interval_seconds: float, fn: Callable[[], None]):
+    ``run_at_start=True`` fires once immediately on start — without it a
+    long-interval task (e.g. daily backups) on a frequently-restarted
+    server re-arms its timer each boot and never actually runs.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        interval_seconds: float,
+        fn: Callable[[], None],
+        run_at_start: bool = False,
+    ):
         self.name = name
         self.interval = interval_seconds
         self.fn = fn
+        self.run_at_start = run_at_start
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.runs = 0
@@ -33,19 +45,25 @@ class PeriodicTask:
     def start(self) -> None:
         if self._thread is not None:
             return
+        self._stop.clear()  # restartable after stop()
         self._thread = threading.Thread(
             target=self._loop, name=f"maintenance-{self.name}", daemon=True
         )
         self._thread.start()
 
+    def _tick(self) -> None:
+        try:
+            self.fn()
+            self.runs += 1
+        except Exception as e:
+            self.errors += 1
+            _log.warning("%s maintenance failed: %s", self.name, e)
+
     def _loop(self) -> None:
+        if self.run_at_start:
+            self._tick()
         while not self._stop.wait(self.interval):
-            try:
-                self.fn()
-                self.runs += 1
-            except Exception as e:
-                self.errors += 1
-                _log.warning("%s maintenance failed: %s", self.name, e)
+            self._tick()
 
     def stop(self) -> None:
         self._stop.set()
@@ -65,7 +83,9 @@ def make_backup_task(storage, backup_config) -> Optional[PeriodicTask]:
         if dest is not None:
             _log.info("backup written: %s", dest)
 
-    return PeriodicTask("backup", backup_config.interval_hours * 3600, run)
+    return PeriodicTask(
+        "backup", backup_config.interval_hours * 3600, run, run_at_start=True
+    )
 
 
 def make_gc_task(gc_config, caches: Optional[list] = None) -> Optional[PeriodicTask]:

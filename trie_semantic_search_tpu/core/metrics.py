@@ -101,8 +101,10 @@ metrics = MetricsRegistry()
 
 
 class MetricsReporter:
-    """Background thread logging a metrics snapshot every interval
-    (ref: logging.metrics_interval_seconds, config.rs:299-301)."""
+    """Periodic metrics-snapshot logger
+    (ref: logging.metrics_interval_seconds, config.rs:299-301). Thin
+    wrapper over :class:`..maintenance.PeriodicTask` — one thread-loop
+    implementation for all maintenance."""
 
     def __init__(
         self,
@@ -110,35 +112,26 @@ class MetricsReporter:
         extra: Optional[Callable[[], dict]] = None,
         registry: Optional[MetricsRegistry] = None,
     ):
-        self.interval = interval_seconds
+        from .maintenance import PeriodicTask
+
         self.extra = extra
         self.registry = registry or metrics
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
+        self._task = PeriodicTask("metrics", interval_seconds, self._report)
+
+    def _report(self) -> None:
+        snap = self.registry.snapshot()
+        if self.extra:
+            try:
+                snap["system"] = self.extra()
+            except Exception as e:
+                snap["system"] = {"error": str(e)}
+        _log.info("metrics: %s", snap)
 
     def start(self) -> None:
-        if self._thread is not None:
-            return
-        self._thread = threading.Thread(
-            target=self._run, name="metrics-reporter", daemon=True
-        )
-        self._thread.start()
-
-    def _run(self) -> None:
-        while not self._stop.wait(self.interval):
-            snap = self.registry.snapshot()
-            if self.extra:
-                try:
-                    snap["system"] = self.extra()
-                except Exception as e:
-                    snap["system"] = {"error": str(e)}
-            _log.info("metrics: %s", snap)
+        self._task.start()
 
     def stop(self) -> None:
-        self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=2)
-            self._thread = None
+        self._task.stop()
 
 
 @contextlib.contextmanager

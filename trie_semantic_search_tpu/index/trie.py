@@ -50,6 +50,20 @@ from ..core.config import TrieConfig
 from ..core.errors import AutomatonCompilationFailed, IndexCorrupted
 from ..ops.trie_kernels import batched_walk, gather_postings, gather_range_postings
 
+import re as _re
+
+#: canonical word tokenization for name/content tries: \w+ runs, lowercased
+#: (same rule as the text processor's tokenizer). Plain whitespace split —
+#: what the reference used (trie.rs:147,158) — keeps punctuation glued to
+#: words ("silent," != "silent"), so phrases adjacent to punctuation never
+#: match; found by running the ingestion demo.
+_WORD_RE = _re.compile(r"\w+")
+
+
+def word_tokens(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
 #: token id fed to the kernel for out-of-vocabulary query tokens
 UNKNOWN_TOKEN = -2
 #: padding token id
@@ -486,14 +500,14 @@ class TrieIndex:
     def insert_case_name(self, case_name: str, case_row: int) -> None:
         if not self.config.index_case_names:
             return
-        tokens = case_name.lower().split()
+        tokens = word_tokens(case_name)
         self._name_builder.insert(tokens, case_row, 0)
         self._name = None
 
     def insert_content(
         self, tokens: Sequence[str], case_row: int, para_idx: int = 0
     ) -> None:
-        toks = [t.lower() for t in tokens]
+        toks = word_tokens(" ".join(tokens))
         if not toks:
             return
         self._content_builder.insert_windows(
@@ -564,7 +578,7 @@ class TrieIndex:
 
     def search(self, query: str) -> TrieSearchResult:
         """Route: names → citations → content (ref trie.rs:112-130)."""
-        name_tokens = query.lower().split()
+        name_tokens = word_tokens(query)
         res = self._search_one(self.name_trie, name_tokens, True)
         if res.exact_matches:
             return res
@@ -588,7 +602,7 @@ class TrieIndex:
         # embedder's shape bucketing).
         Bpad = 1 if B <= 1 else max(8, 1 << (B - 1).bit_length())
         pad = [""] * (Bpad - B)
-        lower = [q.lower().split() for q in queries] + [[] for _ in pad]
+        lower = [word_tokens(q) for q in queries] + [[] for _ in pad]
         raw = [q.split() for q in queries] + [[] for _ in pad]
         all_rows = []
         all_valid = []
@@ -611,9 +625,9 @@ class TrieIndex:
         completions from name, then citation, then content tries."""
         out: list[str] = []
         for trie, toks in (
-            (self.name_trie, prefix.lower().split()),
+            (self.name_trie, word_tokens(prefix)),
             (self.citation_trie, prefix.split()),
-            (self.content_trie, prefix.lower().split()),
+            (self.content_trie, word_tokens(prefix)),
         ):
             if len(out) >= limit:
                 break
