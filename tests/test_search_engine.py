@@ -288,17 +288,25 @@ def test_generate_snippet_empty():
     assert generate_snippet("", "q") == ("", [])
 
 
-def test_snippet_paragraph_anchor():
+def test_snippet_chunk_anchor():
     """Semantic-only hit with no term overlap anchors at the hit chunk."""
     text = ("First sentence about nothing relevant. " * 3
             + "Target sentence with the matched content here. "
             + "Trailing sentence after the target. " * 3)
     snippet, highlights = generate_snippet(
-        text, "completely unrelated words", paragraph_hint=3
+        text, "completely unrelated words",
+        chunk_text="Target sentence with the matched content here",
     )
     assert snippet.startswith("...")
     assert "Target sentence" in snippet
     assert highlights == []
-    # hint out of range falls back to leading window
-    snippet2, _ = generate_snippet(text, "unrelated", paragraph_hint=99)
-    assert snippet2.startswith("First sentence")
+    # whitespace-tolerant anchoring (stored text has original whitespace)
+    text2 = text.replace("Target sentence with", "Target  sentence\n with")
+    snippet2, _ = generate_snippet(
+        text2, "unrelated",
+        chunk_text="Target sentence with the matched content here",
+    )
+    assert "matched content" in snippet2
+    # chunk absent falls back to leading window
+    snippet3, _ = generate_snippet(text, "unrelated", chunk_text="zzz not there")
+    assert snippet3.startswith("First sentence")

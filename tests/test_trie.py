@@ -340,3 +340,27 @@ def test_content_phrase_adjacent_to_punctuation():
     idx2.insert_case_name("Brown v. Board of Education", 7)
     idx2.freeze()
     assert idx2.search("brown v board of education").exact_matches == [(7, 0)]
+
+
+def test_punctuation_only_query_matches_nothing():
+    """Review regression: zero-word-token queries must not prefix-gather
+    the whole content corpus from the root node."""
+    idx = TrieIndex(TrieConfig())
+    idx.insert_content("some indexed sentence here".split(), 0, 0)
+    idx.freeze()
+    assert idx.search("??").exact_matches == []
+    assert idx.search("...").exact_matches == []
+    rows, valid = idx.search_batch_rows(["?!", "--"])
+    assert valid.sum() == 0
+
+
+def test_overlong_query_is_a_miss_not_a_prefix_match():
+    """Review regression: >MAX_QUERY_TOKENS queries must not report false
+    exact matches on their truncated prefix."""
+    idx = TrieIndex(TrieConfig())
+    name = " ".join(f"w{i}" for i in range(16))
+    idx.insert_case_name(name, 3)
+    idx.freeze()
+    assert idx.search(name).exact_matches == [(3, 0)]  # exactly 16 ok
+    overlong = name + " extra"
+    assert idx.search(overlong).exact_matches == []

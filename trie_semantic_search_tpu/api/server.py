@@ -96,33 +96,47 @@ class ApiServer:
 
     # -- middleware: auth, rate limit, CORS ---------------------------------
 
+    @staticmethod
+    def _cors(resp: web.StreamResponse) -> web.StreamResponse:
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        resp.headers["Access-Control-Allow-Headers"] = "Content-Type, X-API-Key"
+        resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+        return resp
+
     @web.middleware
     async def _middleware(self, request: web.Request, handler):
         cfg = self.state.config.server
+        # CORS preflight: answer before auth/rate-limit so browsers can
+        # actually reach the API (preflights never carry credentials)
+        if cfg.enable_cors and request.method == "OPTIONS":
+            return self._cors(web.Response(status=204))
         # API key (exempt health + landing page)
         if cfg.api_key and request.path not in ("/health", "/"):
             supplied = request.headers.get("X-API-Key") or request.headers.get(
                 "Authorization", ""
             ).removeprefix("Bearer ").strip()
             if supplied != cfg.api_key:
-                return web.json_response(
+                resp = web.json_response(
                     {"error": "Authentication failed", "message": "invalid API key"},
                     status=401,
                 )
+                return self._cors(resp) if cfg.enable_cors else resp
         client = request.remote or "unknown"
         if not self.rate_limiter.allow(client):
-            return web.json_response(
+            resp = web.json_response(
                 {"error": "Rate limit exceeded",
                  "message": f"{cfg.rate_limit_rpm} RPM exceeded"},
                 status=429,
             )
+            return self._cors(resp) if cfg.enable_cors else resp
         try:
             resp = await handler(request)
-        except web.HTTPException:
+        except web.HTTPException as e:
+            if cfg.enable_cors:
+                self._cors(e)
             raise
         if cfg.enable_cors:
-            resp.headers["Access-Control-Allow-Origin"] = "*"
-            resp.headers["Access-Control-Allow-Headers"] = "Content-Type, X-API-Key"
+            self._cors(resp)
         return resp
 
     # -- handlers -----------------------------------------------------------

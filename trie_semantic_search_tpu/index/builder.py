@@ -174,6 +174,7 @@ def update_indexes(
             report.citations += 1
         for cit in meta.citations:
             trie.insert_citation(cit, row)
+            report.citations += 1
         body = text or meta.full_text
         if body:
             processed = tp.process_text(body)
@@ -184,6 +185,8 @@ def update_indexes(
                 trie.insert_content(tokens, row, para_idx)
                 vector.add_document(row, sentence, para_idx)
                 report.content_chunks += 1
+            for cit in processed.citations:
+                trie.insert_citation(cit.normalized, row)
         report.cases += 1
         new_cases += 1
 

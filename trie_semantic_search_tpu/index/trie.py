@@ -256,10 +256,22 @@ class FrozenTrie:
     def encode_queries(
         self, token_seqs: Sequence[Sequence[str]], max_len: int
     ) -> np.ndarray:
-        """Token strings → ``[B, max_len]`` id matrix (PAD/-1, UNK/-2)."""
+        """Token strings → ``[B, max_len]`` id matrix (PAD/-1, UNK/-2).
+
+        Empty token lists and queries longer than ``max_len`` kill the lane
+        (UNK in slot 0 / the last slot): an empty walk would sit at the
+        root and prefix-gather the whole corpus, and a truncated walk would
+        report false exact matches on the query's prefix.
+        """
         out = np.full((len(token_seqs), max_len), PAD_TOKEN, np.int32)
         for b, toks in enumerate(token_seqs):
-            for l, t in enumerate(toks[:max_len]):
+            if len(toks) == 0:
+                out[b, 0] = UNKNOWN_TOKEN
+                continue
+            if len(toks) > max_len:
+                out[b, :] = UNKNOWN_TOKEN
+                continue
+            for l, t in enumerate(toks):
                 out[b, l] = self.vocab.get(t, UNKNOWN_TOKEN)
         return out
 

@@ -152,8 +152,16 @@ class VectorIndex:
     ) -> list[list[VectorSearchResult]]:
         if self.ann.num_vectors == 0:
             return [[] for _ in queries]
-        embs = np.stack([self.generate_embedding(q) for q in queries])
-        return self.search_embedded(embs, top_k, use_brute)
+        # batch-embed the cache misses in ONE encoder dispatch (embedding
+        # them one-by-one would pay B dispatches of per-call overhead)
+        embs: list[Optional[np.ndarray]] = [self.cache.get(q) for q in queries]
+        miss_idx = [i for i, e in enumerate(embs) if e is None]
+        if miss_idx:
+            fresh = self.embedder.embed([queries[i] for i in miss_idx]).embedding
+            for j, i in enumerate(miss_idx):
+                embs[i] = fresh[j]
+                self.cache.put(queries[i], fresh[j])
+        return self.search_embedded(np.stack(embs), top_k, use_brute)
 
     def search_embedded(
         self,

@@ -252,10 +252,15 @@ class IngestionManager:
                 stats = PipelineStats(total_cases=len(payloads))
                 for p in payloads:
                     try:
-                        await asyncio.to_thread(
+                        outcome = await asyncio.to_thread(
                             self.pipeline.process_single_case, *p
                         )
-                        stats.processed += 1
+                        if outcome == "stored":
+                            stats.processed += 1
+                        elif outcome == "duplicate":
+                            stats.skipped_duplicates += 1
+                        else:
+                            stats.failed_validation += 1
                     except Exception as e:
                         stats.failed_processing += 1
                         _log.warning("incremental case failed: %s", e)

@@ -87,6 +87,11 @@ class IngestionPipeline:
         self._job_sem = asyncio.Semaphore(max(1, config.max_concurrent_jobs))
         self._shutdown = asyncio.Event()
         self._inflight: set[asyncio.Task] = set()
+        # serialises the dup-check→store critical section: concurrent batch
+        # workers would otherwise both pass the check and double-insert
+        import threading as _threading
+
+        self._store_lock = _threading.Lock()
 
     # -- driver (ref run_ingestion, pipeline.rs:146-240) --------------------
 
@@ -177,24 +182,24 @@ class IngestionPipeline:
 
     # -- per-case flow (ref process_single_case, pipeline.rs:285-333) -------
 
-    def process_single_case(self, metadata: CaseMetadata, text: str) -> bool:
-        """Returns True when the case was stored (False = skipped)."""
-        # 1. duplicate check (content identity)
+    def process_single_case(self, metadata: CaseMetadata, text: str) -> str:
+        """Returns the outcome: "stored" | "duplicate" | "invalid"."""
+        # 1. duplicate fast-path (unlocked; rechecked under lock at store)
         if self.storage.find_case_id(metadata.name, metadata.citation) is not None:
             self.stats.skipped_duplicates += 1
-            return False
+            return "duplicate"
 
         # 2. processed-case cache
         key = content_key(metadata.name, text)
         cached = self.cache.get_processed_case(key)
         if cached is not None:
-            self.stats.cache_hits += 1
             meta = CaseMetadata.from_json(cached["metadata"])
             meta.id = metadata.id  # fresh identity, cached enrichment
-            self.storage.store_case_metadata(meta)
-            self.storage.store_case_text(meta.id, text)
+            if not self._store_once(meta, text):
+                return "duplicate"
+            self.stats.cache_hits += 1
             self.stats.processed += 1
-            return True
+            return "stored"
 
         # 3. validate
         result = self.validator.validate_case(metadata, text)
@@ -205,22 +210,33 @@ class IngestionPipeline:
                 metadata.name,
                 "; ".join(i.message for i in result.errors),
             )
-            return False
+            return "invalid"
 
         # 4. text processing + metadata enhancement
         processed = self.text_processor.process_text(text)
         self._enhance_metadata(metadata, processed)
 
-        # 5. store
-        self.storage.store_case_metadata(metadata)
-        self.storage.store_case_text(metadata.id, text)
+        # 5. store (dup-rechecked under the lock)
+        if not self._store_once(metadata, text):
+            return "duplicate"
 
         # 6. cache the enriched result
         doc = metadata.to_json()
         doc.pop("full_text", None)
         self.cache.store_processed_case(key, {"metadata": doc})
         self.stats.processed += 1
-        return True
+        return "stored"
+
+    def _store_once(self, metadata: CaseMetadata, text: str) -> bool:
+        """Atomic dup-recheck + store. Returns False if another worker won
+        the race for this (name, citation) identity."""
+        with self._store_lock:
+            if self.storage.find_case_id(metadata.name, metadata.citation) is not None:
+                self.stats.skipped_duplicates += 1
+                return False
+            self.storage.store_case_metadata(metadata)
+            self.storage.store_case_text(metadata.id, text)
+            return True
 
     def _enhance_metadata(self, metadata: CaseMetadata, processed) -> None:
         """ref: enhance_metadata (pipeline.rs:336-360): word count, citation

@@ -38,6 +38,7 @@ from ..core.config import Config
 from ..core.errors import InvalidSearchQuery
 from ..core.metrics import metrics
 from ..core.types import CaseMetadata, SearchConfig
+from ..text.processor import TextProcessor
 from ..index.trie import TrieIndex
 from ..index.vector import VectorIndex
 from ..storage.columns import MetadataColumns, date_to_int
@@ -125,6 +126,8 @@ class SearchEngine:
             max_size=config.search.query_cache_size,
             ttl_seconds=config.search.query_cache_ttl_seconds,
         )
+        # snippet anchoring must replay the builder's exact chunking
+        self._text_processor = TextProcessor(config.text_processing)
         self._queries_served = 0
 
     # -- index swap (lock-free hot reload; README.md:161-165 hot-reload) ----
@@ -257,9 +260,20 @@ class SearchEngine:
                     MatchType.CASE_NAME: HighlightType.CASE_NAME,
                     MatchType.CITATION: HighlightType.CITATION,
                 }.get(mtype, HighlightType.SEMANTIC_MATCH)
+                # Semantic hits anchor on the matched chunk. paragraph_index
+                # indexes the *processed* sentence list (min-length filtered,
+                # wrapped, whitespace-collapsed), so replay the builder's
+                # pipeline on the stored text — raw-offset anchoring would
+                # drift whenever a short sentence was filtered out.
+                chunk_text = None
+                if mtype == MatchType.SEMANTIC and text:
+                    norm = self._text_processor.normalize_text(text)
+                    sents = self._text_processor.extract_sentences(norm)
+                    if 0 <= para < len(sents):
+                        chunk_text = sents[para]
                 snippet, highlights = generate_snippet(
                     text or meta.name, q.query, highlight_type=ht,
-                    paragraph_hint=para if mtype == MatchType.SEMANTIC else None,
+                    chunk_text=chunk_text,
                 )
                 out.append(
                     SearchResult(

@@ -40,31 +40,20 @@ def _term_pattern(terms: Sequence[str]) -> Optional[re.Pattern[str]]:
     return re.compile(r"\b(" + "|".join(words) + r")\b", re.IGNORECASE)
 
 
-_SENTENCE_SPLIT = re.compile(r"[.!?]+\s+")
-
-
-def _sentence_offsets(text: str) -> list[int]:
-    """Start offsets of sentences (same split rule as the text processor)."""
-    offsets = [0]
-    for m in _SENTENCE_SPLIT.finditer(text):
-        offsets.append(m.end())
-    return offsets
-
-
 def generate_snippet(
     text: str,
     query: str,
     window: int = 240,
     highlight_type: HighlightType = HighlightType.EXACT_MATCH,
-    paragraph_hint: Optional[int] = None,
+    chunk_text: Optional[str] = None,
 ) -> tuple[str, list[TextHighlight]]:
     """Context window around the first query-term hit, with highlight spans
     for every term occurrence inside the window.
 
-    When no term matches (semantic-only hits), anchors on the matched chunk
-    via ``paragraph_hint`` (the hit's sentence index — the DocRef
-    ``paragraph_index`` the reference carried but never used for snippets),
-    else falls back to the leading ``window`` characters.
+    When no term matches (semantic-only hits), anchors on ``chunk_text`` —
+    the matched chunk's literal sentence (the caller replays the builder's
+    chunking to produce it) — located in ``text`` by a whitespace-tolerant
+    search; else falls back to the leading ``window`` characters.
     """
     if not text:
         return "", []
@@ -75,10 +64,18 @@ def generate_snippet(
         if m:
             anchor = m.start()
 
-    if anchor is None and paragraph_hint is not None and paragraph_hint > 0:
-        offsets = _sentence_offsets(text)
-        if paragraph_hint < len(offsets):
-            anchor = offsets[paragraph_hint]
+    if anchor is None and chunk_text:
+        pos = text.find(chunk_text)
+        if pos < 0:
+            # stored text has original whitespace; the chunk was extracted
+            # from whitespace-collapsed text — search tolerantly
+            loose = re.compile(
+                r"\s+".join(re.escape(w) for w in chunk_text.split()[:8])
+            )
+            m2 = loose.search(text)
+            pos = m2.start() if m2 else -1
+        if pos >= 0:
+            anchor = pos
 
     if anchor is None:
         snippet = text[:window]

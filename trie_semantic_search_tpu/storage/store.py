@@ -322,8 +322,9 @@ class StorageManager:
         # retention
         backups = sorted(backup_dir.glob("legal_search_*.db"))
         excess = len(backups) - self.config.backup.max_backups
-        for old in backups[:excess]:
-            old.unlink(missing_ok=True)
+        if excess > 0:
+            for old in backups[:excess]:
+                old.unlink(missing_ok=True)
         return dest
 
     def close(self) -> None:

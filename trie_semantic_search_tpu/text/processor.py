@@ -294,7 +294,7 @@ class TextProcessor:
         entities = (
             self.extract_entities(normalized) if self.config.extract_entities else []
         )
-        stats = self.calculate_stats(normalized, tokens, sentences)
+        stats = self.calculate_stats(normalized, tokens, sentences, original=text)
         return ProcessedText(
             original=text,
             normalized=normalized,
@@ -464,12 +464,16 @@ class TextProcessor:
         return entities
 
     def calculate_stats(
-        self, text: str, tokens: Sequence[Token], sentences: Sequence[str]
+        self, text: str, tokens: Sequence[Token], sentences: Sequence[str],
+        original: Optional[str] = None,
     ) -> TextStats:
-        """Counts + Flesch reading ease (ref 544-581)."""
+        """Counts + Flesch reading ease (ref 544-581). Paragraph breaks are
+        counted on the ORIGINAL text: whitespace collapse in normalisation
+        removes every \n\n, so counting on normalised text always gave 1
+        (the reference had the same defect, text_processing.rs:551)."""
         word_count = len(tokens)
         unique_words = len({t.normalized for t in tokens})
-        paragraph_count = text.count("\n\n") + 1
+        paragraph_count = (original if original is not None else text).count("\n\n") + 1
         avg_sentence_length = (word_count / len(sentences)) if sentences else 0.0
         syllables = sum(count_syllables(t.text) for t in tokens)
         avg_syllables = (syllables / word_count) if word_count else 0.0
