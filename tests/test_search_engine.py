@@ -310,3 +310,18 @@ def test_snippet_chunk_anchor():
     # chunk absent falls back to leading window
     snippet3, _ = generate_snippet(text, "unrelated", chunk_text="zzz not there")
     assert snippet3.startswith("First sentence")
+
+
+def test_artifact_load_restores_encoder(engine, tmp_path, monkeypatch):
+    """Loading artifacts without injecting an embedder must restore the
+    build-time encoder (vocab + params) — a fresh random encoder would
+    silently break semantic scoring (found running the serve CLI against
+    saved artifacts)."""
+    cfg = engine.config
+    save_artifacts(engine._built, cfg)
+    loaded = load_artifacts(cfg)  # no embedder injected
+    assert loaded is not None
+    _, vector, _ = loaded
+    a = vector.embedder.embed_one("right to remain silent")
+    b = engine._embedder.embed_one("right to remain silent")
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -99,8 +99,18 @@ def cmd_serve(args: argparse.Namespace) -> int:
     for task in maintenance:
         task.start()
     if not args.no_warmup:
-        _log.info("warming up query-path compilations ...")
-        engine.warmup()
+        # warm in the background so the server binds immediately; early
+        # queries just pay jit latency until the buckets are compiled
+        # (observed: full warmup over a remote-compile tunnel can take
+        # tens of minutes — blocking startup on it kept /health down)
+        import threading
+
+        def _warm():
+            _log.info("warming up query-path compilations ...")
+            engine.warmup()
+            _log.info("warmup complete")
+
+        threading.Thread(target=_warm, name="warmup", daemon=True).start()
     state = AppState(config=cfg, search_engine=engine, storage=storage)
     server = ApiServer(state)
 

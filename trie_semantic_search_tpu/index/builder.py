@@ -233,24 +233,84 @@ def update_indexes(
 
 def save_artifacts(built: BuiltIndexes, config: Config) -> None:
     """Persist all frozen artifacts (checkpoint/resume surface, SURVEY.md §5:
-    "index build is checkpointed as serialized array shards + manifest")."""
+    "index build is checkpointed as serialized array shards + manifest").
+
+    The encoder (tokenizer vocab + params) is part of the artifact set:
+    corpus embeddings are only comparable to query embeddings from the
+    SAME encoder, so loading indexes with a freshly initialised encoder
+    would silently break semantic scoring."""
     built.trie.save_to_disk(config.trie.index_path)
     built.vector.save(config.vector.hnsw.index_path)
     built.columns.save(Path(config.trie.index_path) / "columns.npz")
+    emb = built.vector.embedder
+    enc_dir = Path(config.vector.hnsw.index_path)
+    emb.tokenizer.save(enc_dir / "tokenizer.json")
+    from ..models.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        enc_dir / "encoder", 0, emb.params,
+        metadata={
+            "vocab_size": emb.model_config.vocab_size,
+            "hidden_size": emb.model_config.hidden_size,
+            "num_layers": emb.model_config.num_layers,
+            "num_heads": emb.model_config.num_heads,
+            "intermediate_size": emb.model_config.intermediate_size,
+            "max_position": emb.model_config.max_position,
+        },
+        keep=1,
+    )
 
 
 def load_artifacts(
     config: Config, embedder: Optional[Embedder] = None
 ) -> Optional[tuple[TrieIndex, VectorIndex, MetadataColumns]]:
-    """Load previously saved artifacts; None when absent."""
+    """Load previously saved artifacts; None when absent. Restores the
+    saved encoder (tokenizer + params) unless one is injected."""
     trie_dir = Path(config.trie.index_path)
     vec_dir = Path(config.vector.hnsw.index_path)
     cols_path = trie_dir / "columns.npz"
     if not (trie_dir / "name_trie.npz").exists() or not cols_path.exists():
         return None
     trie = TrieIndex.load_from_disk(trie_dir, config.trie)
+    if embedder is None:
+        embedder = _load_encoder(config, vec_dir)
     vector = VectorIndex(config.vector, embedder=embedder)
     if (vec_dir / "refs.npz").exists():
         vector.load(vec_dir)
     columns = MetadataColumns.load(cols_path)
     return trie, vector, columns
+
+
+def _load_encoder(config: Config, vec_dir: Path) -> Optional[Embedder]:
+    """Reconstruct the exact build-time encoder from saved artifacts."""
+    tok_path = vec_dir / "tokenizer.json"
+    enc_dir = vec_dir / "encoder"
+    if not tok_path.exists():
+        return None
+    tokenizer = WordPieceTokenizer.load(tok_path)
+    from ..models.checkpoint import latest_step, restore_checkpoint
+    from ..models import minilm
+
+    step = latest_step(enc_dir)
+    if step is None:
+        return Embedder(config.vector.model, tokenizer=tokenizer)
+    import json as _json
+
+    meta = _json.loads((enc_dir / f"step_{step}" / "meta.json").read_text())
+    model_config = minilm.MiniLMConfig(
+        vocab_size=meta["vocab_size"],
+        hidden_size=meta["hidden_size"],
+        num_layers=meta["num_layers"],
+        num_heads=meta["num_heads"],
+        intermediate_size=meta["intermediate_size"],
+        max_position=meta["max_position"],
+    )
+    import jax
+
+    template = minilm.init_params(jax.random.PRNGKey(0), model_config)
+    restored = restore_checkpoint(enc_dir, template)
+    params = restored[0] if restored else template
+    return Embedder(
+        config.vector.model, tokenizer=tokenizer,
+        params=params, model_config=model_config,
+    )
