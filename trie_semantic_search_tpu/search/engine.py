@@ -148,7 +148,7 @@ class SearchEngine:
             self.columns = columns
         self.query_cache.clear()
 
-    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 64)) -> None:
+    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 16, 32, 64)) -> None:
         """Pre-compile the hot query-path programs for the serving batch
         buckets, so the first user query doesn't pay jit latency (observed:
         60+ s cold on the remote-compile path). Runs one throwaway query
