@@ -364,3 +364,26 @@ def test_overlong_query_is_a_miss_not_a_prefix_match():
     assert idx.search(name).exact_matches == [(3, 0)]  # exactly 16 ok
     overlong = name + " extra"
     assert idx.search(overlong).exact_matches == []
+
+
+def test_mmap_format_roundtrip(small_trie, tmp_path):
+    p = tmp_path / "trie.npz"
+    small_trie.save(p, mmap_format=True)
+    assert (tmp_path / "trie.mmap" / "edge_offsets.npy").exists()
+    loaded = FrozenTrie.load(p)  # auto-detects the .mmap dir
+    # arrays are memory-mapped
+    assert isinstance(loaded.edge_offsets, np.memmap)
+    ids = loaded.encode_queries([["miranda", "v", "arizona"]], 8)
+    _, rows, valid = loaded.search_batch(ids)
+    assert sorted(rows[0][valid[0]].tolist()) == [2, 4]
+    assert loaded.completions(["brown"]) == small_trie.completions(["brown"])
+
+
+def test_trieindex_mmap_config(tmp_path):
+    cfg = TrieConfig(enable_memory_mapping=True)
+    idx = TrieIndex(cfg)
+    idx.insert_case_name("Mapp v. Ohio", 0)
+    idx.freeze()
+    idx.save_to_disk(tmp_path / "t")
+    loaded = TrieIndex.load_from_disk(tmp_path / "t", cfg)
+    assert loaded.search("mapp v. ohio").exact_matches == [(0, 0)]

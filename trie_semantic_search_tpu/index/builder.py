@@ -269,7 +269,10 @@ def load_artifacts(
     trie_dir = Path(config.trie.index_path)
     vec_dir = Path(config.vector.hnsw.index_path)
     cols_path = trie_dir / "columns.npz"
-    if not (trie_dir / "name_trie.npz").exists() or not cols_path.exists():
+    has_trie = (trie_dir / "name_trie.npz").exists() or (
+        trie_dir / "name_trie.mmap"
+    ).is_dir()
+    if not has_trie or not cols_path.exists():
         return None
     trie = TrieIndex.load_from_disk(trie_dir, config.trie)
     if embedder is None:

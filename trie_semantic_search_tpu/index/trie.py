@@ -366,8 +366,25 @@ class FrozenTrie:
 
     # -- persistence (the reference's TODO save/load, trie.rs:83-94) --------
 
-    def save(self, path: str | Path) -> None:
+    _ARRAY_FIELDS = (
+        "edge_offsets", "edge_tokens", "edge_targets", "post_offsets",
+        "post_case", "post_para", "subtree_post_end", "is_end", "frequency",
+    )
+
+    def save(self, path: str | Path, mmap_format: bool = False) -> None:
+        """Persist as one compressed ``.npz`` (default) or, with
+        ``mmap_format``, as a directory of raw ``.npy`` files that load
+        zero-copy via ``np.load(mmap_mode='r')`` — the TPU realisation of
+        the reference's configured-but-unimplemented FST memory mapping
+        (``trie.enable_memory_mapping``, config.rs:192)."""
         path = Path(path)
+        if mmap_format:
+            d = path.with_suffix(".mmap")
+            d.mkdir(parents=True, exist_ok=True)
+            for name in self._ARRAY_FIELDS:
+                np.save(d / f"{name}.npy", getattr(self, name))
+            (d / "vocab.json").write_text(json.dumps(self.vocab))
+            return
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
             path,
@@ -385,6 +402,9 @@ class FrozenTrie:
 
     @classmethod
     def load(cls, path: str | Path) -> "FrozenTrie":
+        mmap_dir = Path(path).with_suffix(".mmap")
+        if mmap_dir.is_dir():
+            return cls._load_mmap(mmap_dir)
         try:
             with np.load(path, allow_pickle=False) as z:
                 vocab = json.loads(str(z["vocab_json"]))
@@ -406,6 +426,23 @@ class FrozenTrie:
                 )
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             raise IndexCorrupted(index_type="trie", details=str(e)) from e
+
+    @classmethod
+    def _load_mmap(cls, d: Path) -> "FrozenTrie":
+        """Zero-copy load: host arrays stay memory-mapped until the first
+        device upload reads them (lazy page-in of multi-GB tries)."""
+        try:
+            arrays = {
+                name: np.load(d / f"{name}.npy", mmap_mode="r")
+                for name in cls._ARRAY_FIELDS
+            }
+            vocab = json.loads((d / "vocab.json").read_text())
+        except (OSError, ValueError, json.JSONDecodeError) as e:
+            raise IndexCorrupted(index_type="trie", details=str(e)) from e
+        id_to_token = [""] * len(vocab)
+        for tok, tid in vocab.items():
+            id_to_token[tid] = tok
+        return cls(vocab=vocab, id_to_token=id_to_token, **arrays)
 
 
 def _empty_frozen() -> FrozenTrie:
@@ -655,9 +692,10 @@ class TrieIndex:
     def save_to_disk(self, path: Optional[str | Path] = None) -> None:
         base = Path(path or self.config.index_path)
         base.mkdir(parents=True, exist_ok=True)
-        self.name_trie.save(base / "name_trie.npz")
-        self.content_trie.save(base / "content_trie.npz")
-        self.citation_trie.save(base / "citation_trie.npz")
+        mm = self.config.enable_memory_mapping
+        self.name_trie.save(base / "name_trie.npz", mmap_format=mm)
+        self.content_trie.save(base / "content_trie.npz", mmap_format=mm)
+        self.citation_trie.save(base / "citation_trie.npz", mmap_format=mm)
 
     @classmethod
     def load_from_disk(
