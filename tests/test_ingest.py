@@ -512,3 +512,30 @@ def test_pipeline_fetch_nonrecoverable_no_retry(storage, tmp_config):
     with pytest.raises(ParseError):
         run(pipe.run_ingestion(src))
     assert src.calls == 1  # not recoverable -> no retry
+
+
+def test_manager_cancel_marks_job_cancelled(storage, tmp_config):
+    """Cancelling mid-run drains and finishes with CANCELLED status."""
+
+    class SlowSource(MockDataSource):
+        def __init__(self, mgr_holder):
+            super().__init__()
+            self.mgr_holder = mgr_holder
+
+        async def fetch_cases(self, limit=None):
+            cases = await super().fetch_cases(limit)
+            # request cancellation before the pipeline starts batching
+            await self.mgr_holder["mgr"].cancel()
+            return cases
+
+    holder = {}
+    tmp_config.ingestion.batch_size = 1
+    mgr = IngestionManager(tmp_config, storage)
+    holder["mgr"] = mgr
+    mgr.register_source(SlowSource(holder))
+    job = run(mgr.run_job(
+        __import__("trie_semantic_search_tpu.ingest.manager",
+                   fromlist=["IngestionJob"]).IngestionJob(
+            job_type=IngestionJobType.BULK_SOURCE, source="mock")
+    ))
+    assert job.status == JobStatus.CANCELLED

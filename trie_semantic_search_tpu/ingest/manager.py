@@ -162,7 +162,11 @@ class IngestionManager:
                 agg.failed_validation += stats.failed_validation
                 agg.failed_processing += stats.failed_processing
             job.stats = agg
-            job.status = JobStatus.COMPLETED
+            job.status = (
+                JobStatus.CANCELLED
+                if self.pipeline._shutdown.is_set()
+                else JobStatus.COMPLETED
+            )
             self.stats.jobs_run += 1
             self.stats.total_processed += agg.processed
             self.stats.total_skipped += agg.skipped_duplicates
@@ -205,6 +209,12 @@ class IngestionManager:
             limit=limit,
         )
         return await self.run_job(job)
+
+    async def cancel(self) -> None:
+        """Cancel in-flight ingestion: drains current batches and stops
+        (jobs finish with status CANCELLED — the job state the reference
+        declared, ingestion/mod.rs:116-185, without a driver)."""
+        await self.pipeline.shutdown()
 
     async def reprocess(self) -> IngestionJob:
         """Re-run text processing + metadata enhancement over every stored

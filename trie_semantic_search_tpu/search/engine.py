@@ -209,10 +209,13 @@ class SearchEngine:
         if any(q.config.enable_prefix for q in queries):
             trie_rows, trie_valid = self.trie_index.search_batch_rows(texts)
 
-        # Stage 2: batched semantic scan (device).
+        # Stage 2: batched semantic scan (device). ANN feed = top-50
+        # (ref search.rs:251) clamped by vector.max_ann_results
+        # (ref config.rs:572-573).
         sem_hits = None
         if any(q.config.enable_semantic for q in queries):
-            sem_hits = self.vector_index.search_batch(texts, top_k=50)
+            ann_k = max(1, min(50, self.config.vector.max_ann_results))
+            sem_hits = self.vector_index.search_batch(texts, top_k=ann_k)
 
         # Stage 3: merge / dedup / filter / truncate per query (host; ≤~200
         # candidate rows per query by construction).
