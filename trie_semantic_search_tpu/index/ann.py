@@ -31,7 +31,6 @@ Both paths are deterministic (ties break to the lower row id).
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
 from dataclasses import dataclass
@@ -45,7 +44,7 @@ import numpy as np
 from ..core.config import AnnConfig
 from ..core.errors import IndexCorrupted, VectorIndexConstructionFailed
 from ..ops.scoring import gather_rescore, l2_normalize
-from ..ops.topk import exact_topk, fast_topk, merge_topk
+from ..ops.topk import exact_topk
 from .kmeans import assign_clusters, train_kmeans
 
 
