@@ -138,3 +138,14 @@ def test_unbuilt_raises():
         PartitionedANN().search(np.zeros((1, 8), np.float32), 5)
     with pytest.raises(VectorIndexConstructionFailed):
         PartitionedANN().build(np.zeros((0, 8), np.float32))
+
+
+def test_bf16_block_path(corpus, queries):
+    """quantize_int8=False stores bf16 blocks — higher precision recall."""
+    ann = PartitionedANN(AnnConfig(num_partitions=16, num_probes=16,
+                                   quantize_int8=False))
+    ann.build(corpus, seed=0)
+    _, oi = oracle_topk(queries, corpus, 10)
+    _, i = ann.search(queries, 10, nprobe=16)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
+    assert recall >= 0.99  # full probe + bf16 ≈ exact

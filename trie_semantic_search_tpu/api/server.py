@@ -261,10 +261,13 @@ class ApiServer:
                 return {k: as_dict(v) for k, v in x.items()}
             return x
 
+        from ..core.metrics import metrics
+
         engine_stats = self.state.search_engine.get_stats()
         storage_stats = self.state.storage.get_stats()
         return web.json_response(
             {
+                "metrics": metrics.snapshot(),
                 "engine": {
                     "total_cases_indexed": engine_stats.total_cases_indexed,
                     "queries_served": engine_stats.queries_served,

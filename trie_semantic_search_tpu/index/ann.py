@@ -127,21 +127,29 @@ class PartitionedANN:
             part_rows[p, fill[p]] = row
             fill[p] += 1
 
-        # int8 quantise per vector
-        absmax = np.max(np.abs(v), axis=1)
-        scale = np.maximum(absmax, 1e-12) / 127.0
-        q = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
-
         safe_rows = np.maximum(part_rows, 0)
-        part_int8 = q[safe_rows]  # [P, m, D]
-        part_scale = scale[safe_rows].astype(np.float32)
         pad_mask = part_rows < 0
+        if self.config.quantize_int8:
+            # int8 quantise per vector
+            absmax = np.max(np.abs(v), axis=1)
+            scale = np.maximum(absmax, 1e-12) / 127.0
+            q = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+            part_int8 = q[safe_rows]  # [P, m, D]
+            part_scale = scale[safe_rows].astype(np.float32)
+        else:
+            # bf16 block store: scale 1, "int8" blocks carry bf16 values
+            # (double the HBM of int8; skips the quantisation error)
+            part_int8 = v[safe_rows].astype(np.float32)
+            part_scale = np.ones((P, m), np.float32)
         part_int8[pad_mask] = 0
         part_scale[pad_mask] = 0.0
 
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.part_rows = jnp.asarray(part_rows)
-        self.part_int8 = jnp.asarray(part_int8)
+        self.part_int8 = jnp.asarray(
+            part_int8,
+            jnp.int8 if self.config.quantize_int8 else jnp.bfloat16,
+        )
         self.part_scale = jnp.asarray(part_scale)
         self.corpus_bf16 = jnp.asarray(v, jnp.bfloat16)
         self.num_vectors = n
@@ -173,13 +181,20 @@ class PartitionedANN:
             rows = jnp.take(self.part_rows, top_p, axis=0)  # [B, np, m]
             blocks = jnp.take(self.part_int8, top_p, axis=0)  # [B, np, m, D]
             scales = jnp.take(self.part_scale, top_p, axis=0)  # [B, np, m]
-            # 3) int8 scan (int32 MXU accumulation)
-            q_abs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
-            q_scale = jnp.maximum(q_abs, 1e-12) / 127.0
-            q8 = jnp.clip(jnp.round(qn / q_scale), -127, 127).astype(jnp.int8)
-            acc = jnp.einsum("bd,bpmd->bpm", q8, blocks,
-                             preferred_element_type=jnp.int32)
-            scores = acc.astype(jnp.float32) * scales * q_scale[:, :, None]
+            if cfg.quantize_int8:
+                # 3) int8 scan (int32 MXU accumulation)
+                q_abs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
+                q_scale = jnp.maximum(q_abs, 1e-12) / 127.0
+                q8 = jnp.clip(jnp.round(qn / q_scale), -127, 127).astype(jnp.int8)
+                acc = jnp.einsum("bd,bpmd->bpm", q8, blocks,
+                                 preferred_element_type=jnp.int32)
+                scores = acc.astype(jnp.float32) * scales * q_scale[:, :, None]
+            else:
+                # 3) bf16 scan (f32 accumulation)
+                scores = jnp.einsum(
+                    "bd,bpmd->bpm", qn.astype(jnp.bfloat16), blocks,
+                    preferred_element_type=jnp.float32,
+                ) * scales
             B = scores.shape[0]
             flat_scores = scores.reshape(B, -1)
             flat_rows = rows.reshape(B, -1)
