@@ -198,11 +198,14 @@ def pretrain_encoder(
     semantic search is meaningful with zero downloaded weights."""
     cfg = train_config or TrainConfig(total_steps=steps)
     pairs = mine_pairs(docs)
-    if len(pairs) < batch_size:
+    if len(pairs) < 4:
         _log.warning(
-            "only %d pairs (< batch %d); skipping pretraining", len(pairs), batch_size
+            "only %d pairs (< 4); skipping pretraining", len(pairs)
         )
         return {"steps": 0, "pairs": len(pairs)}
+    # shrink the batch for small corpora (InfoNCE needs >=2 in-batch
+    # negatives; below the requested batch we still train, just smaller)
+    batch_size = min(batch_size, len(pairs))
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(embedder.params)
     step_fn = jax.jit(
