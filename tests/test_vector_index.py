@@ -169,3 +169,21 @@ def test_vector_index_save_load(vindex, embedder, tmp_path):
     assert idx2.size == vindex.size
     hits = idx2.search(DOCS[3], top_k=1)
     assert hits[0].row == 3
+
+
+def test_embed_pending_streaming(embedder):
+    cfg = VectorConfig(hnsw=AnnConfig(num_partitions=8), dimension=64)
+    idx = VectorIndex(cfg, embedder=embedder)
+    for row, text in enumerate(DOCS):
+        idx.add_document(row, text, row)
+        # below threshold: no-op
+        assert idx.embed_pending(flush_threshold=100) == 0
+    # threshold reached mid-stream
+    n = idx.embed_pending(flush_threshold=3)
+    assert n == len(DOCS)
+    assert idx.size == len(DOCS)
+    idx.add_document(99, DOCS[0], 0)
+    idx.freeze()
+    assert idx.size == len(DOCS) + 1
+    hits = idx.search(DOCS[1], top_k=1)
+    assert hits[0].row == 1

@@ -95,6 +95,9 @@ def build_indexes(
     vector = VectorIndex(config.vector, embedder=embedder, mesh=mesh)
 
     report = BuildReport()
+    # stream: embed accumulated chunks every EMBED_FLUSH docs so raw chunk
+    # text never accumulates past a bounded window (corpus-scale builds)
+    EMBED_FLUSH = 8192
     for meta, text in storage.iter_cases():
         row = columns.row_of_case[meta.id]
         trie.insert_case_name(meta.name, row)
@@ -117,6 +120,11 @@ def build_indexes(
             for cit in processed.citations:
                 trie.insert_citation(cit.normalized, row)
         report.cases += 1
+        embedded = vector.embed_pending(flush_threshold=EMBED_FLUSH)
+        if embedded:
+            _log.info(
+                "embedded %d chunks (%d cases done)", embedded, report.cases
+            )
 
     trie.freeze()
     vector.freeze()

@@ -110,17 +110,27 @@ class VectorIndex:
             self._pending_texts.append(text)
             self._pending_refs.append((row, para))
 
+    def embed_pending(self, flush_threshold: int = 0) -> int:
+        """Embed pending docs into the frozen vector store WITHOUT an ANN
+        rebuild. With ``flush_threshold``, a no-op until that many docs are
+        pending — the streaming-build hook (bounds host memory: text is
+        released as soon as its chunk embeds). Returns docs embedded."""
+        if not self._pending_texts or len(self._pending_texts) < flush_threshold:
+            return 0
+        n = len(self._pending_texts)
+        embs = self.embedder.embed(self._pending_texts).embedding
+        if self._vectors is not None:
+            self._vectors = np.concatenate([self._vectors, embs])
+        else:
+            self._vectors = embs
+        self._refs.extend(self._pending_refs)
+        self._pending_texts = []
+        self._pending_refs = []
+        return n
+
     def freeze(self, seed: int = 0) -> None:
         """Embed pending docs and (re)build the ANN over all documents."""
-        if self._pending_texts:
-            embs = self.embedder.embed(self._pending_texts).embedding
-            if self._vectors is not None:
-                self._vectors = np.concatenate([self._vectors, embs])
-            else:
-                self._vectors = embs
-            self._refs.extend(self._pending_refs)
-            self._pending_texts = []
-            self._pending_refs = []
+        self.embed_pending()
         if self._vectors is not None and len(self._vectors):
             self.ann.build(self._vectors, seed=seed)
 
