@@ -149,3 +149,19 @@ def test_bf16_block_path(corpus, queries):
     _, i = ann.search(queries, 10, nprobe=16)
     recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
     assert recall >= 0.99  # full probe + bf16 ≈ exact
+
+
+def test_bf16_block_save_load(corpus, queries, tmp_path):
+    """Review regression: bf16-block indexes must round-trip through npz
+    (bfloat16 previously saved as raw void dtype and crashed on load)."""
+    ann = PartitionedANN(AnnConfig(num_partitions=16, num_probes=16,
+                                   quantize_int8=False))
+    ann.build(corpus, seed=0)
+    p = tmp_path / "bf16.npz"
+    ann.save(p)
+    loaded = PartitionedANN.load(p, ann.config)
+    v1, i1 = ann.search(queries, 5, nprobe=16)
+    v2, i2 = loaded.search(queries, 5, nprobe=16)
+    np.testing.assert_array_equal(i1, i2)
+    st = loaded.get_stats()
+    assert st.nbytes_int8 >= loaded.part_int8.size * 2  # bf16 = 2 bytes

@@ -539,3 +539,13 @@ def test_manager_cancel_marks_job_cancelled(storage, tmp_config):
             job_type=IngestionJobType.BULK_SOURCE, source="mock")
     ))
     assert job.status == JobStatus.CANCELLED
+
+
+def test_cancel_does_not_poison_next_run(storage, tmp_config):
+    """Review regression: cancel() must only affect the interrupted run."""
+    mgr = IngestionManager(tmp_config, storage)
+    mgr.register_source(MockDataSource())
+    run(mgr.cancel())  # cancel with nothing running
+    job = run(mgr.ingest_bulk("mock"))
+    assert job.status == JobStatus.COMPLETED
+    assert job.stats.processed == 3

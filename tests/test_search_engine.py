@@ -325,3 +325,19 @@ def test_artifact_load_restores_encoder(engine, tmp_path, monkeypatch):
     a = vector.embedder.embed_one("right to remain silent")
     b = engine._embedder.embed_one("right to remain silent")
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_load_artifacts_missing_encoder_checkpoint_fails_loudly(engine, tmp_path):
+    """Review regression: tokenizer present + missing encoder checkpoint
+    must raise, not silently serve random-encoder scores."""
+    import shutil
+
+    from trie_semantic_search_tpu.core.errors import IndexCorrupted
+
+    cfg = engine.config
+    save_artifacts(engine._built, cfg)
+    from pathlib import Path
+
+    shutil.rmtree(Path(cfg.vector.hnsw.index_path) / "encoder")
+    with pytest.raises(IndexCorrupted):
+        load_artifacts(cfg)

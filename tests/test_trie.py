@@ -387,3 +387,18 @@ def test_trieindex_mmap_config(tmp_path):
     idx.save_to_disk(tmp_path / "t")
     loaded = TrieIndex.load_from_disk(tmp_path / "t", cfg)
     assert loaded.search("mapp v. ohio").exact_matches == [(0, 0)]
+
+
+def test_npz_save_clears_stale_mmap(small_trie, tmp_path):
+    """Review regression: a stale .mmap dir must not shadow a newer npz."""
+    p = tmp_path / "t.npz"
+    small_trie.save(p, mmap_format=True)
+    # build a DIFFERENT trie and save as npz to the same path
+    b = TrieBuilder()
+    b.insert(["fresh", "case"], 42)
+    fresh = b.freeze()
+    fresh.save(p, mmap_format=False)
+    loaded = FrozenTrie.load(p)
+    ids = loaded.encode_queries([["fresh", "case"]], 4)
+    _, rows, valid = loaded.search_batch(ids)
+    assert rows[0][valid[0]].tolist() == [42]  # new index, not the stale one

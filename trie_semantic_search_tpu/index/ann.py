@@ -301,7 +301,7 @@ class PartitionedANN:
     def get_stats(self) -> AnnStats:
         if self.centroids is None:
             return AnnStats()
-        int8_b = int(self.part_int8.size) + 4 * int(self.part_scale.size)
+        int8_b = int(self.part_int8.nbytes) + 4 * int(self.part_scale.size)
         res_b = 2 * int(self.corpus_bf16.size)
         total = int8_b + res_b + 4 * int(self.part_rows.size) + 4 * int(
             self.centroids.size
@@ -319,16 +319,26 @@ class PartitionedANN:
         self._require_built()
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        int8_blocks = self.part_int8.dtype == jnp.int8
+        blocks = (
+            np.asarray(self.part_int8)
+            if int8_blocks
+            # numpy can't round-trip bfloat16 through savez: store f16
+            else np.asarray(self.part_int8.astype(jnp.float32)).astype(np.float16)
+        )
         np.savez_compressed(
             path,
             centroids=np.asarray(self.centroids),
             part_rows=np.asarray(self.part_rows),
-            part_int8=np.asarray(self.part_int8),
+            part_int8=blocks,
             part_scale=np.asarray(self.part_scale),
             corpus_f16=np.asarray(self.corpus_bf16.astype(jnp.float32)).astype(
                 np.float16
             ),
-            meta=np.array(json.dumps({"num_vectors": self.num_vectors})),
+            meta=np.array(json.dumps({
+                "num_vectors": self.num_vectors,
+                "int8_blocks": bool(int8_blocks),
+            })),
         )
 
     @classmethod
@@ -336,12 +346,16 @@ class PartitionedANN:
         idx = cls(config)
         try:
             with np.load(path, allow_pickle=False) as z:
+                meta = json.loads(str(z["meta"]))
                 idx.centroids = jnp.asarray(z["centroids"], jnp.float32)
                 idx.part_rows = jnp.asarray(z["part_rows"])
-                idx.part_int8 = jnp.asarray(z["part_int8"])
+                idx.part_int8 = jnp.asarray(
+                    z["part_int8"],
+                    jnp.int8 if meta.get("int8_blocks", True) else jnp.bfloat16,
+                )
                 idx.part_scale = jnp.asarray(z["part_scale"])
                 idx.corpus_bf16 = jnp.asarray(z["corpus_f16"], jnp.bfloat16)
-                idx.num_vectors = int(json.loads(str(z["meta"]))["num_vectors"])
+                idx.num_vectors = int(meta["num_vectors"])
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             raise IndexCorrupted(index_type="ann", details=str(e)) from e
         return idx

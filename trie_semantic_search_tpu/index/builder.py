@@ -215,16 +215,7 @@ def update_indexes(
         centroids = None
         if hasattr(vector.ann, "centroids") and vector.ann.centroids is not None:
             centroids = np.asarray(vector.ann.centroids)
-        if vector._pending_texts:
-            embs = vector.embedder.embed(vector._pending_texts).embedding
-            vector._vectors = (
-                np.concatenate([vector._vectors, embs])
-                if vector._vectors is not None
-                else embs
-            )
-            vector._refs.extend(vector._pending_refs)
-            vector._pending_texts = []
-            vector._pending_refs = []
+        vector.embed_pending()
         if vector._vectors is not None and len(vector._vectors):
             if centroids is not None and hasattr(vector.ann, "build"):
                 try:
@@ -304,7 +295,14 @@ def _load_encoder(config: Config, vec_dir: Path) -> Optional[Embedder]:
 
     step = latest_step(enc_dir)
     if step is None:
-        return Embedder(config.vector.model, tokenizer=tokenizer)
+        from ..core.errors import IndexCorrupted
+
+        # tokenizer saved but no encoder checkpoint: a fresh random encoder
+        # would silently mis-score every semantic query — fail loudly
+        raise IndexCorrupted(
+            index_type="encoder",
+            details=f"tokenizer present but no checkpoint under {enc_dir}",
+        )
     import json as _json
 
     meta = _json.loads((enc_dir / f"step_{step}" / "meta.json").read_text())
@@ -320,7 +318,13 @@ def _load_encoder(config: Config, vec_dir: Path) -> Optional[Embedder]:
 
     template = minilm.init_params(jax.random.PRNGKey(0), model_config)
     restored = restore_checkpoint(enc_dir, template)
-    params = restored[0] if restored else template
+    if restored is None:
+        from ..core.errors import IndexCorrupted
+
+        raise IndexCorrupted(
+            index_type="encoder", details=f"unreadable checkpoint in {enc_dir}"
+        )
+    params = restored[0]
     return Embedder(
         config.vector.model, tokenizer=tokenizer,
         params=params, model_config=model_config,

@@ -377,14 +377,22 @@ class FrozenTrie:
         zero-copy via ``np.load(mmap_mode='r')`` — the TPU realisation of
         the reference's configured-but-unimplemented FST memory mapping
         (``trie.enable_memory_mapping``, config.rs:192)."""
+        import shutil
+
         path = Path(path)
+        mmap_dir = path.with_suffix(".mmap")
         if mmap_format:
-            d = path.with_suffix(".mmap")
-            d.mkdir(parents=True, exist_ok=True)
+            if mmap_dir.is_dir():
+                shutil.rmtree(mmap_dir)
+            mmap_dir.mkdir(parents=True, exist_ok=True)
             for name in self._ARRAY_FIELDS:
-                np.save(d / f"{name}.npy", getattr(self, name))
-            (d / "vocab.json").write_text(json.dumps(self.vocab))
+                np.save(mmap_dir / f"{name}.npy", getattr(self, name))
+            (mmap_dir / "vocab.json").write_text(json.dumps(self.vocab))
+            path.unlink(missing_ok=True)  # don't leave a stale npz behind
             return
+        if mmap_dir.is_dir():
+            # a stale .mmap dir would shadow this npz at load time
+            shutil.rmtree(mmap_dir)
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
             path,

@@ -181,6 +181,14 @@ class VectorIndex:
     ) -> list[list[VectorSearchResult]]:
         if self.ann.num_vectors == 0:
             return [[] for _ in range(len(query_vecs))]
+        # pad the batch to a power-of-two bucket (same policy as the trie
+        # walk and the embedder) so the jit'd scan compiles once per bucket
+        B = len(query_vecs)
+        Bpad = 1 if B <= 1 else max(8, 1 << (B - 1).bit_length())
+        if Bpad != B:
+            query_vecs = np.concatenate(
+                [query_vecs, np.repeat(query_vecs[:1], Bpad - B, axis=0)]
+            )
         try:
             if use_brute is None:
                 # partition probing wins at small batch; full scan amortises
@@ -193,7 +201,7 @@ class VectorIndex:
         except Exception as e:
             raise AnnSearchError(str(e)) from e
         out: list[list[VectorSearchResult]] = []
-        for b in range(rows.shape[0]):
+        for b in range(B):
             hits = []
             for v, r in zip(vals[b], rows[b]):
                 if r < 0:

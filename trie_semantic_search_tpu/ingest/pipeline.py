@@ -99,6 +99,7 @@ class IngestionPipeline:
         self, source: DataSource, limit: Optional[int] = None
     ) -> PipelineStats:
         self.stats = PipelineStats(started_at=_dt.datetime.now(_dt.timezone.utc))
+        self._shutdown.clear()  # a cancel() only applies to the run it interrupts
         t0 = time.perf_counter()
 
         health = await source.health_check()
