@@ -402,3 +402,14 @@ def test_npz_save_clears_stale_mmap(small_trie, tmp_path):
     ids = loaded.encode_queries([["fresh", "case"]], 4)
     _, rows, valid = loaded.search_batch(ids)
     assert rows[0][valid[0]].tolist() == [42]  # new index, not the stale one
+
+
+def test_completions_frequency_ranked():
+    b = TrieBuilder()
+    for _ in range(5):
+        b.insert(["miranda", "v", "arizona"], 0)
+    b.insert(["miranda", "warnings"], 1)
+    t = b.freeze()
+    comps = t.completions(["miranda"], limit=2)
+    assert comps[0] == "miranda v arizona"  # freq 5 beats freq 1
+    assert comps[1] == "miranda warnings"

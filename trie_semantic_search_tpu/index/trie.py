@@ -348,13 +348,18 @@ class FrozenTrie:
                 return []
             node = int(self.edge_targets[lo + pos])
 
-        out: list[str] = []
+        # Over-collect (4x) then rank by insertion frequency so the most
+        # common completions surface first (the reference's DFS over a
+        # HashMap returned an arbitrary 10; ours is deterministic AND
+        # popularity-ranked). Ties break lexicographically.
+        collected: list[tuple[int, str]] = []
+        budget = max(limit * 4, limit)
         prefix = list(prefix_tokens)
         stack: list[tuple[int, list[str]]] = [(node, prefix)]
-        while stack and len(out) < limit:
+        while stack and len(collected) < budget:
             cur, path = stack.pop()
             if self.is_end[cur] and len(path) > len(prefix):
-                out.append(" ".join(path))
+                collected.append((int(self.frequency[cur]), " ".join(path)))
             if len(path) - len(prefix) >= max_depth:
                 continue
             lo, hi = self.edge_offsets[cur], self.edge_offsets[cur + 1]
@@ -362,7 +367,8 @@ class FrozenTrie:
             for e in range(hi - 1, lo - 1, -1):
                 tok = self.id_to_token[self.edge_tokens[e]]
                 stack.append((int(self.edge_targets[e]), path + [tok]))
-        return out
+        collected.sort(key=lambda t: (-t[0], t[1]))
+        return [c for _, c in collected[:limit]]
 
     # -- persistence (the reference's TODO save/load, trie.rs:83-94) --------
 
