@@ -1,0 +1,144 @@
+"""Fused device hybrid step vs the engine's staged path (same corpus,
+same semantics: filters, threshold, lexical boost, dedup-by-case)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from trie_semantic_search_tpu.core.config import Config
+from trie_semantic_search_tpu.core.types import CaseMetadata, new_case_id
+from trie_semantic_search_tpu.index.builder import build_indexes
+from trie_semantic_search_tpu.models.embedder import Embedder
+from trie_semantic_search_tpu.models.minilm import MiniLMConfig
+from trie_semantic_search_tpu.models.tokenizer import (
+    WordPieceTokenizer,
+    train_wordpiece_vocab,
+)
+from trie_semantic_search_tpu.search.fused import FusedHybridSearch
+from trie_semantic_search_tpu.storage.store import StorageManager
+
+CASES = [
+    ("Mapp v. Ohio", "367 U.S. 643 (1961)", "Supreme Court of the United States",
+     dt.date(1961, 6, 19),
+     "Evidence obtained by searches in violation of the constitution is "
+     "inadmissible in state court proceedings."),
+    ("Terry v. Ohio", "392 U.S. 1 (1968)", "Supreme Court of the United States",
+     dt.date(1968, 6, 10),
+     "A police officer may stop and frisk a person upon reasonable "
+     "suspicion of criminal activity without full probable cause."),
+    ("People v. Example", "10 Cal. 3d 100 (Cal. 1970)",
+     "Supreme Court of California", dt.date(1970, 3, 1),
+     "The state rule on evidence suppression follows its own independent "
+     "grounds under the state constitution."),
+]
+
+TINY = MiniLMConfig(vocab_size=4096, hidden_size=64, num_layers=2,
+                    num_heads=4, intermediate_size=128, max_position=64)
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fused")
+    cfg = Config()
+    cfg.storage.db_path = str(tmp / "db.sqlite")
+    cfg.vector.hnsw.num_partitions = 8
+    cfg.vector.dimension = 64
+    storage = StorageManager(cfg.storage)
+    for name, cit, court, date, text in CASES:
+        meta = CaseMetadata(id=new_case_id(), name=name, citation=cit,
+                            court=court, decision_date=date)
+        storage.store_case_metadata(meta)
+        storage.store_case_text(meta.id, text)
+    vocab = train_wordpiece_vocab([c[4] for c in CASES], vocab_size=4096,
+                                  min_frequency=1)
+    emb = Embedder(cfg.vector.model, tokenizer=WordPieceTokenizer(vocab),
+                   model_config=TINY)
+    built = build_indexes(storage, cfg, embedder=emb)
+    fused = FusedHybridSearch(built.trie, built.vector, built.columns)
+    return built, fused, emb
+
+
+def embed(emb, texts):
+    return emb.embed(list(texts)).embedding
+
+
+def test_fused_semantic_self_retrieval(stack):
+    built, fused, emb = stack
+    qs = [c[4] for c in CASES]
+    v, i, cases = fused.query_batch(
+        embed(emb, qs), qs,
+        court_filters=[None] * 3, date_ranges=[None] * 3,
+        min_similarity=[0.5] * 3, exact_weight=[2.0] * 3, k=5,
+    )
+    # each query's own case is the top case via semantic self-retrieval
+    # (full sentences exceed the 8-token content window, so no lexical hit)
+    assert (cases[:, 0] == np.arange(3)).all()
+    assert (v[:, 0] > 0.99).all()
+
+
+def test_fused_lexical_boost_on_name(stack):
+    built, fused, emb = stack
+    q = ["mapp v. ohio"]
+    v, i, cases = fused.query_batch(
+        embed(emb, q), q, [None], [None], [0.99], [2.0], k=3,
+    )
+    # name-trie hit boosts Mapp's representative chunk to 2.0
+    assert v[0, 0] == 2.0
+    meta_row = cases[0, 0]
+    assert meta_row >= 0
+
+
+def test_fused_court_filter(stack):
+    built, fused, emb = stack
+    q = ["evidence suppression state constitution"]
+    v, i, cases = fused.query_batch(
+        embed(emb, q), q,
+        court_filters=[["Supreme Court of California"]],
+        date_ranges=[None], min_similarity=[0.0], exact_weight=[2.0], k=5,
+    )
+    valid = cases[0][cases[0] >= 0]
+    cal_rows = {
+        r for r, cid in enumerate(built.columns.court_ids)
+        if built.columns.court_vocab["Supreme Court of California"] == cid
+    }
+    assert set(valid.tolist()) <= cal_rows
+    assert len(valid) > 0
+
+
+def test_fused_date_filter(stack):
+    built, fused, emb = stack
+    q = ["police stop and frisk"]
+    v, i, cases = fused.query_batch(
+        embed(emb, q), q, [None],
+        date_ranges=[(dt.date(1965, 1, 1), dt.date(1969, 1, 1))],
+        min_similarity=[0.0], exact_weight=[2.0], k=5,
+    )
+    valid = cases[0][cases[0] >= 0]
+    for r in valid:
+        d = built.columns.dates[r]
+        assert d >= fused.columns.encode_date_range(
+            (dt.date(1965, 1, 1), dt.date(1969, 1, 1)))[0]
+    assert len(valid) >= 1
+
+
+def test_fused_filter_excludes_everything(stack):
+    built, fused, emb = stack
+    q = ["mapp v. ohio"]
+    v, i, cases = fused.query_batch(
+        embed(emb, q), q, [["No Such Court"]], [None], [0.5], [2.0], k=5,
+    )
+    assert (cases[0] == -1).all()
+    assert np.isneginf(v[0]).all()
+
+
+def test_fused_threshold_masks_semantic_but_not_lexical(stack):
+    built, fused, emb = stack
+    q = ["mapp v. ohio"]
+    # impossible semantic threshold: only the lexical boost can survive
+    v, i, cases = fused.query_batch(
+        embed(emb, q), q, [None], [None], min_similarity=[5.0],
+        exact_weight=[2.0], k=5,
+    )
+    assert v[0, 0] == 2.0  # lexical hit survives
+    assert np.isneginf(v[0, 1:]).any() or (cases[0, 1:] >= 0).sum() <= 2

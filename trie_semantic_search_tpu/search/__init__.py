@@ -6,10 +6,12 @@ here would close an import cycle.
 """
 
 from .cache import CacheStats, QueryCache, VectorCache
+from .fused import FusedHybridSearch
 from .snippets import HighlightType, TextHighlight, generate_snippet
 
 __all__ = [
     "CacheStats",
+    "FusedHybridSearch",
     "HighlightType",
     "MatchType",
     "QueryCache",
