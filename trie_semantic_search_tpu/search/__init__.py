@@ -6,7 +6,6 @@ here would close an import cycle.
 """
 
 from .cache import CacheStats, QueryCache, VectorCache
-from .fused import FusedHybridSearch
 from .snippets import HighlightType, TextHighlight, generate_snippet
 
 __all__ = [
@@ -38,4 +37,8 @@ def __getattr__(name: str):
         from . import engine
 
         return getattr(engine, name)
+    if name == "FusedHybridSearch":
+        from .fused import FusedHybridSearch
+
+        return FusedHybridSearch
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
