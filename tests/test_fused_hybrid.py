@@ -142,3 +142,45 @@ def test_fused_threshold_masks_semantic_but_not_lexical(stack):
     )
     assert v[0, 0] == 2.0  # lexical hit survives
     assert np.isneginf(v[0, 1:]).any() or (cases[0, 1:] >= 0).sum() <= 2
+
+
+def test_engine_fused_path_matches_staged(stack, tmp_path_factory):
+    """use_fused_device_path=True returns the same case ranking as the
+    staged path on representative queries."""
+    from trie_semantic_search_tpu.search.engine import SearchEngine, SearchQuery
+    from trie_semantic_search_tpu.storage.store import StorageManager
+
+    built, fused, emb = stack
+    tmp = tmp_path_factory.mktemp("fused_engine")
+    cfg = Config()
+    cfg.storage.db_path = str(tmp / "db.sqlite")
+    cfg.vector.dimension = 64
+    storage = StorageManager(cfg.storage)
+    for name, cit, court, date, text in CASES:
+        meta = CaseMetadata(id=new_case_id(), name=name, citation=cit,
+                            court=court, decision_date=date)
+        storage.store_case_metadata(meta)
+        storage.store_case_text(meta.id, text)
+    built2 = build_indexes(storage, cfg, embedder=emb)
+    engine = SearchEngine(cfg, storage, built2.trie, built2.vector, built2.columns)
+
+    queries = [
+        SearchQuery(query="mapp v. ohio"),
+        SearchQuery(query="stop and frisk"),
+        SearchQuery(query="evidence suppression",
+                    court_filter=["Supreme Court of California"]),
+        SearchQuery(query="reasonable suspicion of criminal activity",
+                    date_range=(dt.date(1965, 1, 1), dt.date(1969, 1, 1))),
+    ]
+    cfg.search.use_fused_device_path = False
+    staged = [
+        [r.case_metadata.id for r in rs] for rs in engine.search_batch(queries)
+    ]
+    cfg.search.use_fused_device_path = True
+    engine.query_cache.clear()
+    fused_res = [
+        [r.case_metadata.id for r in rs] for rs in engine.search_batch(queries)
+    ]
+    for s_ids, f_ids in zip(staged, fused_res):
+        # same top case; same filtered sets
+        assert (s_ids[:1] == f_ids[:1]) or (set(s_ids) == set(f_ids))

@@ -252,6 +252,11 @@ class SearchEngineConfig:
 
     default_max_results: int = 10
     search_timeout_ms: int = 5000
+    #: run the single-program fused device query step (semantic scan +
+    #: device filter masks + lexical boost + top-k in one jit program)
+    #: instead of the staged path. Identical results; fewer host<->device
+    #: round-trips per batch.
+    use_fused_device_path: bool = False
     enable_query_cache: bool = True
     query_cache_size: int = 10000
     query_cache_ttl_seconds: int = 3600

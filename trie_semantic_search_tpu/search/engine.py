@@ -129,6 +129,7 @@ class SearchEngine:
         # snippet anchoring must replay the builder's exact chunking
         self._text_processor = TextProcessor(config.text_processing)
         self._queries_served = 0
+        self._fused = None  # lazily-built FusedHybridSearch
 
     # -- index swap (lock-free hot reload; README.md:161-165 hot-reload) ----
 
@@ -146,6 +147,7 @@ class SearchEngine:
             self.vector_index = vector_index
         if columns is not None:
             self.columns = columns
+        self._fused = None  # rebind to the new artifacts on demand
         self.query_cache.clear()
 
     def warmup(self, batch_sizes: Sequence[int] = (1, 8, 16, 32, 64)) -> None:
@@ -200,7 +202,90 @@ class SearchEngine:
 
     # -- hybrid execution (ref search.rs:185-240) ---------------------------
 
+    def _get_fused(self):
+        if self._fused is None:
+            from .fused import FusedHybridSearch
+
+            self._fused = FusedHybridSearch(
+                self.trie_index, self.vector_index, self.columns
+            )
+        return self._fused
+
+    def _execute_batch_fused(
+        self, queries: list[SearchQuery]
+    ) -> list[list[SearchResult]]:
+        """Single-program device path: scan + filters + boost + top-k in one
+        jit call, then host dedup-by-case + hydration of <=max_results."""
+        texts = [q.query for q in queries]
+        embs = np.stack(
+            [self.vector_index.generate_embedding(t) for t in texts]
+        )
+        fused = self._get_fused()
+        vals, _chunks, cases = fused.query_batch(
+            embs,
+            texts,
+            court_filters=[q.court_filter for q in queries],
+            date_ranges=[q.date_range for q in queries],
+            min_similarity=[q.config.min_similarity for q in queries],
+            exact_weight=[q.config.exact_match_weight for q in queries],
+            k=min(64, max(8, 4 * max(
+                (q.max_results or q.config.max_results) for q in queries
+            ))),
+        )
+        results: list[list[SearchResult]] = []
+        for b, q in enumerate(queries):
+            limit = q.max_results or q.config.max_results
+            seen: set[int] = set()
+            out: list[SearchResult] = []
+            for score, case_row in zip(vals[b], cases[b]):
+                if case_row < 0 or not np.isfinite(score):
+                    continue
+                case_row = int(case_row)
+                if case_row in seen:
+                    continue
+                seen.add(case_row)
+                meta = self._hydrate(case_row)
+                if meta is None:
+                    continue
+                mtype = (
+                    MatchType.EXACT
+                    if score >= q.config.exact_match_weight
+                    else MatchType.SEMANTIC
+                )
+                text = self.storage.get_case_text(meta.id) or meta.full_text
+                ht = (
+                    HighlightType.EXACT_MATCH
+                    if mtype == MatchType.EXACT
+                    else HighlightType.SEMANTIC_MATCH
+                )
+                snippet, highlights = generate_snippet(
+                    text or meta.name, q.query, highlight_type=ht
+                )
+                out.append(
+                    SearchResult(
+                        case_metadata=meta,
+                        score=float(score),
+                        match_type=mtype,
+                        snippet=snippet,
+                        highlights=highlights,
+                    )
+                )
+                if len(out) >= limit:
+                    break
+            results.append(out)
+        return results
+
     def _execute_batch(self, queries: list[SearchQuery]) -> list[list[SearchResult]]:
+        if (
+            self.config.search.use_fused_device_path
+            and self.vector_index.vectors is not None
+            and len(self.vector_index.vectors)
+            and all(
+                q.config.enable_prefix and q.config.enable_semantic
+                for q in queries
+            )
+        ):
+            return self._execute_batch_fused(queries)
         B = len(queries)
         texts = [q.query for q in queries]
 
