@@ -159,6 +159,45 @@ def main() -> None:
     valid = np.asarray(out[3])
     hit_rate = float(valid.any(axis=1).mean())
 
+    # ---- fused step-7 program: scan + device filters + boost + topk ------
+    from trie_semantic_search_tpu.ops.hybrid import fused_hybrid_topk
+
+    rng3 = np.random.default_rng(9)
+    n_cases = N // 4
+    chunk_case = jnp.asarray(rng3.integers(0, n_cases, N), jnp.int32)
+    chunk_court = jnp.asarray(rng3.integers(0, 16, N), jnp.int32)
+    chunk_date = jnp.asarray(rng3.integers(0, 40000, N), jnp.int32)
+    court_table = jnp.asarray(rng3.random((B, 16)) < 0.5)
+    date_lo = jnp.zeros(B, jnp.int32)
+    date_hi = jnp.full(B, 40000, jnp.int32)
+    f_trie_rows = jnp.asarray(rng3.integers(0, n_cases, (B, 16)), jnp.int32)
+    rep = jnp.asarray(
+        np.minimum(np.arange(n_cases, dtype=np.int32) * 4, N - 1)
+    )
+    min_sim = jnp.full(B, 0.5, jnp.float32)
+    ew = jnp.full(B, 2.0, jnp.float32)
+    q_embs = jnp.asarray(rng2.standard_normal((R, B, D)), jnp.float32)
+
+    @jax.jit
+    def fused_loop(q_embs):
+        def body(c, q):
+            v, i, cases = fused_hybrid_topk(
+                q, corpus_q, corpus_scale, chunk_case, chunk_court,
+                chunk_date, court_table, date_lo, date_hi, f_trie_rows,
+                rep, min_sim, ew, k=40, recall_target=0.95,
+            )
+            return c + v.sum(), None
+        return jax.lax.scan(body, 0.0, q_embs)[0]
+
+    jax.block_until_ready(fused_loop(q_embs))
+    f_times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused_loop(q_embs))
+        f_times.append(time.perf_counter() - t0)
+    fused_ms = statistics.median(f_times) / R * 1000
+    fused_qps = B / (statistics.median(f_times) / R)
+
     result = {
         "metric": "hybrid_query_qps_per_chip",
         "value": round(qps, 1),
@@ -170,6 +209,8 @@ def main() -> None:
         "single_dispatch_batch_ms": round(dispatch_batch_ms, 3),
         "amortized_query_ms": round(p50_per_query_ms, 4),
         "trie_hit_rate": round(hit_rate, 3),
+        "fused_step7_batch_ms": round(fused_ms, 3),
+        "fused_step7_qps": round(fused_qps, 1),
         "device": str(dev),
     }
     print(json.dumps(result))

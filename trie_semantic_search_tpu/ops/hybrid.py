@@ -30,10 +30,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .topk import exact_topk
+from .topk import exact_topk, fast_topk
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
 def fused_hybrid_topk(
     query_emb: jax.Array,  # [B, D] f32, L2-normalised
     corpus_q: jax.Array,  # [N, D] int8 chunk embeddings
@@ -49,11 +49,11 @@ def fused_hybrid_topk(
     min_similarity: jax.Array,  # [B] f32
     exact_weight: jax.Array,  # [B] f32
     k: int,
+    recall_target: float = 1.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns ``(scores [B,k], chunk_idx [B,k], case_rows [B,k])`` with
     filtered-out / empty slots carrying ``-inf`` / ``-1``."""
     B = query_emb.shape[0]
-    N = corpus_q.shape[0]
 
     # 1) semantic scores (int8 MXU)
     q_abs = jnp.max(jnp.abs(query_emb), axis=1, keepdims=True)
@@ -62,31 +62,45 @@ def fused_hybrid_topk(
     acc = jnp.einsum("bd,nd->bn", q8, corpus_q, preferred_element_type=jnp.int32)
     scores = acc.astype(jnp.float32) * q_scale * corpus_scale.reshape(1, -1)
 
-    # 3) similarity threshold (before the boost: lexical hits are exempt,
-    # matching the reference where only semantic hits are thresholded)
-    scores = jnp.where(scores >= min_similarity[:, None], scores, -jnp.inf)
-
-    # 4) lexical boost: scatter exact_weight at each trie-hit case's
-    # representative chunk (scatter-max: a case hit both ways keeps the max)
-    safe_rows = jnp.clip(trie_rows, 0, trie_chunk_of_case.shape[0] - 1)
-    hit_chunk = jnp.take(trie_chunk_of_case, safe_rows)  # [B, R]
-    valid_hit = (trie_rows >= 0) & (hit_chunk >= 0)
-    boost_vals = jnp.where(valid_hit, exact_weight[:, None], -jnp.inf)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], trie_rows.shape)
-    scores = scores.at[b_idx, jnp.maximum(hit_chunk, 0)].max(boost_vals)
-
-    # 2) metadata filter masks (after the boost: filters apply to lexical
-    # hits too, ref search.rs:254-274)
-    court_ok = jnp.take_along_axis(
-        court_table, jnp.broadcast_to(chunk_court[None, :], (B, N)), axis=1
-    )
+    # 2+3) one fused mask pass: metadata filters + similarity threshold.
+    # court filter: gather over the shared 1-D chunk_court index (a [B, N]
+    # take_along_axis with a materialised [B, N] index matrix, or a [B, N]
+    # scatter for the boost, each cost ~100x more on TPU — measured).
+    court_ok = jnp.take(court_table, chunk_court, axis=1)  # [B, N]
     date_ok = (chunk_date[None, :] >= date_lo[:, None]) & (
         chunk_date[None, :] <= date_hi[:, None]
     )
-    scores = jnp.where(court_ok & date_ok, scores, -jnp.inf)
+    keep = court_ok & date_ok & (scores >= min_similarity[:, None])
+    scores = jnp.where(keep, scores, -jnp.inf)
 
-    # 5) top-k chunk candidates
-    top_v, top_i = exact_topk(scores, k)
+    # 5a) semantic top-k over the full corpus (approx_max_k — the TPU-KNN
+    # partial reduction — when recall_target < 1; the lexical merge below
+    # stays exact either way)
+    if recall_target >= 1.0:
+        top_v, top_i = exact_topk(scores, k)
+    else:
+        top_v, top_i = fast_topk(scores, k, recall_target)
+
+    # 4) lexical boost, merge-style: the <=R trie-hit chunks per query form
+    # a tiny side list at exact_weight (filter-checked via cheap gathers,
+    # threshold-exempt like the reference); a final top-k over the
+    # concatenation replaces the giant scatter.
+    safe_rows = jnp.clip(trie_rows, 0, trie_chunk_of_case.shape[0] - 1)
+    hit_chunk = jnp.take(trie_chunk_of_case, safe_rows)  # [B, R]
+    safe_chunk = jnp.maximum(hit_chunk, 0)
+    hit_court_ok = jnp.take_along_axis(
+        court_table, jnp.take(chunk_court, safe_chunk), axis=1
+    )
+    hit_dates = jnp.take(chunk_date, safe_chunk)
+    hit_date_ok = (hit_dates >= date_lo[:, None]) & (hit_dates <= date_hi[:, None])
+    valid_hit = (trie_rows >= 0) & (hit_chunk >= 0) & hit_court_ok & hit_date_ok
+    lex_v = jnp.where(valid_hit, exact_weight[:, None], -jnp.inf)
+
+    merged_v = jnp.concatenate([top_v, lex_v], axis=1)  # [B, k+R]
+    merged_i = jnp.concatenate([top_i, safe_chunk], axis=1)
+    top_v, pos = exact_topk(merged_v, k)
+    top_i = jnp.take_along_axis(merged_i, pos, axis=1)
+
     cases = jnp.where(
         jnp.isneginf(top_v), -1, jnp.take(chunk_case, top_i)
     )
