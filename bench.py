@@ -93,21 +93,39 @@ def main() -> None:
         gather_postings,
     )
 
+    # device metadata columns + filter encodings for the fused step
+    from trie_semantic_search_tpu.ops.hybrid import fused_hybrid_topk
+
+    rng3 = np.random.default_rng(9)
+    n_cases = N // 4
+    chunk_case = jnp.asarray(rng3.integers(0, n_cases, N), jnp.int32)
+    chunk_court = jnp.asarray(rng3.integers(0, 16, N), jnp.int32)
+    chunk_date = jnp.asarray(rng3.integers(0, 40000, N), jnp.int32)
+    court_table_c = jnp.asarray(rng3.random((B, 16)) < 0.5)
+    date_lo_c = jnp.zeros(B, jnp.int32)
+    date_hi_c = jnp.full(B, 40000, jnp.int32)
+    rep_chunk = jnp.asarray(
+        np.minimum(np.arange(n_cases, dtype=np.int32) * 4, N - 1)
+    )
+    min_sim_c = jnp.full(B, 0.5, jnp.float32)
+    ew_c = jnp.full(B, 2.0, jnp.float32)
+
     @jax.jit
     def query_step(params, input_ids, attention_mask, trie_ids):
+        """The COMPLETE hybrid query program, SURVEY §7 step 7: encode +
+        trie walk + fused (scan + device filters + lexical boost + top-k)."""
         # 1. encode queries (MXU, bf16)
         emb = minilm.encode(params, input_ids, attention_mask, config)
-        # 2. int8 corpus scan (int8 MXU matmul, f32 rescale)
-        q_scale = jnp.maximum(jnp.max(jnp.abs(emb), axis=1, keepdims=True), 1e-12) / 127.0
-        q8 = jnp.clip(jnp.round(emb / q_scale), -127, 127).astype(jnp.int8)
-        acc = jnp.einsum("bd,nd->bn", q8, corpus_q, preferred_element_type=jnp.int32)
-        scores = acc.astype(jnp.float32) * q_scale * corpus_scale.reshape(1, -1)
-        # approx_max_k = the TPU-native partial reduction (TPU-KNN); the
-        # profiled recall at 0.95 target matches the ANN recall budget
-        v, i = fast_topk(scores, K, recall_target=0.95)
-        # 3. trie lexical walk + postings
+        # 2. trie lexical walk + postings (case rows, -1 padded)
         nodes = batched_walk(eo, et, tg, trie_ids)
         rows, valid = gather_postings(po, pc, ie, nodes, 16)
+        lex_rows = jnp.where(valid, rows, -1)
+        # 3. fused semantic scan + metadata filters + boost + top-k
+        v, i, cases = fused_hybrid_topk(
+            emb, corpus_q, corpus_scale, chunk_case, chunk_court,
+            chunk_date, court_table_c, date_lo_c, date_hi_c, lex_rows,
+            rep_chunk, min_sim_c, ew_c, k=K * 4, recall_target=0.95,
+        )
         return v, i, rows, valid
 
     rng2 = np.random.default_rng(2)
@@ -159,44 +177,7 @@ def main() -> None:
     valid = np.asarray(out[3])
     hit_rate = float(valid.any(axis=1).mean())
 
-    # ---- fused step-7 program: scan + device filters + boost + topk ------
-    from trie_semantic_search_tpu.ops.hybrid import fused_hybrid_topk
 
-    rng3 = np.random.default_rng(9)
-    n_cases = N // 4
-    chunk_case = jnp.asarray(rng3.integers(0, n_cases, N), jnp.int32)
-    chunk_court = jnp.asarray(rng3.integers(0, 16, N), jnp.int32)
-    chunk_date = jnp.asarray(rng3.integers(0, 40000, N), jnp.int32)
-    court_table = jnp.asarray(rng3.random((B, 16)) < 0.5)
-    date_lo = jnp.zeros(B, jnp.int32)
-    date_hi = jnp.full(B, 40000, jnp.int32)
-    f_trie_rows = jnp.asarray(rng3.integers(0, n_cases, (B, 16)), jnp.int32)
-    rep = jnp.asarray(
-        np.minimum(np.arange(n_cases, dtype=np.int32) * 4, N - 1)
-    )
-    min_sim = jnp.full(B, 0.5, jnp.float32)
-    ew = jnp.full(B, 2.0, jnp.float32)
-    q_embs = jnp.asarray(rng2.standard_normal((R, B, D)), jnp.float32)
-
-    @jax.jit
-    def fused_loop(q_embs):
-        def body(c, q):
-            v, i, cases = fused_hybrid_topk(
-                q, corpus_q, corpus_scale, chunk_case, chunk_court,
-                chunk_date, court_table, date_lo, date_hi, f_trie_rows,
-                rep, min_sim, ew, k=40, recall_target=0.95,
-            )
-            return c + v.sum(), None
-        return jax.lax.scan(body, 0.0, q_embs)[0]
-
-    jax.block_until_ready(fused_loop(q_embs))
-    f_times = []
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fused_loop(q_embs))
-        f_times.append(time.perf_counter() - t0)
-    fused_ms = statistics.median(f_times) / R * 1000
-    fused_qps = B / (statistics.median(f_times) / R)
 
     result = {
         "metric": "hybrid_query_qps_per_chip",
@@ -209,8 +190,7 @@ def main() -> None:
         "single_dispatch_batch_ms": round(dispatch_batch_ms, 3),
         "amortized_query_ms": round(p50_per_query_ms, 4),
         "trie_hit_rate": round(hit_rate, 3),
-        "fused_step7_batch_ms": round(fused_ms, 3),
-        "fused_step7_qps": round(fused_qps, 1),
+        "includes": "encode + trie walk + fused(scan + device court/date filters + lexical boost + top-k)",
         "device": str(dev),
     }
     print(json.dumps(result))
