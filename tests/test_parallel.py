@@ -95,3 +95,70 @@ def test_sharded_int8_topk_recall(mesh, data):
         [len(set(a) & set(b)) / 10 for a, b in zip(np.asarray(i), ni)]
     )
     assert recall >= 0.9
+
+
+def test_sharded_fused_topk(mesh):
+    """Multi-chip step-7: shard-local filtered scan + ICI merge + global
+    lexical boost matches a NumPy oracle."""
+    import jax
+    from trie_semantic_search_tpu.parallel.collectives import sharded_fused_topk
+    from trie_semantic_search_tpu.parallel import corpus_sharding, row_sharding
+
+    rng = np.random.default_rng(12)
+    N, D, B, K = 256, 32, 4, 6
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    from trie_semantic_search_tpu.ops import quantize_int8
+
+    cq, cs = quantize_int8(corpus)
+    chunk_case = rng.integers(0, 64, N).astype(np.int32)
+    chunk_court = rng.integers(0, 4, N).astype(np.int32)
+    chunk_date = rng.integers(0, 1000, N).astype(np.int32)
+    court_table = rng.random((B, 4)) < 0.6
+    date_lo = np.zeros(B, np.int32)
+    date_hi = np.full(B, 800, np.int32)
+    lex = np.full((B, 3), -1, np.int32)
+    lex[0, 0] = 7  # query 0 has one lexical hit (case 7)
+    queries = corpus[:B]
+    min_sim = np.full(B, 0.3, np.float32)
+    ew = np.full(B, 2.0, np.float32)
+
+    csh = corpus_sharding(mesh)
+    rsh = row_sharding(mesh)
+    v, c = sharded_fused_topk(
+        mesh,
+        jnp.asarray(queries),
+        jax.device_put(cq, csh),
+        jax.device_put(cs, csh),
+        jax.device_put(jnp.asarray(chunk_case), rsh),
+        jax.device_put(jnp.asarray(chunk_court), rsh),
+        jax.device_put(jnp.asarray(chunk_date), rsh),
+        jnp.asarray(court_table),
+        jnp.asarray(date_lo),
+        jnp.asarray(date_hi),
+        jnp.asarray(lex),
+        jnp.asarray(min_sim),
+        jnp.asarray(ew),
+        k=K,
+    )
+    v, c = np.array(v), np.array(c)
+
+    # numpy oracle
+    scores = queries @ corpus.T  # approx (int8 error ~0.03)
+    keep = (
+        court_table[:, chunk_court]
+        & (chunk_date[None, :] >= date_lo[:, None])
+        & (chunk_date[None, :] <= date_hi[:, None])
+        & (scores >= min_sim[:, None])
+    )
+    masked = np.where(keep, scores, -np.inf)
+    for b in range(B):
+        order = np.argsort(-masked[b], kind="stable")[:K]
+        expected_cases = [chunk_case[i] for i in order if np.isfinite(masked[b][i])]
+        got = [x for x in c[b] if x >= 0]
+        if b == 0:
+            assert got[0] == 7 and v[0, 0] == 2.0  # lexical boost first
+            got = got[1:]
+        # int8 scoring: allow small rank jitter, compare as sets mostly
+        overlap = len(set(got) & set(expected_cases)) / max(1, len(got))
+        assert overlap >= 0.6, (got, expected_cases)
