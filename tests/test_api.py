@@ -419,3 +419,38 @@ def test_cli_config_dump(tmp_path, capsys):
     parsed = tomllib.loads(out)
     assert parsed["server"]["port"] == 9123
     assert parsed["trie"]["content_window"] == 8
+
+
+def test_cli_loadtest_against_test_server(tmp_path, capsys):
+    """loadtest subcommand drives a live server and reports stats."""
+    import threading
+
+    from aiohttp.test_utils import TestServer as TS
+
+    from trie_semantic_search_tpu.cli import main as cli_main
+
+    state = make_state(tmp_path)
+    server = ApiServer(state)
+    loop = asyncio.new_event_loop()
+    # the server's loop must keep running in a background thread while the
+    # loadtest client (its own loop) fires requests at it
+    thread = threading.Thread(target=loop.run_forever, daemon=True)
+    thread.start()
+    ts = TS(server.app)
+    asyncio.run_coroutine_threadsafe(ts.start_server(), loop).result(30)
+    port = ts.port
+    try:
+        rc = cli_main([
+            "loadtest", "--url", f"http://127.0.0.1:{port}",
+            "--requests", "6", "--concurrency", "3",
+            "--query-template", "right to remain silent {i}",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["requests"] == 6
+        assert out["errors"] == 0
+        assert out["qps"] > 0 and out["p50_ms"] > 0
+    finally:
+        asyncio.run_coroutine_threadsafe(ts.close(), loop).result(30)
+        loop.call_soon_threadsafe(loop.stop)
+        thread.join(timeout=5)

@@ -251,6 +251,68 @@ def cmd_completions(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_loadtest(args: argparse.Namespace) -> int:
+    """HTTP load generator against a running server: concurrent POST
+    /search with distinct queries, reporting QPS + latency percentiles."""
+    import time
+
+    import aiohttp
+
+    async def _run() -> dict:
+        url = args.url.rstrip("/") + "/search"
+        latencies: list[float] = []
+        errors = [0]
+        sem = asyncio.Semaphore(args.concurrency)
+
+        async def one(session: aiohttp.ClientSession, i: int) -> None:
+            payload = {
+                "query": args.query_template.format(i=i),
+                "max_results": 5,
+            }
+            async with sem:
+                t0 = time.perf_counter()
+                try:
+                    async with session.post(url, json=payload) as resp:
+                        await resp.read()
+                        if resp.status != 200:
+                            errors[0] += 1
+                    latencies.append((time.perf_counter() - t0) * 1000)
+                except aiohttp.ClientError:
+                    errors[0] += 1
+
+        timeout = aiohttp.ClientTimeout(total=args.timeout)
+        async with aiohttp.ClientSession(timeout=timeout) as session:
+            # warm pass (compiles on a cold server)
+            await asyncio.gather(
+                *(one(session, i) for i in range(args.concurrency))
+            )
+            latencies.clear()
+            errors[0] = 0
+            t0 = time.perf_counter()
+            await asyncio.gather(*(one(session, i) for i in range(args.requests)))
+            wall = time.perf_counter() - t0
+        latencies.sort()
+
+        def pct(p: float) -> float:
+            if not latencies:
+                return float("nan")
+            return latencies[min(len(latencies) - 1, int(p * len(latencies)))]
+
+        return {
+            "requests": args.requests,
+            "concurrency": args.concurrency,
+            "errors": errors[0],
+            "wall_s": round(wall, 2),
+            "qps": round(args.requests / wall, 1) if wall else None,
+            "p50_ms": round(pct(0.5), 1),
+            "p95_ms": round(pct(0.95), 1),
+            "p99_ms": round(pct(0.99), 1),
+        }
+
+    print(json.dumps(asyncio.run(_run())))
+    return 0
+
+
 def cmd_config_dump(args: argparse.Namespace) -> int:
     """Print the effective config (defaults + file + env) as TOML — the
     reference's Config::to_toml surface (config.rs:468-479)."""
@@ -321,6 +383,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("config-dump", help="print the effective config as TOML")
     s.set_defaults(fn=cmd_config_dump)
+
+    s = sub.add_parser("loadtest", help="HTTP load test against a running server")
+    s.add_argument("--url", default="http://127.0.0.1:8080")
+    s.add_argument("--requests", type=int, default=500)
+    s.add_argument("--concurrency", type=int, default=32)
+    s.add_argument("--timeout", type=float, default=120.0)
+    s.add_argument("--query-template", default="question of due process number {i}")
+    s.set_defaults(fn=cmd_loadtest)
 
     return p
 
