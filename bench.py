@@ -120,11 +120,13 @@ def main() -> None:
         nodes = batched_walk(eo, et, tg, trie_ids)
         rows, valid = gather_postings(po, pc, ie, nodes, 16)
         lex_rows = jnp.where(valid, rows, -1)
-        # 3. fused semantic scan + metadata filters + boost + top-k
-        v, i, cases = fused_hybrid_topk(
+        lex_src = jnp.full_like(lex_rows, 3)  # SRC_CONTENT
+        # 3. fused semantic scan + metadata filters + boost + dedup + top-k
+        v, i, cases, src = fused_hybrid_topk(
             emb, corpus_q, corpus_scale, chunk_case, chunk_court,
             chunk_date, court_table_c, date_lo_c, date_hi_c, lex_rows,
-            rep_chunk, min_sim_c, ew_c, k=K * 4, recall_target=0.95,
+            lex_src, rep_chunk, min_sim_c, ew_c, k=K, overfetch=4,
+            recall_target=0.95,
         )
         return v, i, rows, valid
 

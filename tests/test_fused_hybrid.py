@@ -66,7 +66,7 @@ def embed(emb, texts):
 def test_fused_semantic_self_retrieval(stack):
     built, fused, emb = stack
     qs = [c[4] for c in CASES]
-    v, i, cases = fused.query_batch(
+    v, i, cases, src = fused.query_batch(
         embed(emb, qs), qs,
         court_filters=[None] * 3, date_ranges=[None] * 3,
         min_similarity=[0.5] * 3, exact_weight=[2.0] * 3, k=5,
@@ -80,19 +80,23 @@ def test_fused_semantic_self_retrieval(stack):
 def test_fused_lexical_boost_on_name(stack):
     built, fused, emb = stack
     q = ["mapp v. ohio"]
-    v, i, cases = fused.query_batch(
+    v, i, cases, src = fused.query_batch(
         embed(emb, q), q, [None], [None], [0.99], [2.0], k=3,
     )
     # name-trie hit boosts Mapp's representative chunk to 2.0
     assert v[0, 0] == 2.0
     meta_row = cases[0, 0]
     assert meta_row >= 0
+    # provenance: the boost came from the case-name trie span
+    from trie_semantic_search_tpu.ops.hybrid import SRC_CASE_NAME
+
+    assert src[0, 0] == SRC_CASE_NAME
 
 
 def test_fused_court_filter(stack):
     built, fused, emb = stack
     q = ["evidence suppression state constitution"]
-    v, i, cases = fused.query_batch(
+    v, i, cases, src = fused.query_batch(
         embed(emb, q), q,
         court_filters=[["Supreme Court of California"]],
         date_ranges=[None], min_similarity=[0.0], exact_weight=[2.0], k=5,
@@ -109,7 +113,7 @@ def test_fused_court_filter(stack):
 def test_fused_date_filter(stack):
     built, fused, emb = stack
     q = ["police stop and frisk"]
-    v, i, cases = fused.query_batch(
+    v, i, cases, src = fused.query_batch(
         embed(emb, q), q, [None],
         date_ranges=[(dt.date(1965, 1, 1), dt.date(1969, 1, 1))],
         min_similarity=[0.0], exact_weight=[2.0], k=5,
@@ -125,7 +129,7 @@ def test_fused_date_filter(stack):
 def test_fused_filter_excludes_everything(stack):
     built, fused, emb = stack
     q = ["mapp v. ohio"]
-    v, i, cases = fused.query_batch(
+    v, i, cases, src = fused.query_batch(
         embed(emb, q), q, [["No Such Court"]], [None], [0.5], [2.0], k=5,
     )
     assert (cases[0] == -1).all()
@@ -136,7 +140,7 @@ def test_fused_threshold_masks_semantic_but_not_lexical(stack):
     built, fused, emb = stack
     q = ["mapp v. ohio"]
     # impossible semantic threshold: only the lexical boost can survive
-    v, i, cases = fused.query_batch(
+    v, i, cases, src = fused.query_batch(
         embed(emb, q), q, [None], [None], min_similarity=[5.0],
         exact_weight=[2.0], k=5,
     )
@@ -174,13 +178,47 @@ def test_engine_fused_path_matches_staged(stack, tmp_path_factory):
     ]
     cfg.search.use_fused_device_path = False
     staged = [
-        [r.case_metadata.id for r in rs] for rs in engine.search_batch(queries)
+        [(r.case_metadata.id, r.match_type) for r in rs]
+        for rs in engine.search_batch(queries)
     ]
     cfg.search.use_fused_device_path = True
     engine.query_cache.clear()
     fused_res = [
-        [r.case_metadata.id for r in rs] for rs in engine.search_batch(queries)
+        [(r.case_metadata.id, r.match_type) for r in rs]
+        for rs in engine.search_batch(queries)
     ]
-    for s_ids, f_ids in zip(staged, fused_res):
+    for s_rows, f_rows in zip(staged, fused_res):
         # same top case; same filtered sets
+        s_ids = [i for i, _ in s_rows]
+        f_ids = [i for i, _ in f_rows]
         assert (s_ids[:1] == f_ids[:1]) or (set(s_ids) == set(f_ids))
+        # round-1 VERDICT item 9: match_type parity — both paths must
+        # attribute identically for cases they both return
+        s_types = dict(s_rows)
+        for cid, mtype in f_rows:
+            if cid in s_types:
+                assert mtype == s_types[cid], (cid, mtype, s_types[cid])
+
+
+def test_fused_dedup_returns_distinct_cases(stack):
+    """ADVICE round 1: device dedup-by-case — k slots hold distinct cases
+    even when one case's chunks dominate the chunk-level top-k."""
+    built, fused, emb = stack
+    q = ["evidence obtained by searches"]
+    v, i, cases, src = fused.query_batch(
+        embed(emb, q), q, [None], [None], [0.0], [2.0], k=3,
+    )
+    got = [c for c in cases[0] if c >= 0]
+    assert len(got) == len(set(got))
+    # with min_sim 0 and 3 cases in corpus, all 3 distinct cases surface
+    assert len(set(got)) == 3
+
+
+def test_fused_missing_date_rows_pass_without_filter(stack):
+    """ADVICE round 1 (low): rows with a missing decision_date must pass
+    when NO date filter is given (parity with the staged path)."""
+    from trie_semantic_search_tpu.storage.columns import MISSING_DATE
+
+    built, fused, emb = stack
+    lo, hi = fused.columns.encode_date_range(None)
+    assert lo <= int(MISSING_DATE) <= hi

@@ -97,39 +97,46 @@ def test_sharded_int8_topk_recall(mesh, data):
     assert recall >= 0.9
 
 
-def test_sharded_fused_topk(mesh):
-    """Multi-chip step-7: shard-local filtered scan + ICI merge + global
-    lexical boost matches a NumPy oracle."""
-    import jax
-    from trie_semantic_search_tpu.parallel.collectives import sharded_fused_topk
-    from trie_semantic_search_tpu.parallel import corpus_sharding, row_sharding
-
-    rng = np.random.default_rng(12)
-    N, D, B, K = 256, 32, 4, 6
-    corpus = rng.standard_normal((N, D)).astype(np.float32)
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+def _fused_inputs(mesh, n_cases=64, N=256, D=32, B=4, seed=12):
+    """Shared fixture data for the sharded fused step."""
     from trie_semantic_search_tpu.ops import quantize_int8
 
+    rng = np.random.default_rng(seed)
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     cq, cs = quantize_int8(corpus)
-    chunk_case = rng.integers(0, 64, N).astype(np.int32)
+    chunk_case = rng.integers(0, n_cases, N).astype(np.int32)
     chunk_court = rng.integers(0, 4, N).astype(np.int32)
     chunk_date = rng.integers(0, 1000, N).astype(np.int32)
+    # case-level columns consistent with the chunk-level ones (first chunk
+    # of a case defines it — the builder derives chunk cols FROM case cols)
+    case_court = np.zeros(n_cases, np.int32)
+    case_date = np.zeros(n_cases, np.int32)
+    for i in range(N - 1, -1, -1):
+        case_court[chunk_case[i]] = chunk_court[i]
+        case_date[chunk_case[i]] = chunk_date[i]
+    # ...and push back so every chunk of a case agrees with its case
+    chunk_court = case_court[chunk_case]
+    chunk_date = case_date[chunk_case]
     court_table = rng.random((B, 4)) < 0.6
-    date_lo = np.zeros(B, np.int32)
-    date_hi = np.full(B, 800, np.int32)
-    lex = np.full((B, 3), -1, np.int32)
-    lex[0, 0] = 7  # query 0 has one lexical hit (case 7)
-    queries = corpus[:B]
-    min_sim = np.full(B, 0.3, np.float32)
-    ew = np.full(B, 2.0, np.float32)
+    return (corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+            case_court, case_date, court_table, rng)
 
-    csh = corpus_sharding(mesh)
-    rsh = row_sharding(mesh)
-    v, c = sharded_fused_topk(
+
+def _run_fused(mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+               case_court, case_date, court_table, lex, lex_src,
+               date_lo, date_hi, min_sim, ew, K, n_valid=None):
+    import jax
+    from trie_semantic_search_tpu.parallel import corpus_sharding, row_sharding
+    from trie_semantic_search_tpu.parallel.collectives import sharded_fused_topk
+
+    B = court_table.shape[0]
+    csh, rsh = corpus_sharding(mesh), row_sharding(mesh)
+    v, c, s = sharded_fused_topk(
         mesh,
-        jnp.asarray(queries),
-        jax.device_put(cq, csh),
-        jax.device_put(cs, csh),
+        jnp.asarray(corpus[:B]),
+        jax.device_put(jnp.asarray(cq), csh),
+        jax.device_put(jnp.asarray(cs), csh),
         jax.device_put(jnp.asarray(chunk_case), rsh),
         jax.device_put(jnp.asarray(chunk_court), rsh),
         jax.device_put(jnp.asarray(chunk_date), rsh),
@@ -137,14 +144,45 @@ def test_sharded_fused_topk(mesh):
         jnp.asarray(date_lo),
         jnp.asarray(date_hi),
         jnp.asarray(lex),
+        jnp.asarray(lex_src),
+        jnp.asarray(case_court),
+        jnp.asarray(case_date),
         jnp.asarray(min_sim),
         jnp.asarray(ew),
         k=K,
+        n_valid=n_valid,
     )
-    v, c = np.array(v), np.array(c)
+    return np.array(v), np.array(c), np.array(s)
 
-    # numpy oracle
-    scores = queries @ corpus.T  # approx (int8 error ~0.03)
+
+def test_sharded_fused_topk(mesh):
+    """Multi-chip step-7: shard-local filtered scan + ICI merge + global
+    lexical boost + dedup-by-case matches a NumPy oracle."""
+    N, D, B, K = 256, 32, 4, 6
+    (corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+     case_court, case_date, court_table, rng) = _fused_inputs(mesh, N=N, D=D, B=B)
+    date_lo = np.zeros(B, np.int32)
+    date_hi = np.full(B, 800, np.int32)
+    lex = np.full((B, 3), -1, np.int32)
+    lex_src = np.zeros((B, 3), np.int32)
+    # query 0: one lexical hit on a case that passes its own filters
+    ok_case = next(
+        int(c) for c in range(64)
+        if court_table[0, case_court[c]] and 0 <= case_date[c] <= 800
+    )
+    lex[0, 0] = ok_case
+    lex_src[0, 0] = 1  # SRC_CASE_NAME
+    min_sim = np.full(B, 0.3, np.float32)
+    ew = np.full(B, 2.0, np.float32)
+
+    v, c, s = _run_fused(
+        mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+        case_court, case_date, court_table, lex, lex_src,
+        date_lo, date_hi, min_sim, ew, K,
+    )
+
+    # numpy oracle: dedup by case — best chunk per distinct case
+    scores = corpus[:B] @ corpus.T  # approx (int8 error ~0.03)
     keep = (
         court_table[:, chunk_court]
         & (chunk_date[None, :] >= date_lo[:, None])
@@ -153,12 +191,90 @@ def test_sharded_fused_topk(mesh):
     )
     masked = np.where(keep, scores, -np.inf)
     for b in range(B):
-        order = np.argsort(-masked[b], kind="stable")[:K]
-        expected_cases = [chunk_case[i] for i in order if np.isfinite(masked[b][i])]
-        got = [x for x in c[b] if x >= 0]
+        order = np.argsort(-masked[b], kind="stable")
+        expected_cases, seen = [], set()
+        for i in order:
+            if not np.isfinite(masked[b][i]):
+                break
+            cc = int(chunk_case[i])
+            if cc not in seen:
+                seen.add(cc)
+                expected_cases.append(cc)
+            if len(expected_cases) >= K:
+                break
+        got = [int(x) for x in c[b] if x >= 0]
+        assert len(got) == len(set(got)), "dedup-by-case violated"
         if b == 0:
-            assert got[0] == 7 and v[0, 0] == 2.0  # lexical boost first
-            got = got[1:]
+            assert got[0] == ok_case and v[0, 0] == 2.0  # lexical boost first
+            assert s[0, 0] == 1  # provenance: SRC_CASE_NAME
+            got = [g for g in got if g != ok_case]
+            expected_cases = [e for e in expected_cases if e != ok_case]
         # int8 scoring: allow small rank jitter, compare as sets mostly
-        overlap = len(set(got) & set(expected_cases)) / max(1, len(got))
+        overlap = len(set(got) & set(expected_cases[:len(got)])) / max(1, len(got))
         assert overlap >= 0.6, (got, expected_cases)
+
+
+def test_sharded_fused_topk_pad_rows_never_surface(mesh):
+    """ADVICE round 1 (medium): with a pad_corpus-padded corpus and
+    min_similarity <= 0, pad rows must not surface as phantom hits."""
+    from trie_semantic_search_tpu.parallel import pad_corpus
+
+    N, D, B, K = 100, 32, 2, 8  # N NOT divisible by 8 shards → real padding
+    (corpus, _, _, chunk_case, chunk_court, chunk_date,
+     case_court, case_date, _, rng) = _fused_inputs(mesh, N=N, D=D, B=B)
+    from trie_semantic_search_tpu.ops import quantize_int8
+
+    padded, n = pad_corpus(corpus, mesh, 8)
+    Npad = padded.shape[0]
+    cq, cs = quantize_int8(padded)
+    # pad the columns with a *hazardous* value: case 0, passing court/date —
+    # only the n_valid row mask keeps these out
+    pad_case = np.zeros(Npad, np.int32)
+    pad_case[:N] = chunk_case
+    pad_court = np.zeros(Npad, np.int32)
+    pad_court[:N] = chunk_court
+    pad_date = np.zeros(Npad, np.int32)
+    pad_date[:N] = chunk_date
+    court_table = np.ones((B, 4), bool)
+    v, c, s = _run_fused(
+        mesh, corpus, cq, cs, pad_case, pad_court, pad_date,
+        case_court, case_date, court_table,
+        np.full((B, 2), -1, np.int32), np.zeros((B, 2), np.int32),
+        np.full(B, -(2**31), np.int32), np.full(B, 2**31 - 1, np.int32),
+        np.full(B, -1.0, np.float32),  # min_sim < 0: zero-score pads WOULD pass
+        np.full(B, 2.0, np.float32), K, n_valid=N,
+    )
+    # every returned case must be reachable from a REAL chunk
+    real_cases = set(chunk_case.tolist())
+    for b in range(B):
+        for score, case in zip(v[b], c[b]):
+            if case >= 0:
+                assert case in real_cases
+                assert np.isfinite(score)
+
+
+def test_sharded_fused_topk_lexical_hits_respect_filters(mesh):
+    """Round-1 VERDICT item 3: a lexically-hit case failing the court/date
+    filter must NOT surface (parity with ops/hybrid.lexical_side_list)."""
+    N, D, B, K = 256, 32, 2, 6
+    (corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+     case_court, case_date, _, rng) = _fused_inputs(mesh, N=N, D=D, B=B)
+    # court table: query 0 allows only court 1; pick a lexical case in court 2
+    court_table = np.zeros((B, 4), bool)
+    court_table[:, 1] = True
+    bad_case = next(int(c) for c in range(64) if case_court[c] == 2)
+    lex = np.full((B, 3), -1, np.int32)
+    lex[0, 0] = bad_case
+    lex_src = np.ones((B, 3), np.int32)
+    v, c, s = _run_fused(
+        mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+        case_court, case_date, court_table, lex, lex_src,
+        np.full(B, -(2**31), np.int32), np.full(B, 2**31 - 1, np.int32),
+        np.full(B, 0.3, np.float32), np.full(B, 2.0, np.float32), K,
+    )
+    assert bad_case not in c[0].tolist()
+    assert not (v[0] == 2.0).any()  # no boosted score slipped through
+    # and every surfaced case is in the allowed court
+    for case in c[0]:
+        if case >= 0:
+            assert case_court[case] == 1

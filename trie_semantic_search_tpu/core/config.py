@@ -257,6 +257,14 @@ class SearchEngineConfig:
     #: instead of the staged path. Identical results; fewer host<->device
     #: round-trips per batch.
     use_fused_device_path: bool = False
+    #: fused-path ANN mode: "auto" picks partitioned probing above ~50k
+    #: chunks (work per query independent of N) and the exact brute scan
+    #: below; "brute"/"partitioned" force one.
+    fused_ann_mode: str = "auto"
+    #: device dedup-by-case over-fetch: the fused step examines
+    #: k*fused_overfetch chunk candidates so k slots still fill with
+    #: distinct cases when one case's chunks crowd the chunk-level top-k.
+    fused_overfetch: int = 4
     enable_query_cache: bool = True
     query_cache_size: int = 10000
     query_cache_ttl_seconds: int = 3600

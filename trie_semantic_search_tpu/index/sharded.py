@@ -78,17 +78,21 @@ class ShardedCorpusIndex:
         self, queries: np.ndarray | jax.Array, k: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact global top-k across all shards. Pad rows can never win:
-        their scores are 0 (bf16 zeros / zeroed scales) and real vectors
-        retain unit norm; results additionally mask any index >= N."""
+        the kernels mask rows >= ``num_vectors`` to ``-inf`` by global row
+        id (so pads never consume top-k slots, even against negative-score
+        real rows); results additionally mask any index >= N."""
         self._require_built()
         q = jnp.asarray(queries, jnp.float32)
         kk = min(k, self._n_pad)
         if self.use_int8:
             v, i = sharded_int8_topk(
-                self.mesh, q, self._corpus_q, self._corpus_scale, kk
+                self.mesh, q, self._corpus_q, self._corpus_scale, kk,
+                n_valid=self.num_vectors,
             )
         else:
-            v, i = sharded_brute_topk(self.mesh, q, self._corpus, kk)
+            v, i = sharded_brute_topk(
+                self.mesh, q, self._corpus, kk, n_valid=self.num_vectors
+            )
         v = np.array(v)  # writable copies (np.asarray of a jax array is RO)
         i = np.array(i)
         invalid = i >= self.num_vectors

@@ -5,19 +5,25 @@ scores + exact_match_weight boost + metadata filter masks + dedup by
 case-id + global top-k". This module is that single program:
 
   1. **Semantic scores**: int8 corpus scan on the MXU (int32 accumulation,
-     f32 rescale).
+     f32 rescale) — either brute over the full corpus
+     (:func:`fused_hybrid_topk`) or over probed partitions
+     (:func:`fused_partitioned_topk`, the CAP-scale path).
   2. **Metadata filters on device** (SURVEY §7 hard part "must not force
      host round-trips"): the court filter arrives as a per-query boolean
      lookup table over the (small) court vocabulary and is applied with one
      gather over the per-chunk court column; the date range is two integer
      comparisons against the per-chunk date column.
   3. **Similarity threshold**: scores below ``min_similarity`` are masked.
-  4. **Trie boost**: lexical hit rows (from the batched trie walk) scatter
-     ``exact_match_weight`` into the score matrix via scatter-max —
-     lexical hits outrank any cosine (≤1) exactly like the reference's
-     scoring (search.rs:197).
-  5. **Top-k** (k·dedup_factor candidates): the host then dedups by case
-     and hydrates only the final handful of rows.
+  4. **Trie boost**: lexical hit rows (from the batched trie walk) form a
+     tiny side list at ``exact_match_weight`` — lexical hits outrank any
+     cosine (≤1) exactly like the reference's scoring (search.rs:197). Each
+     entry carries its source span (name/citation/content) so results keep
+     MatchType fidelity with the staged path (ref search.rs:70-82).
+  5. **Dedup by case on device** (SURVEY §7 "segment-max by case-id"):
+     candidates are over-fetched (``k·overfetch``), fully sorted, and later
+     duplicates of an already-seen case are masked, so the final ``k`` slots
+     hold ``k`` *distinct* cases — the host never silently under-fills
+     ``max_results`` because one case dominated the chunk-level top-k.
 
 Inputs are chunk-space: per-chunk filter columns are built by repeating the
 case-level columns through the chunk→case map. Everything is shape-static.
@@ -30,10 +36,114 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .scoring import gather_rescore
 from .topk import exact_topk, fast_topk
 
+#: Result-source codes threaded through the fused programs so the host can
+#: reconstruct the reference's MatchType surface (search.rs:70-82).
+SRC_SEMANTIC = 0
+SRC_CASE_NAME = 1
+SRC_CITATION = 2
+SRC_CONTENT = 3
 
-@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+
+def quantize_queries(query_emb: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-query symmetric int8 quantisation. ``[B, D] f32 → (int8, scale)``."""
+    q_abs = jnp.max(jnp.abs(query_emb), axis=-1, keepdims=True)
+    q_scale = jnp.maximum(q_abs, 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(query_emb / q_scale), -127, 127).astype(jnp.int8)
+    return q8, q_scale
+
+
+def lexical_side_list(
+    trie_rows: jax.Array,  # [B, R] int32 lexical-hit case rows (-1 pad)
+    trie_src: jax.Array,  # [B, R] int32 source span per hit (SRC_*)
+    trie_chunk_of_case: jax.Array,  # [C] int32 representative chunk (-1 = none)
+    chunk_court: jax.Array,  # [N] int32
+    chunk_date: jax.Array,  # [N] int32
+    court_table: jax.Array,  # [B, V] bool
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    exact_weight: jax.Array,  # [B] f32
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Filter-checked lexical candidates as a tiny side list.
+
+    Returns ``(values [B,R], chunks [B,R], src [B,R])`` with invalid entries
+    at ``-inf``. Filter checks are cheap gathers over the ≤R hits — parity
+    with the semantic mask (ops/hybrid step 2), threshold-exempt like the
+    reference (search.rs:197).
+    """
+    safe_rows = jnp.clip(trie_rows, 0, trie_chunk_of_case.shape[0] - 1)
+    hit_chunk = jnp.take(trie_chunk_of_case, safe_rows)  # [B, R]
+    safe_chunk = jnp.maximum(hit_chunk, 0)
+    hit_court_ok = jnp.take_along_axis(
+        court_table, jnp.take(chunk_court, safe_chunk), axis=1
+    )
+    hit_dates = jnp.take(chunk_date, safe_chunk)
+    hit_date_ok = (hit_dates >= date_lo[:, None]) & (hit_dates <= date_hi[:, None])
+    valid_hit = (trie_rows >= 0) & (hit_chunk >= 0) & hit_court_ok & hit_date_ok
+    lex_v = jnp.where(valid_hit, exact_weight[:, None], -jnp.inf)
+    return lex_v, safe_chunk, trie_src
+
+
+def merge_dedup_topk(
+    sem_v: jax.Array,  # [B, Ks] semantic candidate scores (−inf padded)
+    sem_chunk: jax.Array,  # [B, Ks] chunk ids
+    lex_v: jax.Array,  # [B, R] lexical candidate scores (−inf padded)
+    lex_chunk: jax.Array,  # [B, R] chunk ids
+    lex_src: jax.Array,  # [B, R] SRC_* codes
+    chunk_case: jax.Array,  # [N] int32 chunk → case row
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Merge semantic + lexical candidates, dedup by case, final top-k.
+
+    Returns ``(scores, chunk_idx, case_rows, src)`` each ``[B, k]``; empty
+    slots carry ``-inf`` / ``-1``. Dedup keeps each case's best candidate
+    (ties break to the earlier sorted position, i.e. the lower chunk id —
+    the determinism promise, ref README.md:16,190). Because lexical hits
+    score ``exact_match_weight`` (>1 ≥ any cosine), a case hit both ways
+    keeps its lexical score and provenance, like the staged path.
+    """
+    merged_v = jnp.concatenate([sem_v, lex_v], axis=1)  # [B, M]
+    merged_i = jnp.concatenate([sem_chunk, lex_chunk], axis=1)
+    merged_src = jnp.concatenate(
+        [jnp.full_like(sem_chunk, SRC_SEMANTIC), lex_src], axis=1
+    )
+    M = merged_v.shape[1]
+    # Full sort of the (small) candidate list: top_k with k=M.
+    v_all, pos = exact_topk(merged_v, M)
+    i_all = jnp.take_along_axis(merged_i, pos, axis=1)
+    src_all = jnp.take_along_axis(merged_src, pos, axis=1)
+    cases_all = jnp.take(chunk_case, i_all)
+    valid = jnp.isfinite(v_all)
+    cases_all = jnp.where(valid, cases_all, -1)
+
+    # Dedup by case over the sorted list: kill any candidate whose case
+    # already appeared at an earlier (better) position. O(M²) boolean on a
+    # few hundred candidates — NOT a [B, N] scatter (those are ~100x slower
+    # on TPU; measured round 1).
+    eq = (cases_all[:, :, None] == cases_all[:, None, :]) & (
+        cases_all[:, None, :] >= 0
+    )
+    earlier = jnp.tril(jnp.ones((M, M), bool), k=-1)[None]
+    dup = jnp.any(eq & earlier, axis=-1)
+    v_dedup = jnp.where(dup, -jnp.inf, v_all)
+
+    kk = min(k, M)
+    top_v, fpos = exact_topk(v_dedup, kk)
+    top_i = jnp.take_along_axis(i_all, fpos, axis=1)
+    top_src = jnp.take_along_axis(src_all, fpos, axis=1)
+    top_cases = jnp.take_along_axis(cases_all, fpos, axis=1)
+    dead = jnp.isneginf(top_v)
+    return (
+        top_v,
+        jnp.where(dead, -1, top_i),
+        jnp.where(dead, -1, top_cases),
+        jnp.where(dead, SRC_SEMANTIC, top_src),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overfetch", "recall_target"))
 def fused_hybrid_topk(
     query_emb: jax.Array,  # [B, D] f32, L2-normalised
     corpus_q: jax.Array,  # [N, D] int8 chunk embeddings
@@ -45,20 +155,18 @@ def fused_hybrid_topk(
     date_lo: jax.Array,  # [B] int32 inclusive lower bound
     date_hi: jax.Array,  # [B] int32 inclusive upper bound
     trie_rows: jax.Array,  # [B, R] int32 lexical-hit case rows (-1 pad)
+    trie_src: jax.Array,  # [B, R] int32 SRC_* span code per lexical hit
     trie_chunk_of_case: jax.Array,  # [C] int32: a representative chunk per case (-1 = none)
     min_similarity: jax.Array,  # [B] f32
     exact_weight: jax.Array,  # [B] f32
     k: int,
+    overfetch: int = 4,
     recall_target: float = 1.0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns ``(scores [B,k], chunk_idx [B,k], case_rows [B,k])`` with
-    filtered-out / empty slots carrying ``-inf`` / ``-1``."""
-    B = query_emb.shape[0]
-
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Brute-scan fused step. Returns ``(scores, chunk_idx, case_rows, src)``
+    each ``[B, k]`` — k *distinct* cases per query (−inf/−1 padded)."""
     # 1) semantic scores (int8 MXU)
-    q_abs = jnp.max(jnp.abs(query_emb), axis=1, keepdims=True)
-    q_scale = jnp.maximum(q_abs, 1e-12) / 127.0
-    q8 = jnp.clip(jnp.round(query_emb / q_scale), -127, 127).astype(jnp.int8)
+    q8, q_scale = quantize_queries(query_emb)
     acc = jnp.einsum("bd,nd->bn", q8, corpus_q, preferred_element_type=jnp.int32)
     scores = acc.astype(jnp.float32) * q_scale * corpus_scale.reshape(1, -1)
 
@@ -73,36 +181,120 @@ def fused_hybrid_topk(
     keep = court_ok & date_ok & (scores >= min_similarity[:, None])
     scores = jnp.where(keep, scores, -jnp.inf)
 
-    # 5a) semantic top-k over the full corpus (approx_max_k — the TPU-KNN
-    # partial reduction — when recall_target < 1; the lexical merge below
-    # stays exact either way)
+    # 5a) over-fetched semantic top-k (approx_max_k — the TPU-KNN partial
+    # reduction — when recall_target < 1; the merge below stays exact)
+    ksem = min(max(k * max(1, overfetch), k), scores.shape[-1])
     if recall_target >= 1.0:
-        top_v, top_i = exact_topk(scores, k)
+        sem_v, sem_i = exact_topk(scores, ksem)
     else:
-        top_v, top_i = fast_topk(scores, k, recall_target)
+        sem_v, sem_i = fast_topk(scores, ksem, recall_target)
 
-    # 4) lexical boost, merge-style: the <=R trie-hit chunks per query form
-    # a tiny side list at exact_weight (filter-checked via cheap gathers,
-    # threshold-exempt like the reference); a final top-k over the
-    # concatenation replaces the giant scatter.
-    safe_rows = jnp.clip(trie_rows, 0, trie_chunk_of_case.shape[0] - 1)
-    hit_chunk = jnp.take(trie_chunk_of_case, safe_rows)  # [B, R]
-    safe_chunk = jnp.maximum(hit_chunk, 0)
-    hit_court_ok = jnp.take_along_axis(
-        court_table, jnp.take(chunk_court, safe_chunk), axis=1
+    # 4) lexical boost as a filter-checked side list
+    lex_v, lex_chunk, lex_src = lexical_side_list(
+        trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
+        court_table, date_lo, date_hi, exact_weight,
     )
-    hit_dates = jnp.take(chunk_date, safe_chunk)
-    hit_date_ok = (hit_dates >= date_lo[:, None]) & (hit_dates <= date_hi[:, None])
-    valid_hit = (trie_rows >= 0) & (hit_chunk >= 0) & hit_court_ok & hit_date_ok
-    lex_v = jnp.where(valid_hit, exact_weight[:, None], -jnp.inf)
 
-    merged_v = jnp.concatenate([top_v, lex_v], axis=1)  # [B, k+R]
-    merged_i = jnp.concatenate([top_i, safe_chunk], axis=1)
-    top_v, pos = exact_topk(merged_v, k)
-    top_i = jnp.take_along_axis(merged_i, pos, axis=1)
-
-    cases = jnp.where(
-        jnp.isneginf(top_v), -1, jnp.take(chunk_case, top_i)
+    # 5b) merge + device dedup-by-case + final top-k
+    return merge_dedup_topk(
+        sem_v, sem_i, lex_v, lex_chunk, lex_src, chunk_case, k
     )
-    top_i = jnp.where(jnp.isneginf(top_v), -1, top_i)
-    return top_v, top_i, cases
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "overfetch", "rescore_factor"),
+)
+def fused_partitioned_topk(
+    query_emb: jax.Array,  # [B, D] f32, L2-normalised
+    centroids: jax.Array,  # [P, D] f32 partition centroids
+    part_rows: jax.Array,  # [P, m] int32 chunk row per slot (-1 pad)
+    part_int8: jax.Array,  # [P, m, D] int8 partitioned chunk embeddings
+    part_scale: jax.Array,  # [P, m] f32 per-row scales (0 on pads)
+    corpus_bf16: jax.Array,  # [N, D] bf16 rescore copy
+    chunk_case: jax.Array,  # [N] int32
+    chunk_court: jax.Array,  # [N] int32
+    chunk_date: jax.Array,  # [N] int32
+    court_table: jax.Array,  # [B, V] bool
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    trie_rows: jax.Array,  # [B, R] int32
+    trie_src: jax.Array,  # [B, R] int32
+    trie_chunk_of_case: jax.Array,  # [C] int32
+    min_similarity: jax.Array,  # [B] f32
+    exact_weight: jax.Array,  # [B] f32
+    k: int,
+    nprobe: int,
+    overfetch: int = 4,
+    rescore_factor: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """CAP-scale fused step: partitioned-ANN probe + filtered scan + bf16
+    rescore + lexical boost + dedup-by-case + top-k in ONE program
+    (round-1 VERDICT item 2; combines index/ann.py's probe scan with the
+    device filters so >10k QPS/chip holds at corpus sizes where a brute
+    scan cannot).
+
+    Work per query: ``P·D`` centroid flops + ``nprobe·m·D`` int8 flops +
+    gathers of ``nprobe·m`` filter-column entries — independent of N.
+    Returns ``(scores, chunk_idx, case_rows, src)`` like
+    :func:`fused_hybrid_topk` (semantic part approximate at the probe
+    level, exactly like the staged PartitionedANN path).
+    """
+    qn = query_emb.astype(jnp.float32)
+    # 1) probe partitions
+    cs = jnp.einsum("bd,pd->bp", qn, centroids,
+                    preferred_element_type=jnp.float32)
+    _, top_p = exact_topk(cs, min(nprobe, centroids.shape[0]))  # [B, np]
+    # 2) gather probed blocks (row-indexed gathers with a small [B, np]
+    # index — cheap; never a [B, N] scatter)
+    rows = jnp.take(part_rows, top_p, axis=0)  # [B, np, m]
+    blocks = jnp.take(part_int8, top_p, axis=0)  # [B, np, m, D]
+    scales = jnp.take(part_scale, top_p, axis=0)  # [B, np, m]
+    # 3) int8 scan (int32 MXU accumulation)
+    q8, q_scale = quantize_queries(qn)
+    acc = jnp.einsum("bd,bpmd->bpm", q8, blocks,
+                     preferred_element_type=jnp.int32)
+    scores = acc.astype(jnp.float32) * scales * q_scale[:, :, None]
+
+    B = scores.shape[0]
+    flat_scores = scores.reshape(B, -1)  # [B, np*m]
+    flat_rows = rows.reshape(B, -1)
+    safe_flat = jnp.maximum(flat_rows, 0)
+
+    # 4) fused metadata filters + threshold over the probed rows only
+    court_ok = jnp.take_along_axis(
+        court_table, jnp.take(chunk_court, safe_flat), axis=1
+    )
+    dts = jnp.take(chunk_date, safe_flat)
+    date_ok = (dts >= date_lo[:, None]) & (dts <= date_hi[:, None])
+    keep = (
+        (flat_rows >= 0) & court_ok & date_ok
+        & (flat_scores >= min_similarity[:, None])
+    )
+    flat_scores = jnp.where(keep, flat_scores, -jnp.inf)
+
+    # 5) partial top on int8 scores, then full-precision bf16 rescore
+    ksem = min(max(k * max(1, overfetch), k), flat_scores.shape[-1])
+    cand_n = min(ksem * max(1, rescore_factor), flat_scores.shape[-1])
+    cand_v, cand_pos = exact_topk(flat_scores, cand_n)
+    cand_rows = jnp.take_along_axis(flat_rows, cand_pos, axis=-1)
+    safe_rows = jnp.maximum(cand_rows, 0)
+    re = gather_rescore(qn, corpus_bf16, safe_rows)
+    # rescored values keep the int8-pass masks (filters/threshold/pads) and
+    # re-check the similarity threshold at full precision (parity with the
+    # staged path, which thresholds the rescored ANN output)
+    re = jnp.where(
+        jnp.isfinite(cand_v) & (re >= min_similarity[:, None]), re, -jnp.inf
+    )
+    sem_v, pos2 = exact_topk(re, ksem)
+    sem_chunk = jnp.take_along_axis(cand_rows, pos2, axis=-1)
+    sem_chunk = jnp.maximum(sem_chunk, 0)
+
+    # 6) lexical side list + merge + dedup + final top-k
+    lex_v, lex_chunk, lex_src = lexical_side_list(
+        trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
+        court_table, date_lo, date_hi, exact_weight,
+    )
+    return merge_dedup_topk(
+        sem_v, sem_chunk, lex_v, lex_chunk, lex_src, chunk_case, k
+    )

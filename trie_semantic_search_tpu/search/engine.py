@@ -207,59 +207,80 @@ class SearchEngine:
             from .fused import FusedHybridSearch
 
             self._fused = FusedHybridSearch(
-                self.trie_index, self.vector_index, self.columns
+                self.trie_index,
+                self.vector_index,
+                self.columns,
+                ann_mode=self.config.search.fused_ann_mode,
             )
         return self._fused
+
+    #: fused-path SRC_* code → MatchType (parity with the staged path's
+    #: span_types mapping; ref search.rs:70-82)
+    _SRC_MATCH_TYPE = {
+        0: MatchType.SEMANTIC,
+        1: MatchType.CASE_NAME,
+        2: MatchType.CITATION,
+        3: MatchType.EXACT,
+    }
 
     def _execute_batch_fused(
         self, queries: list[SearchQuery]
     ) -> list[list[SearchResult]]:
-        """Single-program device path: scan + filters + boost + top-k in one
-        jit call, then host dedup-by-case + hydration of <=max_results."""
+        """Single-program device path: scan + filters + boost + device
+        dedup-by-case + top-k in one jit call, then host hydration of
+        <=max_results. The device returns k *distinct* cases, so k only
+        needs slack for hydration failures — not a chunks-per-case
+        multiplier."""
         texts = [q.query for q in queries]
         embs = np.stack(
             [self.vector_index.generate_embedding(t) for t in texts]
         )
         fused = self._get_fused()
-        vals, _chunks, cases = fused.query_batch(
+        max_limit = max(
+            (q.max_results or q.config.max_results) for q in queries
+        )
+        vals, chunks, cases, srcs = fused.query_batch(
             embs,
             texts,
             court_filters=[q.court_filter for q in queries],
             date_ranges=[q.date_range for q in queries],
             min_similarity=[q.config.min_similarity for q in queries],
             exact_weight=[q.config.exact_match_weight for q in queries],
-            k=min(64, max(8, 4 * max(
-                (q.max_results or q.config.max_results) for q in queries
-            ))),
+            k=min(128, max(16, max_limit + 8)),
+            overfetch=self.config.search.fused_overfetch,
         )
         results: list[list[SearchResult]] = []
         for b, q in enumerate(queries):
             limit = q.max_results or q.config.max_results
-            seen: set[int] = set()
             out: list[SearchResult] = []
-            for score, case_row in zip(vals[b], cases[b]):
+            for score, chunk, case_row, src in zip(
+                vals[b], chunks[b], cases[b], srcs[b]
+            ):
                 if case_row < 0 or not np.isfinite(score):
                     continue
-                case_row = int(case_row)
-                if case_row in seen:
-                    continue
-                seen.add(case_row)
-                meta = self._hydrate(case_row)
+                meta = self._hydrate(int(case_row))
                 if meta is None:
                     continue
-                mtype = (
-                    MatchType.EXACT
-                    if score >= q.config.exact_match_weight
-                    else MatchType.SEMANTIC
-                )
+                mtype = self._SRC_MATCH_TYPE.get(int(src), MatchType.SEMANTIC)
                 text = self.storage.get_case_text(meta.id) or meta.full_text
-                ht = (
-                    HighlightType.EXACT_MATCH
-                    if mtype == MatchType.EXACT
-                    else HighlightType.SEMANTIC_MATCH
-                )
+                ht = {
+                    MatchType.EXACT: HighlightType.EXACT_MATCH,
+                    MatchType.CASE_NAME: HighlightType.CASE_NAME,
+                    MatchType.CITATION: HighlightType.CITATION,
+                }.get(mtype, HighlightType.SEMANTIC_MATCH)
+                # semantic hits anchor the snippet on the matched chunk,
+                # exactly like the staged path (replay the builder's
+                # normalize→sentences pipeline; raw offsets would drift)
+                chunk_text = None
+                if mtype == MatchType.SEMANTIC and text and chunk >= 0:
+                    para = int(fused.chunk_para[int(chunk)])
+                    norm = self._text_processor.normalize_text(text)
+                    sents = self._text_processor.extract_sentences(norm)
+                    if 0 <= para < len(sents):
+                        chunk_text = sents[para]
                 snippet, highlights = generate_snippet(
-                    text or meta.name, q.query, highlight_type=ht
+                    text or meta.name, q.query, highlight_type=ht,
+                    chunk_text=chunk_text,
                 )
                 out.append(
                     SearchResult(

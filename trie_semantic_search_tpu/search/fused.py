@@ -1,11 +1,21 @@
 """Fully-fused device hybrid search path.
 
 Binds the frozen artifacts (chunk embeddings, metadata columns, chunk→case
-map, trie hit rows) to :func:`..ops.hybrid.fused_hybrid_topk` — semantic
-scan + device metadata filters + lexical boost + top-k in ONE jit program
-per query batch (SURVEY.md §7 step 7). The engine's staged path remains the
-default (identical results, more flexibility); this path minimises
-host↔device round-trips for throughput-critical serving.
+map, trie hit rows) to the single-program hybrid steps in
+:mod:`..ops.hybrid` — semantic scan + device metadata filters + lexical
+boost + dedup-by-case + top-k in ONE jit program per query batch
+(SURVEY.md §7 step 7). Two device modes:
+
+  * ``brute`` — int8 scan over the full corpus; exact, best at small N or
+    huge batches (one MXU matmul).
+  * ``partitioned`` — centroid probe + scan of the probed partitions +
+    bf16 rescore (the PartitionedANN layout, fused with the filters);
+    work per query is independent of N, so >10k QPS/chip holds at
+    CAP-scale corpora (round-1 VERDICT item 2).
+
+Results carry source provenance (semantic / case-name / citation /
+content) so the engine reconstructs the reference's MatchType surface
+identically to the staged path (ref search.rs:70-82).
 """
 
 from __future__ import annotations
@@ -16,11 +26,22 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from ..index.ann import PartitionedANN
 from ..index.trie import TrieIndex
 from ..index.vector import VectorIndex
-from ..ops.hybrid import fused_hybrid_topk
+from ..ops.hybrid import (
+    SRC_CASE_NAME,
+    SRC_CITATION,
+    SRC_CONTENT,
+    fused_hybrid_topk,
+    fused_partitioned_topk,
+)
 from ..ops.scoring import quantize_int8
 from ..storage.columns import MetadataColumns
+
+#: Corpus size above which the partitioned scan beats the brute scan
+#: (below it, one full-corpus matmul is cheaper than probe+gather).
+PARTITIONED_MIN_VECTORS = 50_000
 
 
 class FusedHybridSearch:
@@ -31,6 +52,7 @@ class FusedHybridSearch:
         trie_index: TrieIndex,
         vector_index: VectorIndex,
         columns: MetadataColumns,
+        ann_mode: str = "auto",  # "auto" | "brute" | "partitioned"
     ):
         if vector_index.vectors is None or not len(vector_index.vectors):
             raise ValueError("vector index has no frozen vectors")
@@ -38,12 +60,34 @@ class FusedHybridSearch:
         self.vector_index = vector_index
         self.columns = columns
 
-        v = np.asarray(vector_index.vectors, np.float32)
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        self.corpus_q, self.corpus_scale = quantize_int8(v)
+        ann = vector_index.ann
+        if ann_mode == "auto":
+            ann_mode = (
+                "partitioned"
+                if isinstance(ann, PartitionedANN)
+                and ann.num_vectors >= PARTITIONED_MIN_VECTORS
+                else "brute"
+            )
+        if ann_mode == "partitioned" and not isinstance(ann, PartitionedANN):
+            raise ValueError(
+                f"partitioned fused mode needs a PartitionedANN, got {type(ann)}"
+            )
+        self.ann_mode = ann_mode
+        if ann_mode == "partitioned":
+            ann._require_built()
+            self.ann = ann
+            self.corpus_q = self.corpus_scale = None
+        else:
+            # brute mode materialises its own int8 corpus copy; the
+            # partitioned mode reuses the ANN's device blocks instead.
+            v = np.asarray(vector_index.vectors, np.float32)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            self.ann = None
+            self.corpus_q, self.corpus_scale = quantize_int8(v)
 
         refs = np.asarray(vector_index.refs, np.int32)  # [N, 2]
         chunk_case = refs[:, 0]
+        self.chunk_para = refs[:, 1]  # host-side: snippet anchoring
         self.chunk_case = jnp.asarray(chunk_case)
         self.chunk_court = jnp.asarray(columns.court_ids[chunk_case])
         self.chunk_date = jnp.asarray(columns.dates[chunk_case])
@@ -57,6 +101,17 @@ class FusedHybridSearch:
         self.trie_chunk_of_case = jnp.asarray(rep)
         self.num_courts = max(len(columns.court_vocab), 1)
 
+    @staticmethod
+    def _trie_src(width: int) -> np.ndarray:
+        """Column → SRC_* span code for ``search_batch_rows`` output
+        (three equal spans: name | citation | content)."""
+        span = max(width // 3, 1)
+        src = np.empty(width, np.int32)
+        codes = (SRC_CASE_NAME, SRC_CITATION, SRC_CONTENT)
+        for col in range(width):
+            src[col] = codes[min(col // span, 2)]
+        return src
+
     def query_batch(
         self,
         query_embs: np.ndarray,  # [B, D]
@@ -68,15 +123,20 @@ class FusedHybridSearch:
         min_similarity: Sequence[float],
         exact_weight: Sequence[float],
         k: int = 40,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Run the fused step. Returns ``(scores, chunk_idx, case_rows)``
-        each ``[B, k]`` (-inf/-1 padded), already filtered + boosted."""
+        overfetch: int = 4,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Run the fused step. Returns ``(scores, chunk_idx, case_rows,
+        src)`` each ``[B, k]`` (-inf/-1 padded) — k *distinct* cases per
+        query, already filtered + boosted, with MatchType provenance."""
         B = len(queries_text)
         # lexical hits (batched device walk across the three tries)
         trie_rows, trie_valid = self.trie_index.search_batch_rows(
             list(queries_text)
         )
         trie_rows = np.where(trie_valid, trie_rows, -1).astype(np.int32)
+        trie_src = np.broadcast_to(
+            self._trie_src(trie_rows.shape[1]), trie_rows.shape
+        )
 
         # per-query court lookup table over the vocabulary
         V = self.num_courts
@@ -96,20 +156,42 @@ class FusedHybridSearch:
         for b, dr in enumerate(date_ranges):
             lo[b], hi[b] = self.columns.encode_date_range(dr)
 
-        v, i, cases = fused_hybrid_topk(
-            jnp.asarray(query_embs, jnp.float32),
-            self.corpus_q,
-            self.corpus_scale,
-            self.chunk_case,
-            self.chunk_court,
-            self.chunk_date,
-            jnp.asarray(court_table),
-            jnp.asarray(lo),
-            jnp.asarray(hi),
-            jnp.asarray(trie_rows),
-            self.trie_chunk_of_case,
-            jnp.asarray(np.asarray(min_similarity, np.float32)),
-            jnp.asarray(np.asarray(exact_weight, np.float32)),
+        common = dict(
+            court_table=jnp.asarray(court_table),
+            date_lo=jnp.asarray(lo),
+            date_hi=jnp.asarray(hi),
+            trie_rows=jnp.asarray(trie_rows),
+            trie_src=jnp.asarray(np.ascontiguousarray(trie_src)),
+            trie_chunk_of_case=self.trie_chunk_of_case,
+            min_similarity=jnp.asarray(np.asarray(min_similarity, np.float32)),
+            exact_weight=jnp.asarray(np.asarray(exact_weight, np.float32)),
             k=k,
+            overfetch=overfetch,
         )
-        return np.asarray(v), np.asarray(i), np.asarray(cases)
+        q = jnp.asarray(query_embs, jnp.float32)
+        if self.ann_mode == "partitioned":
+            v, i, cases, src = fused_partitioned_topk(
+                q,
+                self.ann.centroids,
+                self.ann.part_rows,
+                self.ann.part_int8,
+                self.ann.part_scale,
+                self.ann.corpus_bf16,
+                self.chunk_case,
+                self.chunk_court,
+                self.chunk_date,
+                nprobe=self.ann.default_nprobe,
+                rescore_factor=max(1, self.ann.config.rescore_factor),
+                **common,
+            )
+        else:
+            v, i, cases, src = fused_hybrid_topk(
+                q,
+                self.corpus_q,
+                self.corpus_scale,
+                self.chunk_case,
+                self.chunk_court,
+                self.chunk_date,
+                **common,
+            )
+        return np.asarray(v), np.asarray(i), np.asarray(cases), np.asarray(src)

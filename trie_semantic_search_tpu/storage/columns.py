@@ -133,9 +133,15 @@ class MetadataColumns:
         self,
         date_range: Optional[tuple[Optional[_dt.date], Optional[_dt.date]]],
     ) -> tuple[int, int]:
-        """(start, end) dates → inclusive int bounds; None → open bound."""
+        """(start, end) dates → inclusive int bounds; None → open bound.
+
+        No filter at all admits everything *including* rows with a missing
+        decision date (lo below ``MISSING_DATE``) — parity with the staged
+        path, which only applies the mask when a range is given. An explicit
+        range with an open start still excludes missing dates: a dateless
+        row cannot satisfy a date filter."""
         if not date_range:
-            return (int(MISSING_DATE) + 1, 2**31 - 1)
+            return (-(2**31), 2**31 - 1)
         start, end = date_range
         lo = date_to_int(start) if start else int(MISSING_DATE) + 1
         hi = date_to_int(end) if end else 2**31 - 1

@@ -106,10 +106,18 @@ class StorageManager:
             raise SerializationFailed(data_type="CaseMetadata", reason=str(e)) from e
         with self._lock:
             try:
+                # Upsert (NOT "INSERT OR REPLACE", which delete+reinserts and
+                # assigns a NEW rowid): fetch_filter_columns orders by rowid
+                # and promises dense row ids stable under append, so rewrites
+                # (e.g. the reprocess job) must preserve each case's rowid.
                 self._conn.execute(
-                    "INSERT OR REPLACE INTO case_metadata "
+                    "INSERT INTO case_metadata "
                     "(case_id, name, citation, court, decision_date, metadata_json) "
-                    "VALUES (?, ?, ?, ?, ?, ?)",
+                    "VALUES (?, ?, ?, ?, ?, ?) "
+                    "ON CONFLICT(case_id) DO UPDATE SET "
+                    "name=excluded.name, citation=excluded.citation, "
+                    "court=excluded.court, decision_date=excluded.decision_date, "
+                    "metadata_json=excluded.metadata_json",
                     (
                         str(metadata.id),
                         metadata.name,
@@ -145,8 +153,10 @@ class StorageManager:
         with self._lock:
             try:
                 self._conn.execute(
-                    "INSERT OR REPLACE INTO case_text (case_id, compressed, text) "
-                    "VALUES (?, ?, ?)",
+                    "INSERT INTO case_text (case_id, compressed, text) "
+                    "VALUES (?, ?, ?) "
+                    "ON CONFLICT(case_id) DO UPDATE SET "
+                    "compressed=excluded.compressed, text=excluded.text",
                     (str(case_id), compressed, blob),
                 )
                 self._conn.commit()
