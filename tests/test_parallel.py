@@ -132,7 +132,7 @@ def _run_fused(mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
 
     B = court_table.shape[0]
     csh, rsh = corpus_sharding(mesh), row_sharding(mesh)
-    v, c, s = sharded_fused_topk(
+    v, r, c, s = sharded_fused_topk(
         mesh,
         jnp.asarray(corpus[:B]),
         jax.device_put(jnp.asarray(cq), csh),
@@ -145,6 +145,7 @@ def _run_fused(mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
         jnp.asarray(date_hi),
         jnp.asarray(lex),
         jnp.asarray(lex_src),
+        jnp.maximum(jnp.asarray(lex), 0),  # representative chunk per hit
         jnp.asarray(case_court),
         jnp.asarray(case_date),
         jnp.asarray(min_sim),

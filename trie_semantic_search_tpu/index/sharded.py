@@ -117,3 +117,43 @@ class ShardedCorpusIndex:
     def _require_built(self) -> None:
         if self._corpus is None:
             raise VectorIndexConstructionFailed("sharded index not built")
+
+    # -- persistence (mesh-shape independent: saved unpadded, re-padded and
+    # re-placed for whatever mesh loads it) ---------------------------------
+
+    def save(self, path) -> None:
+        """Save the logical (unpadded) corpus; device layout is derived at
+        load time from the loading process's mesh, so artifacts move freely
+        between topologies (e.g. built on v5e-8, served on v5e-4)."""
+        from pathlib import Path
+
+        self._require_built()
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        n = self.num_vectors
+        corpus_f16 = (
+            np.asarray(self._corpus[:n].astype(jnp.float32)).astype(np.float16)
+        )
+        np.savez_compressed(
+            path,
+            sharded_corpus_f16=corpus_f16,
+            use_int8=np.array(self.use_int8),
+            row_multiple=np.array(self.row_multiple),
+        )
+
+    @classmethod
+    def load(cls, path, mesh: Mesh) -> "ShardedCorpusIndex":
+        from ..core.errors import IndexCorrupted
+
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                corpus = z["sharded_corpus_f16"].astype(np.float32)
+                idx = cls(
+                    mesh,
+                    use_int8=bool(z["use_int8"]),
+                    row_multiple=int(z["row_multiple"]),
+                )
+        except (KeyError, ValueError) as e:
+            raise IndexCorrupted(index_type="sharded", details=str(e)) from e
+        idx.build(corpus)
+        return idx

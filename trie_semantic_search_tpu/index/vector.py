@@ -233,8 +233,6 @@ class VectorIndex:
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         if self.ann.num_vectors and hasattr(self.ann, "save"):
-            # the sharded index has no serialised form: it rebuilds from
-            # the saved vectors at load time (device placement is cheap)
             self.ann.save(path / "ann.npz")
         refs = np.asarray(self._refs or np.zeros((0, 2)), np.int32)
         np.savez_compressed(
@@ -252,7 +250,25 @@ class VectorIndex:
             v = z["vectors"]
             self._vectors = v if len(v) else None
         ann_path = path / "ann.npz"
-        if isinstance(self.ann, PartitionedANN) and ann_path.exists():
-            self.ann = PartitionedANN.load(ann_path, self.config.hnsw)
-        elif self._vectors is not None and len(self._vectors):
+        from .sharded import ShardedCorpusIndex
+
+        if ann_path.exists():
+            # artifacts are interchangeable between topologies: the saved
+            # form is logical (unpadded) arrays; whichever index class this
+            # VectorIndex was constructed with (mesh-driven) loads them —
+            # falling back to a rebuild from the raw vectors when the saved
+            # format belongs to the other class.
+            try:
+                if isinstance(self.ann, ShardedCorpusIndex):
+                    self.ann = ShardedCorpusIndex.load(ann_path, self.mesh)
+                    return
+                if isinstance(self.ann, PartitionedANN):
+                    self.ann = PartitionedANN.load(ann_path, self.config.hnsw)
+                    return
+            except Exception:
+                _log.warning(
+                    "ann artifact %s not loadable as %s; rebuilding from "
+                    "saved vectors", ann_path, type(self.ann).__name__,
+                )
+        if self._vectors is not None and len(self._vectors):
             self.ann.build(self._vectors)

@@ -58,6 +58,7 @@ def sharded_fused_topk(
     date_hi: jax.Array,  # [B] int32, replicated
     lex_cases: jax.Array,  # [B, R] int32 lexical-hit case rows (-1 pad), replicated
     lex_src: jax.Array,  # [B, R] int32 SRC_* code per lexical hit, replicated
+    lex_chunk: jax.Array,  # [B, R] int32 representative chunk row per hit, replicated
     case_court: jax.Array,  # [C] int32 case-level court column, replicated
     case_date: jax.Array,  # [C] int32 case-level date column, replicated
     min_similarity: jax.Array,  # [B] f32, replicated
@@ -66,14 +67,15 @@ def sharded_fused_topk(
     n_valid: Optional[int] = None,
     overfetch: int = 4,
     recall_target: float = 1.0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Multi-chip SURVEY §7 step-7: each chip runs the filtered semantic
     scan over its corpus shard, dedups by case locally, shard-local top-k
     lists merge with one ``all_gather`` over ICI, and the (tiny,
     replicated) lexical boost list — filter-checked against the case-level
     columns, parity with ops/hybrid — merges globally with a final
-    dedup-by-case. Returns replicated ``(scores [B,k], case_rows [B,k],
-    src [B,k])`` (-inf/-1 padded) — k distinct cases per query.
+    dedup-by-case. Returns replicated ``(scores [B,k], chunk_rows [B,k],
+    case_rows [B,k], src [B,k])`` (-inf/-1 padded) — k distinct cases per
+    query, same output contract as :func:`..ops.hybrid.fused_hybrid_topk`.
 
     ``n_valid`` is the real (pre-padding) row count; rows at or beyond it
     (``pad_corpus`` pads) are masked to ``-inf`` and can never surface.
@@ -93,13 +95,14 @@ def sharded_fused_topk(
         in_specs=(
             P(), P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS),
             P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(), P(), P(), P(),
-            P(), P(),
+            P(), P(), P(),
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     def _search(q, shard_q, shard_s, sh_case, sh_court, sh_date,
-                ctable, dlo, dhi, lex, lsrc, c_court, c_date, msim, ew):
+                ctable, dlo, dhi, lex, lsrc, lchunk, c_court, c_date,
+                msim, ew):
         # shard-local filtered scan
         q8, q_scale = quantize_queries(q)
         acc = jnp.einsum("bd,nd->bn", q8, shard_q,
@@ -122,17 +125,25 @@ def sharded_fused_topk(
             v, i = exact_topk(scores, kf)
         else:
             v, i = fast_topk(scores, kf, recall_target)
-        cases = jnp.where(jnp.isneginf(v), -1, jnp.take(sh_case, i))
+        dead = jnp.isneginf(v)
+        cases = jnp.where(dead, -1, jnp.take(sh_case, i))
+        rows = jnp.where(dead, -1, i.astype(jnp.int32) + my * shard_rows)
         v = _dedup_by_case_sorted(v, cases)
         v, pos = exact_topk(v, min(k, kf))
         cases = jnp.take_along_axis(cases, pos, axis=1)
-        cases = jnp.where(jnp.isneginf(v), -1, cases)
+        rows = jnp.take_along_axis(rows, pos, axis=1)
+        dead = jnp.isneginf(v)
+        cases = jnp.where(dead, -1, cases)
+        rows = jnp.where(dead, -1, rows)
 
         # ICI merge of shard-local top-k (O(S·k), never the corpus)
+        B = v.shape[0]
         all_v = jax.lax.all_gather(v, DATA_AXIS)
         all_c = jax.lax.all_gather(cases, DATA_AXIS)
-        mv = jnp.moveaxis(all_v, 0, 1).reshape(v.shape[0], -1)  # [B, S*k]
-        mc = jnp.moveaxis(all_c, 0, 1).reshape(v.shape[0], -1)
+        all_r = jax.lax.all_gather(rows, DATA_AXIS)
+        mv = jnp.moveaxis(all_v, 0, 1).reshape(B, -1)  # [B, S*k]
+        mc = jnp.moveaxis(all_c, 0, 1).reshape(B, -1)
+        mr = jnp.moveaxis(all_r, 0, 1).reshape(B, -1)
 
         # lexical boost: filter-checked against the case-level columns
         # (round-1 VERDICT item 3 — parity with ops/hybrid.lexical_side_list)
@@ -147,6 +158,7 @@ def sharded_fused_topk(
 
         merged_v = jnp.concatenate([mv, lex_v], axis=1)  # [B, S*k+R]
         merged_c = jnp.concatenate([mc, lex], axis=1)
+        merged_r = jnp.concatenate([mr, lchunk], axis=1)
         merged_src = jnp.concatenate(
             [jnp.full_like(mc, SRC_SEMANTIC), lsrc], axis=1
         )
@@ -154,19 +166,26 @@ def sharded_fused_topk(
         M = merged_v.shape[1]
         v_all, pos = exact_topk(merged_v, M)
         c_all = jnp.take_along_axis(merged_c, pos, axis=1)
+        r_all = jnp.take_along_axis(merged_r, pos, axis=1)
         s_all = jnp.take_along_axis(merged_src, pos, axis=1)
         c_all = jnp.where(jnp.isfinite(v_all), c_all, -1)
         v_all = _dedup_by_case_sorted(v_all, c_all)
         fv, fpos = exact_topk(v_all, min(k, M))
         fc = jnp.take_along_axis(c_all, fpos, axis=1)
+        fr = jnp.take_along_axis(r_all, fpos, axis=1)
         fs = jnp.take_along_axis(s_all, fpos, axis=1)
         dead = jnp.isneginf(fv)
-        return fv, jnp.where(dead, -1, fc), jnp.where(dead, SRC_SEMANTIC, fs)
+        return (
+            fv,
+            jnp.where(dead, -1, fr),
+            jnp.where(dead, -1, fc),
+            jnp.where(dead, SRC_SEMANTIC, fs),
+        )
 
     return _search(
         query_emb, corpus_q, corpus_scale, chunk_case, chunk_court,
         chunk_date, court_table, date_lo, date_hi, lex_cases, lex_src,
-        case_court, case_date, min_similarity, exact_weight,
+        lex_chunk, case_court, case_date, min_similarity, exact_weight,
     )
 
 

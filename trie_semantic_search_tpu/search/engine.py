@@ -114,9 +114,11 @@ class SearchEngine:
         trie_index: Optional[TrieIndex] = None,
         vector_index: Optional[VectorIndex] = None,
         columns: Optional[MetadataColumns] = None,
+        mesh: Optional[object] = None,  # jax.sharding.Mesh: multi-chip serving
     ):
         self.config = config
         self.storage = storage
+        self.mesh = mesh
         self.trie_index = trie_index or TrieIndex(config.trie)
         self.vector_index = vector_index or VectorIndex(config.vector)
         self.columns = columns or MetadataColumns.build(
@@ -211,6 +213,7 @@ class SearchEngine:
                 self.vector_index,
                 self.columns,
                 ann_mode=self.config.search.fused_ann_mode,
+                mesh=self.mesh,
             )
         return self._fused
 
@@ -298,7 +301,7 @@ class SearchEngine:
 
     def _execute_batch(self, queries: list[SearchQuery]) -> list[list[SearchResult]]:
         if (
-            self.config.search.use_fused_device_path
+            (self.config.search.use_fused_device_path or self.mesh is not None)
             and self.vector_index.vectors is not None
             and len(self.vector_index.vectors)
             and all(

@@ -13,6 +13,12 @@ boost + dedup-by-case + top-k in ONE jit program per query batch
     work per query is independent of N, so >10k QPS/chip holds at
     CAP-scale corpora (round-1 VERDICT item 2).
 
+When constructed with a multi-chip ``mesh`` (data axis > 1), the step runs
+as :func:`..parallel.collectives.sharded_fused_topk` instead: the corpus
+and chunk columns shard row-wise over ``data``, each chip scans its shard,
+and shard-local top-k lists merge over ICI — identical semantics
+(filters on lexical hits included) and the same output contract.
+
 Results carry source provenance (semantic / case-name / citation /
 content) so the engine reconstructs the reference's MatchType surface
 identically to the staged path (ref search.rs:70-82).
@@ -53,12 +59,38 @@ class FusedHybridSearch:
         vector_index: VectorIndex,
         columns: MetadataColumns,
         ann_mode: str = "auto",  # "auto" | "brute" | "partitioned"
+        mesh=None,  # jax.sharding.Mesh; data axis > 1 → sharded serving
     ):
         if vector_index.vectors is None or not len(vector_index.vectors):
             raise ValueError("vector index has no frozen vectors")
         self.trie_index = trie_index
         self.vector_index = vector_index
         self.columns = columns
+        self.mesh = None
+
+        v = np.asarray(vector_index.vectors, np.float32)
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        self.num_vectors = len(v)
+
+        refs = np.asarray(vector_index.refs, np.int32)  # [N, 2]
+        chunk_case = refs[:, 0]
+        self.chunk_para = refs[:, 1]  # host-side: snippet anchoring
+
+        # representative chunk per case (first chunk in ref order; the boost
+        # only needs one slot per case — dedup keeps the max anyway)
+        C = len(columns)
+        rep = np.full(C, -1, np.int32)
+        for i in range(len(chunk_case) - 1, -1, -1):
+            rep[chunk_case[i]] = i
+        self._rep_np = rep
+        self.trie_chunk_of_case = jnp.asarray(rep)
+        self.num_courts = max(len(columns.court_vocab), 1)
+
+        from ..parallel.mesh import DATA_AXIS
+
+        if mesh is not None and int(mesh.shape.get(DATA_AXIS, 1)) > 1:
+            self._init_sharded(mesh, v, chunk_case)
+            return
 
         ann = vector_index.ann
         if ann_mode == "auto":
@@ -80,26 +112,43 @@ class FusedHybridSearch:
         else:
             # brute mode materialises its own int8 corpus copy; the
             # partitioned mode reuses the ANN's device blocks instead.
-            v = np.asarray(vector_index.vectors, np.float32)
-            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
             self.ann = None
             self.corpus_q, self.corpus_scale = quantize_int8(v)
-
-        refs = np.asarray(vector_index.refs, np.int32)  # [N, 2]
-        chunk_case = refs[:, 0]
-        self.chunk_para = refs[:, 1]  # host-side: snippet anchoring
         self.chunk_case = jnp.asarray(chunk_case)
         self.chunk_court = jnp.asarray(columns.court_ids[chunk_case])
         self.chunk_date = jnp.asarray(columns.dates[chunk_case])
 
-        # representative chunk per case (first chunk in ref order; the boost
-        # only needs one slot per case — dedup keeps the max anyway)
-        C = len(columns)
-        rep = np.full(C, -1, np.int32)
-        for i in range(len(chunk_case) - 1, -1, -1):
-            rep[chunk_case[i]] = i
-        self.trie_chunk_of_case = jnp.asarray(rep)
-        self.num_courts = max(len(columns.court_vocab), 1)
+    def _init_sharded(
+        self, mesh, v: np.ndarray, chunk_case: np.ndarray
+    ) -> None:
+        """Lay out the corpus + chunk columns row-sharded over the mesh's
+        data axis (SURVEY §7 step 7 multi-chip; round-1 VERDICT item 4)."""
+        import jax
+
+        from ..parallel.mesh import corpus_sharding, pad_corpus, row_sharding
+
+        self.mesh = mesh
+        self.ann = None
+        self.ann_mode = "sharded"
+        padded, n = pad_corpus(v, mesh, 8)
+        q, scale = quantize_int8(padded)
+        if padded.shape[0] > n:
+            scale = scale.at[n:].set(0.0)  # belt: n_valid masks by row anyway
+        csh, rsh = corpus_sharding(mesh), row_sharding(mesh)
+        self.corpus_q = jax.device_put(q, csh)
+        self.corpus_scale = jax.device_put(scale, csh)
+
+        def _pad_col(col: np.ndarray, fill: int) -> jax.Array:
+            out = np.full(padded.shape[0], fill, np.int32)
+            out[:n] = col
+            return jax.device_put(jnp.asarray(out), rsh)
+
+        self.chunk_case = _pad_col(chunk_case, -1)
+        self.chunk_court = _pad_col(self.columns.court_ids[chunk_case], 0)
+        self.chunk_date = _pad_col(self.columns.dates[chunk_case], 0)
+        # case-level columns (small) replicate for the lexical filter check
+        self.case_court = jnp.asarray(self.columns.court_ids)
+        self.case_date = jnp.asarray(self.columns.dates)
 
     @staticmethod
     def _trie_src(width: int) -> np.ndarray:
@@ -156,6 +205,39 @@ class FusedHybridSearch:
         for b, dr in enumerate(date_ranges):
             lo[b], hi[b] = self.columns.encode_date_range(dr)
 
+        q = jnp.asarray(query_embs, jnp.float32)
+        if self.ann_mode == "sharded":
+            from ..parallel.collectives import sharded_fused_topk
+
+            # mask lexical hits whose case has no chunk (no representative)
+            lex_chunk = self._rep_np[np.maximum(trie_rows, 0)]
+            trie_rows = np.where(lex_chunk >= 0, trie_rows, -1)
+            v, i, cases, src = sharded_fused_topk(
+                self.mesh,
+                q,
+                self.corpus_q,
+                self.corpus_scale,
+                self.chunk_case,
+                self.chunk_court,
+                self.chunk_date,
+                jnp.asarray(court_table),
+                jnp.asarray(lo),
+                jnp.asarray(hi),
+                jnp.asarray(trie_rows),
+                jnp.asarray(np.ascontiguousarray(trie_src)),
+                jnp.asarray(np.maximum(lex_chunk, 0)),
+                self.case_court,
+                self.case_date,
+                jnp.asarray(np.asarray(min_similarity, np.float32)),
+                jnp.asarray(np.asarray(exact_weight, np.float32)),
+                k=k,
+                n_valid=self.num_vectors,
+                overfetch=overfetch,
+            )
+            return (
+                np.asarray(v), np.asarray(i), np.asarray(cases), np.asarray(src)
+            )
+
         common = dict(
             court_table=jnp.asarray(court_table),
             date_lo=jnp.asarray(lo),
@@ -168,7 +250,6 @@ class FusedHybridSearch:
             k=k,
             overfetch=overfetch,
         )
-        q = jnp.asarray(query_embs, jnp.float32)
         if self.ann_mode == "partitioned":
             v, i, cases, src = fused_partitioned_topk(
                 q,
