@@ -341,3 +341,28 @@ def test_load_artifacts_missing_encoder_checkpoint_fails_loudly(engine, tmp_path
     shutil.rmtree(Path(cfg.vector.hnsw.index_path) / "encoder")
     with pytest.raises(IndexCorrupted):
         load_artifacts(cfg)
+
+
+def test_batch_path_uses_query_cache(engine):
+    """Round-1 VERDICT item 5: the batched (HTTP) path consults the query
+    cache — repeat queries never re-enter the device program."""
+    engine.query_cache.clear()
+    qs = [SearchQuery(query="right to remain silent"),
+          SearchQuery(query="equal protection of the laws")]
+    first = engine.search_batch(qs)
+
+    calls = []
+    orig = engine._execute_batch
+    engine._execute_batch = lambda queries: calls.append(len(queries)) or orig(queries)
+    try:
+        second = engine.search_batch(qs)
+        assert calls == []  # all hits: device path never invoked
+        # a mixed batch only executes the misses
+        mixed = [SearchQuery(query="right to remain silent"),
+                 SearchQuery(query="a brand new never seen query")]
+        engine.search_batch(mixed)
+        assert calls == [1]
+    finally:
+        engine._execute_batch = orig
+    for a, b in zip(first, second):
+        assert [r.case_metadata.id for r in a] == [r.case_metadata.id for r in b]
