@@ -454,3 +454,73 @@ def test_cli_loadtest_against_test_server(tmp_path, capsys):
         asyncio.run_coroutine_threadsafe(ts.close(), loop).result(30)
         loop.call_soon_threadsafe(loop.stop)
         thread.join(timeout=5)
+
+
+def test_search_get_endpoint(client):
+    """GET /search?query=... — the reference README's query-string form
+    (README.md:102-118) with its documented response shape."""
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/search", params={"query": "brown v. board of education",
+                                              "limit": "5"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["query"] == "brown v. board of education"
+        top = data["results"][0]
+        assert top["case_name"] == "Brown v. Board of Education"
+        assert set(top) == {"case_name", "citation", "decision_date",
+                            "snippet", "score", "match_type"}
+        assert top["match_type"] == "case_name"
+        # filters mirror the POST body
+        resp = await c.get("/search", params={
+            "query": "right to remain silent",
+            "court": "Supreme Court of the United States",
+            "date_from": "1950-01-01", "date_to": "1970-01-01",
+        })
+        assert resp.status == 200
+        assert (await resp.json())["results"]
+        # missing query → 400
+        resp = await c.get("/search")
+        assert resp.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_graphql_endpoint(client):
+    """POST /graphql — the reference README's declared GraphQL schema
+    (README.md:121-132)."""
+    c, loop = client
+
+    async def go():
+        doc = ('query { search(query: "brown v. board of education", '
+               'court: "Supreme Court of the United States", limit: 5) '
+               '{ caseName citation score snippet } }')
+        resp = await c.post("/graphql", json={"query": doc})
+        assert resp.status == 200
+        data = await resp.json()
+        hits = data["data"]["search"]
+        assert hits and hits[0]["caseName"] == "Brown v. Board of Education"
+        assert set(hits[0]) == {"caseName", "citation", "score", "snippet"}
+
+        # variables + alias + extra fields
+        doc = ("query Q($q: String!) { search(query: $q) "
+               "{ name: caseName matchType decisionDate } }")
+        resp = await c.post("/graphql",
+                            json={"query": doc, "variables": {"q": "miranda v. arizona"}})
+        assert resp.status == 200
+        hits = (await resp.json())["data"]["search"]
+        assert hits[0]["name"] == "Miranda v. Arizona"
+        assert hits[0]["matchType"] == "case_name"
+
+        # errors: unknown field, unsupported root, bad json
+        resp = await c.post("/graphql",
+                            json={"query": "query { search(query: \"x y\") { nope } }"})
+        assert resp.status == 400
+        assert "unknown field" in (await resp.json())["errors"][0]["message"]
+        resp = await c.post("/graphql", json={"query": "query { cases { id } }"})
+        assert resp.status == 400
+        resp = await c.post("/graphql", data="not json")
+        assert resp.status == 400
+
+    loop.run_until_complete(go())

@@ -85,6 +85,8 @@ class ApiServer:
             client_max_size=cfg.server.max_payload_size_mb * 1024 * 1024,
         )
         self.app.router.add_post("/search", self.search_handler)
+        self.app.router.add_get("/search", self.search_get_handler)
+        self.app.router.add_post("/graphql", self.graphql_handler)
         self.app.router.add_get("/health", self.health_handler)
         self.app.router.add_get("/stats", self.stats_handler)
         self.app.router.add_get("/completions", self.completions_handler)
@@ -211,6 +213,106 @@ class ApiServer:
             },
         }
         return web.json_response(payload)
+
+    async def _execute_query(self, q: SearchQuery):
+        """Validate + run through the micro-batcher under the configured
+        timeout budget (shared by the POST, GET and GraphQL handlers)."""
+        self.state.search_engine.validate_query(q)
+        timeout_s = self.state.config.search.search_timeout_ms / 1000
+        return await asyncio.wait_for(self.batcher.submit(q), timeout_s)
+
+    async def search_get_handler(self, request: web.Request) -> web.Response:
+        """``GET /search?query=freedom+of+speech&limit=10`` — the query-string
+        form the reference README documents (README.md:102-104), returning
+        the README's documented response shape (README.md:105-118):
+        ``{query, results: [{case_name, citation, decision_date, snippet,
+        score, match_type}]}``. Optional ``court`` (repeatable) and
+        ``date_from``/``date_to`` filters mirror the POST body."""
+        query = request.query.get("query") or request.query.get("q")
+        if not query:
+            return web.json_response(
+                {"error": "Invalid API request", "message": "missing 'query'"},
+                status=400,
+            )
+        try:
+            limit = int(request.query.get("limit", "10"))
+            courts = request.query.getall("court", []) or None
+            date_range = None
+            if request.query.get("date_from") or request.query.get("date_to"):
+                date_range = (
+                    _parse_date(request.query.get("date_from")),
+                    _parse_date(request.query.get("date_to")),
+                )
+            q = SearchQuery(
+                query=query, max_results=limit, court_filter=courts,
+                date_range=date_range,
+            )
+        except (ValueError, TypeError) as e:
+            return web.json_response(
+                {"error": "Invalid API request", "message": str(e)}, status=400
+            )
+        try:
+            results = await self._execute_query(q)
+        except InvalidSearchQuery as e:
+            return web.json_response(
+                {"error": "Invalid search query", "message": str(e)}, status=400
+            )
+        except asyncio.TimeoutError:
+            return web.json_response({"error": "Search timeout"}, status=504)
+        return web.json_response(
+            {
+                "query": query,
+                "results": [
+                    {
+                        "case_name": r.case_metadata.name,
+                        "citation": r.case_metadata.citation,
+                        "decision_date": r.case_metadata.decision_date.isoformat(),
+                        "snippet": r.snippet,
+                        "score": r.score,
+                        "match_type": r.match_type.value,
+                    }
+                    for r in results
+                ],
+            }
+        )
+
+    async def graphql_handler(self, request: web.Request) -> web.Response:
+        """Minimal GraphQL endpoint for the schema the reference README
+        declares (README.md:121-132) and neither the reference nor any
+        GraphQL library in this image implements: a single ``search(query,
+        court, limit)`` field with scalar selections (caseName, citation,
+        score, snippet, decisionDate, matchType). Standard request/response
+        envelope: ``{"query": "..."} → {"data": ...}`` / ``{"errors": ...}``.
+        """
+        from .graphql import GraphQLError, execute_search_query
+
+        try:
+            body = await request.json()
+        except (json.JSONDecodeError, ValueError):
+            return web.json_response(
+                {"errors": [{"message": "body must be JSON"}]}, status=400
+            )
+        document = (body or {}).get("query", "")
+        variables = (body or {}).get("variables") or {}
+
+        async def run(q: SearchQuery):
+            return await self._execute_query(q)
+
+        try:
+            data = await execute_search_query(document, variables, run)
+        except GraphQLError as e:
+            return web.json_response(
+                {"errors": [{"message": str(e)}]}, status=400
+            )
+        except InvalidSearchQuery as e:
+            return web.json_response(
+                {"errors": [{"message": str(e)}]}, status=400
+            )
+        except asyncio.TimeoutError:
+            return web.json_response(
+                {"errors": [{"message": "search timeout"}]}, status=504
+            )
+        return web.json_response({"data": data})
 
     async def health_handler(self, request: web.Request) -> web.Response:
         """ref: health_handler (api.rs:160-191)."""
@@ -344,6 +446,9 @@ MiniLM semantic retrieval on TPU. Version {__version__}.</p>
 <ul>
 <li><code>POST /search</code> — {{"query": "...", "max_results": 10,
 "court_filter": [...], "date_range": ["1950-01-01", "1970-01-01"]}}</li>
+<li><code>GET /search?query=freedom+of+speech&amp;limit=10</code> — query-string form</li>
+<li><code>POST /graphql</code> — {{"query": "query {{ search(query: \\"...\\", limit: 5)
+{{ caseName citation score snippet }} }}"}}</li>
 <li><code>GET /health</code> — component health</li>
 <li><code>GET /stats</code> — engine / index / storage statistics</li>
 <li><code>GET /completions?prefix=brown</code> — trie prefix completions</li>
