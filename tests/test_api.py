@@ -35,6 +35,8 @@ TINY = MiniLMConfig(vocab_size=4096, hidden_size=64, num_layers=2,
 def make_state(tmp_path, api_key=None) -> AppState:
     cfg = Config()
     cfg.storage.db_path = str(tmp_path / "db.sqlite")
+    cfg.trie.index_path = str(tmp_path / "trie_index")
+    cfg.vector.hnsw.index_path = str(tmp_path / "vector_index")
     cfg.vector.hnsw.num_partitions = 8
     cfg.vector.dimension = 64
     # first-query jit compiles exceed the 5 s production budget on the CPU
@@ -524,3 +526,58 @@ def test_graphql_endpoint(client):
         assert resp.status == 400
 
     loop.run_until_complete(go())
+
+
+def test_reindex_incremental_endpoint(tmp_path):
+    """POST /admin/reindex?mode=incremental picks up a newly stored case
+    without a full rebuild and hot-swaps it into the live engine."""
+    state = make_state(tmp_path)
+    server = ApiServer(state)
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        try:
+            resp = await c.post("/admin/reindex?mode=bogus")
+            assert resp.status == 400
+
+            resp = await c.get("/stats")
+            before = (await resp.json())["engine"]["total_cases_indexed"]
+
+            meta = CaseMetadata(
+                id=new_case_id(), name="Gideon v. Wainwright",
+                citation="372 U.S. 335 (1963)",
+                court="Supreme Court of the United States",
+                decision_date=dt.date(1963, 3, 18),
+            )
+            state.storage.store_case_metadata(meta)
+            state.storage.store_case_text(
+                meta.id, "The right to counsel is fundamental to a fair trial."
+            )
+
+            resp = await c.post("/admin/reindex?mode=incremental")
+            assert resp.status == 202
+            assert (await resp.json())["mode"] == "incremental"
+            for _ in range(300):
+                await asyncio.sleep(0.1)
+                if not server._reindexing:
+                    break
+            assert not server._reindexing
+            resp = await c.get("/stats")
+            after = (await resp.json())["engine"]["total_cases_indexed"]
+            assert after == before + 1
+            resp = await c.post("/search", json={"query": "gideon v. wainwright"})
+            data = await resp.json()
+            assert data["total_results"] >= 1
+            assert (data["results"][0]["case_metadata"]["name"]
+                    == "Gideon v. Wainwright")
+            # old cases still searchable after the incremental swap
+            resp = await c.post("/search", json={"query": "miranda v. arizona"})
+            assert ((await resp.json())["results"][0]["case_metadata"]["name"]
+                    == "Miranda v. Arizona")
+        finally:
+            await c.close()
+
+    loop.run_until_complete(go())
+    loop.close()

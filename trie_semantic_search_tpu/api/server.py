@@ -396,7 +396,21 @@ class ApiServer:
         """Rebuild index artifacts from storage in the background and swap
         them atomically into the live engine (zero-downtime hot reload —
         the reference README promised hot-reload, README.md:161-165, and
-        its rebuild path was a TODO)."""
+        its rebuild path was a TODO).
+
+        ``?mode=incremental`` indexes only cases added to storage since the
+        live artifacts were built — no re-embedding of old chunks, no
+        k-means retrain (the reference's ``enable_incremental_updates``
+        config, config.rs:109, which it never wired). Safe after restart:
+        loaded tries rehydrate their builders before the first insert.
+        """
+        mode = request.query.get("mode", "full")
+        if mode not in ("full", "incremental"):
+            return web.json_response(
+                {"error": "Invalid API request",
+                 "message": f"mode must be full|incremental, got {mode!r}"},
+                status=400,
+            )
         if self._reindexing:
             return web.json_response(
                 {"status": "already_running"}, status=409
@@ -405,20 +419,38 @@ class ApiServer:
 
         async def _rebuild() -> None:
             try:
-                from ..index.builder import build_indexes, save_artifacts
+                from ..index.builder import (
+                    BuildReport,
+                    BuiltIndexes,
+                    build_indexes,
+                    save_artifacts,
+                    update_indexes,
+                )
 
                 engine = self.state.search_engine
-                built = await asyncio.to_thread(
-                    build_indexes,
-                    self.state.storage,
-                    self.state.config,
-                    embedder=engine.vector_index.embedder,
-                )
+                if mode == "incremental":
+                    live = BuiltIndexes(
+                        trie=engine.trie_index,
+                        vector=engine.vector_index,
+                        columns=engine.columns,
+                        report=BuildReport(cases=len(engine.columns)),
+                    )
+                    built = await asyncio.to_thread(
+                        update_indexes, live, self.state.storage,
+                        self.state.config,
+                    )
+                else:
+                    built = await asyncio.to_thread(
+                        build_indexes,
+                        self.state.storage,
+                        self.state.config,
+                        embedder=engine.vector_index.embedder,
+                    )
                 save_artifacts(built, self.state.config)
                 engine.swap_indexes(built.trie, built.vector, built.columns)
                 _log.info(
-                    "reindex complete: %d cases, %d chunks",
-                    built.report.cases, built.report.content_chunks,
+                    "%s reindex complete: %d cases, %d chunks",
+                    mode, built.report.cases, built.report.content_chunks,
                 )
             except Exception:
                 _log.exception("background reindex failed")
@@ -426,7 +458,7 @@ class ApiServer:
                 self._reindexing = False
 
         asyncio.create_task(_rebuild())
-        return web.json_response({"status": "started"}, status=202)
+        return web.json_response({"status": "started", "mode": mode}, status=202)
 
     async def index_handler(self, request: web.Request) -> web.Response:
         """ref: index_handler HTML landing page (api.rs:217-262)."""

@@ -120,6 +120,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         maintenance.append(gc_task)
     for task in maintenance:
         task.start()
+    warmup_thread = None
     if not args.no_warmup:
         # warm in the background so the server binds immediately; early
         # queries just pay jit latency until the buckets are compiled
@@ -132,7 +133,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
             engine.warmup()
             _log.info("warmup complete")
 
-        threading.Thread(target=_warm, name="warmup", daemon=True).start()
+        warmup_thread = threading.Thread(target=_warm, name="warmup", daemon=True)
+        warmup_thread.start()
     state = AppState(config=cfg, search_engine=engine, storage=storage)
     server = ApiServer(state)
 
@@ -150,6 +152,13 @@ def cmd_serve(args: argparse.Namespace) -> int:
         # graceful shutdown (the reference's TODO, main.rs:264-276)
         _log.info("shutting down: flushing storage, stopping batcher")
         serve_task.cancel()
+        if warmup_thread is not None and warmup_thread.is_alive():
+            # exiting mid-compile aborts inside the PJRT C++ layer
+            # (observed: "terminate called ... FATAL: exception not
+            # rethrown" when SIGINT lands during a remote compile); wait
+            # for the in-flight device work to drain first
+            _log.info("waiting for in-flight warmup compilation ...")
+            await asyncio.to_thread(warmup_thread.join, 600)
         await server.batcher.stop()
         if reporter is not None:
             reporter.stop()
