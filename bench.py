@@ -362,10 +362,258 @@ def suite() -> None:
                       "results": out}))
 
 
+def capscale() -> None:
+    """CAP-scale bench (round-1 VERDICT items 2 + 8): 8.4M chunks on one
+    chip (3.2 GB int8 — the full corpus budget of a v5e), with the device
+    filters + lexical merge + dedup active, plus the 1M-row recall/memory
+    harness on the real PartitionedANN.
+
+    Three configs, one JSON line each to stderr, summary line to stdout:
+
+      A. 8.4M × 384 chunked-brute fused hybrid, B=256 (the large-batch
+         serving path: corpus read once per batch; no [B, N] score matrix).
+      B. 8.4M × 384 partitioned fused, B=16, nprobe=32 (the low-latency
+         path: per-query HBM traffic is nprobe·m·D, independent of N) —
+         recall measured against A's exact int8 scan.
+      C. 1M × 384 PartitionedANN (the real index class): recall@10 vs the
+         f32/bf16 exact oracle at tuned nprobe, and bytes vs the HNSW
+         equal-memory budget (M=16 links: 4·D + 8·M + 64 per vector).
+
+    Break-even note (measured architecture constraint): partition probing
+    reads B·nprobe·m rows per batch vs the brute scan's N once, so brute
+    wins when B ≥ N/(nprobe·m); the engine's auto mode encodes this.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.ops.hybrid import (
+        fused_hybrid_topk_chunked,
+        fused_partitioned_topk,
+    )
+
+    out: list[dict] = []
+
+    def report(name: str, **kw) -> None:
+        rec = {"config": name, **kw}
+        out.append(rec)
+        print(json.dumps(rec), file=sys.stderr)
+
+    import os
+
+    # full scale by default; env knobs allow a small smoke run (CPU/CI)
+    P = int(os.environ.get("TSS_CAPSCALE_P", 2048))
+    m = int(os.environ.get("TSS_CAPSCALE_M", 4096))
+    D = 384
+    N = P * m  # 8,388,608 at defaults
+    K = 10
+    dev = jax.devices()[0]
+    print(f"capscale device: {dev}; N={N}", file=sys.stderr)
+
+    # ---- corpus: clustered, generated on device in partition-major layout
+    # (no host->device bulk transfer; nearest centroid == own partition by
+    # construction, like a converged k-means)
+    SLAB = min(64, P)  # partitions per generation step
+
+    @jax.jit
+    def gen(keys):
+        def one(key):
+            kc, kn = jax.random.split(key)
+            cent = jax.random.normal(kc, (SLAB, D), jnp.float32)
+            cent /= jnp.linalg.norm(cent, axis=-1, keepdims=True)
+            noise = jax.random.normal(kn, (SLAB, m, D), jnp.float32)
+            v = cent[:, None, :] + 0.35 * noise / np.sqrt(D)
+            v /= jnp.linalg.norm(v, axis=-1, keepdims=True)
+            scale = jnp.max(jnp.abs(v), axis=-1) / 127.0
+            q = jnp.clip(jnp.round(v / scale[..., None]), -127, 127)
+            return cent, q.astype(jnp.int8), scale
+        return jax.lax.map(one, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), P // SLAB)
+    cents, blocks, scales = jax.block_until_ready(gen(keys))
+    centroids = cents.reshape(P, D)
+    part_int8 = blocks.reshape(P, m, D)
+    part_scale = scales.reshape(P, m)
+    part_rows = jnp.arange(N, dtype=jnp.int32).reshape(P, m)
+    corpus_q = part_int8.reshape(N, D)
+    corpus_scale = part_scale.reshape(N, 1)
+    int8_gb = round(corpus_q.nbytes / 2**30, 2)
+
+    # chunk columns: each chunk its own case (pure ANN recall is measured
+    # at chunk granularity; dedup machinery still runs)
+    chunk_case = jnp.arange(N, dtype=jnp.int32)
+    chunk_court = (chunk_case % 16).astype(jnp.int32)
+    chunk_date = (chunk_case % 20000).astype(jnp.int32)
+
+    # ---- queries: perturbed members of random partitions
+    B_BRUTE, B_PART = 256, 16
+    kq = jax.random.PRNGKey(7)
+    kp, kn2 = jax.random.split(kq)
+    qpart = jax.random.randint(kp, (B_BRUTE,), 0, P)
+    qv = centroids[qpart] + 0.3 * jax.random.normal(
+        kn2, (B_BRUTE, D), jnp.float32
+    ) / np.sqrt(D)
+    qv = qv / jnp.linalg.norm(qv, axis=-1, keepdims=True)
+
+    R_TRIE = 8
+    def common(B):
+        # open filters for the recall configs; the filtered timing config
+        # narrows them below
+        return dict(
+            court_table=jnp.ones((B, 16), bool),
+            date_lo=jnp.zeros(B, jnp.int32),
+            date_hi=jnp.full(B, 2**31 - 1, jnp.int32),
+            trie_rows=jnp.full((B, R_TRIE), -1, jnp.int32),
+            trie_src=jnp.full((B, R_TRIE), 3, jnp.int32),
+            trie_chunk_of_case=chunk_case,  # case i ↔ chunk i
+            min_similarity=jnp.full(B, 0.2, jnp.float32),
+            exact_weight=jnp.full(B, 2.0, jnp.float32),
+        )
+
+    # ---- config A: chunked-brute fused hybrid at B=256 (exact) ----
+    TRIALS = 8
+    NCHUNKS = 16
+    args_a = common(B_BRUTE)
+    t_compile = time.perf_counter()
+    va, ia, ca, sa = jax.block_until_ready(
+        fused_hybrid_topk_chunked(
+            qv, corpus_q, corpus_scale, chunk_case, chunk_court, chunk_date,
+            k=K, overfetch=1, num_chunks=NCHUNKS, **args_a,
+        )
+    )
+    print(f"A compiled+ran in {time.perf_counter()-t_compile:.1f}s",
+          file=sys.stderr)
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            fused_hybrid_topk_chunked(
+                qv, corpus_q, corpus_scale, chunk_case, chunk_court,
+                chunk_date, k=K, overfetch=1, num_chunks=NCHUNKS, **args_a,
+            )
+        )
+        times.append(time.perf_counter() - t0)
+    batch_ms = statistics.median(times) * 1000
+    # HBM floor: one full int8-corpus read per batch
+    floor_ms = corpus_q.nbytes / 819e9 * 1000
+    report(
+        "capscale_brute_8M", corpus_chunks=N, dim=D, batch=B_BRUTE,
+        int8_gb=int8_gb, batch_ms=round(batch_ms, 2),
+        qps=round(B_BRUTE / (batch_ms / 1000), 1),
+        hbm_floor_ms=round(floor_ms, 2),
+        x_over_floor=round(batch_ms / floor_ms, 2),
+        recall_at_10=1.0, note="exact int8 scan (oracle for config B)",
+    )
+
+    # ---- config B: partitioned fused at B=16, nprobe=32 ----
+    # no bf16 rescore copy: the corpus was generated AS int8, so int8
+    # scores are already exact for it (corpus_bf16=None skips the gather)
+    qv16 = qv[:B_PART]
+    oracle16 = np.asarray(ia[:B_PART, :K])
+    args_b = common(B_PART)
+    for nprobe in (32, 64):
+        t0 = time.perf_counter()
+        vb, ib, cb, sb = jax.block_until_ready(
+            fused_partitioned_topk(
+                qv16, centroids, part_rows, part_int8, part_scale, None,
+                chunk_case, chunk_court, chunk_date,
+                k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
+                **args_b,
+            )
+        )
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(
+                fused_partitioned_topk(
+                    qv16, centroids, part_rows, part_int8, part_scale, None,
+                    chunk_case, chunk_court, chunk_date,
+                    k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
+                    **args_b,
+                )
+            )
+            times.append(time.perf_counter() - t0)
+        bms = statistics.median(times) * 1000
+        got = np.asarray(ib[:, :K])
+        recall = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(got, oracle16)
+        ]))
+        report(
+            "capscale_partitioned_8M", corpus_chunks=N, batch=B_PART,
+            nprobe=nprobe, probed_frac=round(nprobe * m / N, 4),
+            batch_ms=round(bms, 2), qps=round(B_PART / (bms / 1000), 1),
+            recall_at_10_vs_exact=round(recall, 4),
+            compile_s=round(compile_s, 1),
+        )
+        if recall >= 0.95:
+            break
+
+    # free the 8M corpus before the 1M harness
+    del corpus_q, corpus_scale, part_int8, part_scale, blocks, scales
+    del va, ia, ca, sa
+
+    # ---- config C: 1M-row recall/memory harness on the real class ----
+    from trie_semantic_search_tpu.core.config import AnnConfig
+    from trie_semantic_search_tpu.index.ann import PartitionedANN
+
+    rng = np.random.default_rng(1)
+    N1 = int(os.environ.get("TSS_CAPSCALE_N1", 1_000_000))
+    D1, P1 = 384, max(8, int(np.sqrt(N1)) // 32 * 32)
+    n_centers = max(64, N1 // 256)
+    centers = rng.standard_normal((n_centers, D1)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    asn = rng.integers(0, n_centers, N1)
+    v1 = centers[asn] + 0.35 * rng.standard_normal((N1, D1)).astype(
+        np.float32
+    ) / np.sqrt(D1)
+    v1 /= np.linalg.norm(v1, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    ann = PartitionedANN(AnnConfig(num_partitions=P1, kmeans_iters=6,
+                                   kmeans_sample=131_072))
+    ann.build(v1)
+    build_s = time.perf_counter() - t0
+    qi = rng.integers(0, N1, 128)
+    q1 = v1[qi]
+    _, oracle1 = ann.search_brute(q1, K)  # bf16 exact scan
+    nprobe1, recall1, bms1 = None, 0.0, None
+    for nprobe in (16, 32, 64, 128):
+        t0 = time.perf_counter()
+        _, got1 = ann.search(q1, K, nprobe=nprobe)
+        first_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ann.search(q1, K, nprobe=nprobe)
+        bms1 = (time.perf_counter() - t0) * 1000
+        recall1 = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(got1, oracle1)
+        ]))
+        nprobe1 = nprobe
+        if recall1 >= 0.95:
+            break
+    st = ann.get_stats()
+    # HNSW equal-memory budget: f32 vectors + M=16 graph links + overhead
+    hnsw_bytes = N1 * (4 * D1 + 8 * 16 + 64)
+    report(
+        "recall_1m_384", rows=N1, dim=D1, partitions=P1,
+        build_seconds=round(build_s, 1), nprobe=nprobe1,
+        recall_at_10=round(recall1, 4), batch_ms=round(bms1, 2),
+        bytes_total=st.nbytes_total, hnsw_equal_memory_bytes=hnsw_bytes,
+        memory_vs_hnsw=round(st.nbytes_total / hnsw_bytes, 3),
+    )
+
+    print(json.dumps({
+        "metric": "capscale_suite", "value": len(out), "unit": "configs",
+        "vs_baseline": 1.0, "results": out,
+    }))
+
+
 if __name__ == "__main__":
     if "--suite" in sys.argv:
         import jax  # noqa: F401
 
         suite()
+    elif "--capscale" in sys.argv:
+        capscale()
     else:
         main()

@@ -312,3 +312,49 @@ def test_engine_multichip_serving_matches_single_chip(stack, tmp_path_factory):
         for a, b in zip(rs, rm):
             assert abs(a.score - b.score) < 1e-5
             assert a.snippet == b.snippet
+
+
+def test_fused_chunked_matches_oneshot():
+    """fused_hybrid_topk_chunked (lax.scan over corpus slabs, CAP-scale
+    memory) returns exactly the one-shot program's results."""
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.ops.hybrid import (
+        fused_hybrid_topk,
+        fused_hybrid_topk_chunked,
+    )
+    from trie_semantic_search_tpu.ops.scoring import quantize_int8
+
+    rng = np.random.default_rng(5)
+    N, D, B, C = 1024, 32, 4, 64
+    v = rng.standard_normal((N, D)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    cq, cs = quantize_int8(v)
+    chunk_case = rng.integers(0, C, N).astype(np.int32)
+    chunk_court = rng.integers(0, 4, N).astype(np.int32)
+    chunk_date = rng.integers(0, 1000, N).astype(np.int32)
+    rep = np.full(C, -1, np.int32)
+    for i in range(N - 1, -1, -1):
+        rep[chunk_case[i]] = i
+    court_table = rng.random((B, 4)) < 0.7
+    lex = np.full((B, 3), -1, np.int32)
+    lex[0, 0] = int(chunk_case[0])
+    lex_src = np.full((B, 3), 1, np.int32)
+    args = (
+        jnp.asarray(v[:B]), jnp.asarray(cq), jnp.asarray(cs),
+        jnp.asarray(chunk_case), jnp.asarray(chunk_court),
+        jnp.asarray(chunk_date), jnp.asarray(court_table),
+        jnp.zeros(B, jnp.int32), jnp.full(B, 800, jnp.int32),
+        jnp.asarray(lex), jnp.asarray(lex_src), jnp.asarray(rep),
+        jnp.full(B, 0.1, jnp.float32), jnp.full(B, 2.0, jnp.float32),
+    )
+    a = fused_hybrid_topk(*args, k=8, overfetch=4)
+    b = fused_hybrid_topk_chunked(*args, k=8, overfetch=4, num_chunks=8)
+    for x, y, name in zip(a, b, ("v", "i", "cases", "src")):
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y), err_msg=name
+        )
+    # degenerate: N not divisible → falls back, still identical
+    c = fused_hybrid_topk_chunked(*args, k=8, overfetch=4, num_chunks=7)
+    for x, y in zip(a, c):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

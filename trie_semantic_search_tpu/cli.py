@@ -212,15 +212,31 @@ def cmd_ingest(args: argparse.Namespace) -> int:
 def cmd_build_index(args: argparse.Namespace) -> int:
     cfg = _load_config(args)
     init_logging(cfg.logging)
-    from .index.builder import build_indexes, save_artifacts
     from .storage.store import StorageManager
 
     storage = StorageManager(cfg.storage)
-    built = build_indexes(
-        storage, cfg, tune_recall=args.tune_recall,
-        pretrain_steps=args.pretrain_steps,
-    )
-    save_artifacts(built, cfg)
+    if args.streaming:
+        from .index.streaming import StreamingIndexBuilder
+
+        built = StreamingIndexBuilder(
+            storage, cfg, work_dir=args.work_dir,
+            shard_chunks=args.shard_chunks,
+        ).build(resume=not args.no_resume)
+        extra = {
+            "shards": built.report.shards,
+            "resumed_from_row": built.report.resumed_from_row,
+            "chunks_per_second": built.report.chunks_per_second,
+            "peak_rss_bytes": built.report.peak_rss_bytes,
+        }
+    else:
+        from .index.builder import build_indexes, save_artifacts
+
+        built = build_indexes(
+            storage, cfg, tune_recall=args.tune_recall,
+            pretrain_steps=args.pretrain_steps,
+        )
+        save_artifacts(built, cfg)
+        extra = {}
     print(
         json.dumps(
             {
@@ -230,6 +246,7 @@ def cmd_build_index(args: argparse.Namespace) -> int:
                 "seconds": round(built.report.seconds, 3),
                 "trie_path": cfg.trie.index_path,
                 "vector_path": cfg.vector.hnsw.index_path,
+                **extra,
             }
         )
     )
@@ -394,6 +411,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto-tune nprobe to this recall@10 target")
     s.add_argument("--pretrain-steps", type=int, default=0,
                    help="corpus-contrastive encoder pretraining steps")
+    s.add_argument("--streaming", action="store_true",
+                   help="checkpointed corpus-scale build (resumable)")
+    s.add_argument("--work-dir", default=None,
+                   help="streaming build working directory")
+    s.add_argument("--shard-chunks", type=int, default=8192,
+                   help="chunks per embedding shard / checkpoint interval")
+    s.add_argument("--no-resume", action="store_true",
+                   help="ignore an existing streaming-build checkpoint")
     s.set_defaults(fn=cmd_build_index)
 
     s = sub.add_parser("check-health", help="probe component health and exit")

@@ -156,6 +156,13 @@ class TrieConfig:
     # up to `content_window` tokens long match anywhere).
     content_window: int = 8
     max_windows_per_paragraph: int = 512
+    #: which token positions start a content window: "all" (phrase matches
+    #: anywhere; node count grows with every token — viable to ~100k cases),
+    #: "phrase_start" (sentence starts + stopword→word boundaries — ~5x
+    #: fewer nodes; phrases match when they begin at a natural phrase
+    #: boundary — the CAP-scale default for streaming builds), or
+    #: "sentence_start" (smallest; prefix-of-sentence matching only).
+    content_windowing: str = "all"
 
 
 @dataclass

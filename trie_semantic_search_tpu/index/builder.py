@@ -95,11 +95,14 @@ def build_indexes(
     vector = VectorIndex(config.vector, embedder=embedder, mesh=mesh)
 
     report = BuildReport()
-    # stream: embed accumulated chunks every EMBED_FLUSH docs so raw chunk
-    # text never accumulates past a bounded window (corpus-scale builds)
+    # stream in rowid order — the dense device row order (same stream the
+    # checkpointed StreamingIndexBuilder uses, so both builders produce
+    # identical frozen artifacts); embed accumulated chunks every
+    # EMBED_FLUSH docs so raw chunk text never accumulates past a bounded
+    # window (corpus-scale builds)
     EMBED_FLUSH = 8192
-    for meta, text in storage.iter_cases():
-        row = columns.row_of_case[meta.id]
+    for row, meta, text in storage.iter_cases_rowid():
+        assert columns.row_of_case[meta.id] == row
         trie.insert_case_name(meta.name, row)
         if meta.citation:
             trie.insert_citation(meta.citation, row)
@@ -172,10 +175,9 @@ def update_indexes(
                          citations=built.report.citations)
 
     new_cases = 0
-    for meta, text in storage.iter_cases():
+    for row, meta, text in storage.iter_cases_rowid():
         if meta.id in known:
             continue
-        row = columns.row_of_case[meta.id]
         trie.insert_case_name(meta.name, row)
         if meta.citation:
             trie.insert_citation(meta.citation, row)

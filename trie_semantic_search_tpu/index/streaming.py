@@ -1,0 +1,282 @@
+"""Streaming, checkpointed, CAP-scale index build driver.
+
+The reference claims a 6.5M-case corpus (``/root/reference/README.md:11,25``)
+but never wired index building at all (``rebuild_indices`` TODO,
+main.rs:248-261). :func:`.builder.build_indexes` builds in one pass with the
+corpus text streamed but the whole build lost on interruption. This driver
+is the corpus-scale path (round-1 VERDICT item 6):
+
+  * **storage → tokenize → bucketed encode → shard append**: cases stream
+    from sqlite in rowid order (= dense device row order); chunk text
+    buffers only until a shard's worth is embedded (one bucketed device
+    dispatch) and written to disk as ``emb_XXXXX.npy`` — raw text never
+    accumulates, so host RSS stays bounded at any corpus size.
+  * **checkpointed + resumable**: after every shard the trie builders are
+    frozen to a checkpoint directory and a manifest records the watermark
+    row. A killed build resumes from the manifest: the tries reload (and
+    rehydrate their builders on the first insert), embedded shards are kept,
+    and the case stream restarts at the watermark — no re-embedding of
+    finished work.
+  * **content-trie scaling**: defaults to ``phrase_start`` windowing
+    (docs/ROADMAP option (a): sentence starts + stopword→word boundaries),
+    ~5x fewer content-trie nodes than windowing every token.
+  * **finalize**: shards concatenate into the frozen vector store; the ANN
+    partitioner trains on a sample; everything saves via the standard
+    artifact layout (atomic swap into a serving engine).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..core.config import Config
+from ..models.embedder import Embedder
+from ..storage.columns import MetadataColumns
+from ..storage.store import StorageManager
+from ..text.processor import TextProcessor
+from ..utils import SystemUtils
+from .builder import BuildReport, BuiltIndexes, save_artifacts
+from .trie import TrieIndex
+from .vector import VectorIndex
+
+_log = logging.getLogger("tss_tpu.streaming")
+
+_MANIFEST = "manifest.json"
+
+
+@dataclass
+class StreamReport(BuildReport):
+    """BuildReport + streaming-specific telemetry."""
+
+    shards: int = 0
+    resumed_from_row: int = 0
+    chunks_per_second: float = 0.0
+    peak_rss_bytes: int = 0
+
+
+@dataclass
+class _Manifest:
+    next_row: int = 0
+    shards: list[str] = field(default_factory=list)
+    cases: int = 0
+    chunks: int = 0
+    citations: int = 0
+    trie_ckpt: str = ""  # current trie checkpoint dir name
+
+    @classmethod
+    def load(cls, path: Path) -> "_Manifest":
+        if not path.exists():
+            return cls()
+        d = json.loads(path.read_text())
+        return cls(**d)
+
+    def save(self, path: Path) -> None:
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.__dict__))
+        tmp.replace(path)  # atomic
+
+
+class StreamingIndexBuilder:
+    """Checkpointed corpus-scale build (see module docstring)."""
+
+    def __init__(
+        self,
+        storage: StorageManager,
+        config: Config,
+        embedder: Optional[Embedder] = None,
+        work_dir: Optional[str | Path] = None,
+        shard_chunks: int = 8192,
+        max_chunks_per_case: int = 64,
+    ):
+        self.storage = storage
+        self.config = config
+        self.work_dir = Path(
+            work_dir or (Path(config.trie.index_path).parent / "stream_build")
+        )
+        self.shard_chunks = shard_chunks
+        self.max_chunks_per_case = max_chunks_per_case
+        self.tp = TextProcessor(config.text_processing)
+        if embedder is None:
+            from .builder import _load_encoder
+
+            vec_dir = Path(config.vector.hnsw.index_path)
+            embedder = None
+            try:
+                embedder = _load_encoder(config, vec_dir)
+            except Exception:
+                embedder = None
+            if embedder is None:
+                # no saved encoder: train a corpus WordPiece vocab from a
+                # bounded sample (full corpus text would not fit; 10k cases
+                # of vocabulary coverage is plenty for 8k merges)
+                from ..models.tokenizer import (
+                    WordPieceTokenizer,
+                    train_wordpiece_vocab,
+                )
+
+                def sample_gen():
+                    for i, (_row, _m, text) in enumerate(
+                        storage.iter_cases_rowid()
+                    ):
+                        if i >= 10_000:
+                            return
+                        if text:
+                            yield text
+
+                vocab = train_wordpiece_vocab(sample_gen(), vocab_size=8192)
+                embedder = Embedder(
+                    config.vector.model, tokenizer=WordPieceTokenizer(vocab)
+                )
+        self.embedder = embedder
+
+    # -- stage drivers -------------------------------------------------------
+
+    def _load_or_new_trie(self, manifest: _Manifest) -> TrieIndex:
+        if manifest.next_row > 0 and manifest.trie_ckpt:
+            ckpt = self.work_dir / manifest.trie_ckpt
+            _log.info("resuming tries from %s (row %d)", ckpt, manifest.next_row)
+            return TrieIndex.load_from_disk(ckpt, self.config.trie)
+        return TrieIndex(self.config.trie)
+
+    def _write_shard(
+        self, manifest: _Manifest, texts: list[str], refs: list[tuple[int, int]]
+    ) -> None:
+        embs = self.embedder.embed(texts).embedding  # bucketed device encode
+        sid = len(manifest.shards)
+        name = f"shard_{sid:05d}"
+        np.save(self.work_dir / f"{name}_emb.npy", embs.astype(np.float32))
+        np.save(
+            self.work_dir / f"{name}_refs.npy", np.asarray(refs, np.int32)
+        )
+        manifest.shards.append(name)
+
+    def _checkpoint(
+        self, manifest: _Manifest, trie: TrieIndex, next_row: int
+    ) -> None:
+        """Crash-safe checkpoint: write the tries to a NEW numbered dir,
+        point the manifest at it (atomic rename), and only then delete the
+        previous one — at every instant the manifest references a complete
+        checkpoint."""
+        prev = manifest.trie_ckpt
+        new = f"trie_ckpt_{len(manifest.shards):05d}"
+        trie.freeze()
+        trie.save_to_disk(self.work_dir / new)
+        manifest.trie_ckpt = new
+        manifest.next_row = next_row
+        manifest.save(self.work_dir / _MANIFEST)
+        if prev and prev != new and (self.work_dir / prev).exists():
+            shutil.rmtree(self.work_dir / prev)
+
+    def build(self, resume: bool = True) -> BuiltIndexes:
+        t0 = time.perf_counter()
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        manifest = (
+            _Manifest.load(self.work_dir / _MANIFEST) if resume else _Manifest()
+        )
+        if not resume:
+            for p in self.work_dir.glob("shard_*"):
+                p.unlink()
+            for p in self.work_dir.glob("trie_ckpt_*"):
+                shutil.rmtree(p)
+        resumed_from = manifest.next_row
+        trie = self._load_or_new_trie(manifest)
+
+        pending_texts: list[str] = []
+        pending_refs: list[tuple[int, int]] = []
+        row_after_pending = manifest.next_row
+        peak_rss = 0
+        t_stream = time.perf_counter()
+        chunks_at_start = manifest.chunks
+
+        for row, meta, text in self.storage.iter_cases_rowid(manifest.next_row):
+            trie.insert_case_name(meta.name, row)
+            if meta.citation:
+                trie.insert_citation(meta.citation, row)
+                manifest.citations += 1
+            for cit in meta.citations:
+                trie.insert_citation(cit, row)
+                manifest.citations += 1
+            body = text or meta.full_text
+            if body:
+                processed = self.tp.process_text(body)
+                for para_idx, sentence in enumerate(
+                    processed.sentences[: self.max_chunks_per_case]
+                ):
+                    toks = [t for t in sentence.lower().split() if t]
+                    trie.insert_content(toks, row, para_idx)
+                    pending_texts.append(sentence)
+                    pending_refs.append((row, para_idx))
+                    manifest.chunks += 1
+                for cit in processed.citations:
+                    trie.insert_citation(cit.normalized, row)
+            manifest.cases += 1
+            row_after_pending = row + 1
+
+            if len(pending_texts) >= self.shard_chunks:
+                self._write_shard(manifest, pending_texts, pending_refs)
+                pending_texts, pending_refs = [], []
+                self._checkpoint(manifest, trie, row_after_pending)
+                rss = SystemUtils.memory_usage()
+                peak_rss = max(peak_rss, rss)
+                rate = (manifest.chunks - chunks_at_start) / max(
+                    time.perf_counter() - t_stream, 1e-9
+                )
+                _log.info(
+                    "shard %d: row %d, %d chunks total, %.0f chunks/s, rss %s",
+                    len(manifest.shards), row_after_pending, manifest.chunks,
+                    rate, SystemUtils.format_bytes(rss),
+                )
+
+        if pending_texts:
+            self._write_shard(manifest, pending_texts, pending_refs)
+            self._checkpoint(manifest, trie, row_after_pending)
+
+        # -- finalize: assemble the frozen vector store + ANN + columns -----
+        trie.freeze()
+        columns = MetadataColumns.build(self.storage.fetch_filter_columns())
+        vector = VectorIndex(self.config.vector, embedder=self.embedder)
+        if manifest.shards:
+            embs = [
+                np.load(self.work_dir / f"{s}_emb.npy", mmap_mode="r")
+                for s in manifest.shards
+            ]
+            refs = [
+                np.load(self.work_dir / f"{s}_refs.npy")
+                for s in manifest.shards
+            ]
+            vector._vectors = np.concatenate(embs, axis=0)
+            vector._refs = [tuple(r) for r in np.concatenate(refs).tolist()]
+            vector.freeze()
+
+        rate = (manifest.chunks - chunks_at_start) / max(
+            time.perf_counter() - t_stream, 1e-9
+        )
+        report = StreamReport(
+            cases=manifest.cases,
+            content_chunks=manifest.chunks,
+            citations=manifest.citations,
+            seconds=time.perf_counter() - t0,
+            shards=len(manifest.shards),
+            resumed_from_row=resumed_from,
+            chunks_per_second=round(rate, 1),
+            peak_rss_bytes=max(peak_rss, SystemUtils.memory_usage()),
+        )
+        built = BuiltIndexes(
+            trie=trie, vector=vector, columns=columns, report=report
+        )
+        save_artifacts(built, self.config)
+        _log.info(
+            "streaming build complete: %d cases, %d chunks, %d shards, "
+            "%.0f chunks/s, %.1fs total",
+            report.cases, report.content_chunks, report.shards,
+            report.chunks_per_second, report.seconds,
+        )
+        return built

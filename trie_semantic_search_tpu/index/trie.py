@@ -64,6 +64,23 @@ def word_tokens(text: str) -> list[str]:
     return _WORD_RE.findall(text.lower())
 
 
+def _phrase_start_positions(toks: Sequence[str], mode: str) -> list[int]:
+    """Window-start positions for selective content indexing.
+
+    ``sentence_start``: position 0 only. ``phrase_start``: position 0 plus
+    every stopword→non-stopword boundary (key-phrase starts, cheap proxy
+    for the TextProcessor's stopword-delimited n-gram extraction)."""
+    if mode == "sentence_start" or len(toks) <= 1:
+        return [0]
+    from ..text.processor import _STOPWORDS
+
+    out = [0]
+    for i in range(1, len(toks)):
+        if toks[i] not in _STOPWORDS and toks[i - 1] in _STOPWORDS:
+            out.append(i)
+    return out
+
+
 #: token id fed to the kernel for out-of-vocabulary query tokens
 UNKNOWN_TOKEN = -2
 #: padding token id
@@ -652,10 +669,23 @@ class TrieIndex:
         if not toks:
             return
         self._ensure_builders()
-        self._content_builder.insert_windows(
-            toks, self.content_window, self.max_windows_per_paragraph,
-            case_row, para_idx,
-        )
+        mode = getattr(self.config, "content_windowing", "all")
+        if mode == "all":
+            self._content_builder.insert_windows(
+                toks, self.content_window, self.max_windows_per_paragraph,
+                case_row, para_idx,
+            )
+        else:
+            # CAP-scale windowing (docs/ROADMAP option (a)): windows only at
+            # natural phrase boundaries — sentence start plus stopword→word
+            # transitions — cutting content-trie nodes ~5x. Phrases match
+            # when they begin at such a boundary.
+            for s in _phrase_start_positions(toks, mode)[
+                : self.max_windows_per_paragraph
+            ]:
+                self._content_builder.insert(
+                    toks[s : s + self.content_window], case_row, para_idx
+                )
         self._content = None
 
     def insert_citation(self, citation: str, case_row: int, para_idx: int = 0) -> None:

@@ -32,12 +32,13 @@ case-level columns through the chunk→case map. Everything is shape-static.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from .scoring import gather_rescore
-from .topk import exact_topk, fast_topk
+from .topk import exact_topk, fast_topk, merge_topk
 
 #: Result-source codes threaded through the fused programs so the host can
 #: reconstruct the reference's MatchType surface (search.rs:70-82).
@@ -202,6 +203,96 @@ def fused_hybrid_topk(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "overfetch", "num_chunks")
+)
+def fused_hybrid_topk_chunked(
+    query_emb: jax.Array,  # [B, D] f32, L2-normalised
+    corpus_q: jax.Array,  # [N, D] int8 chunk embeddings
+    corpus_scale: jax.Array,  # [N, 1] f32
+    chunk_case: jax.Array,  # [N] int32
+    chunk_court: jax.Array,  # [N] int32
+    chunk_date: jax.Array,  # [N] int32
+    court_table: jax.Array,  # [B, V] bool
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    trie_rows: jax.Array,  # [B, R] int32
+    trie_src: jax.Array,  # [B, R] int32
+    trie_chunk_of_case: jax.Array,  # [C] int32
+    min_similarity: jax.Array,  # [B] f32
+    exact_weight: jax.Array,  # [B] f32
+    k: int,
+    overfetch: int = 4,
+    num_chunks: int = 16,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """CAP-scale brute fused step: identical semantics to
+    :func:`fused_hybrid_topk` but the corpus scan runs as a ``lax.scan``
+    over ``num_chunks`` corpus slabs with a running top-k merge, so the
+    working set is ``O(B·N/num_chunks)`` instead of a materialised
+    ``[B, N]`` score matrix (8.6 GB at B=256, N=8.4M — past HBM). Exact:
+    every slab keeps ``k·overfetch`` candidates before the merge.
+
+    N must divide by ``num_chunks`` (pad the corpus; pad rows carry zero
+    scales and court id 0 with date ``MISSING_DATE`` — or pass a divisible
+    N, as the engine's layouts do).
+    """
+    B = query_emb.shape[0]
+    N = corpus_q.shape[0]
+    q8, q_scale = quantize_queries(query_emb)
+    ksem = min(max(k * max(1, overfetch), k), N)
+    if N % num_chunks or (N // num_chunks) < ksem:
+        # degenerate sizes: fall back to the one-shot program
+        return fused_hybrid_topk(
+            query_emb, corpus_q, corpus_scale, chunk_case, chunk_court,
+            chunk_date, court_table, date_lo, date_hi, trie_rows, trie_src,
+            trie_chunk_of_case, min_similarity, exact_weight,
+            k=k, overfetch=overfetch,
+        )
+    S = N // num_chunks
+
+    def step(carry, xs):
+        best_v, best_i = carry
+        slab_q, slab_s, slab_court, slab_date, base = xs
+        acc = jnp.einsum("bd,nd->bn", q8, slab_q,
+                         preferred_element_type=jnp.int32)
+        scores = acc.astype(jnp.float32) * q_scale * slab_s.reshape(1, -1)
+        court_ok = jnp.take(court_table, slab_court, axis=1)
+        date_ok = (slab_date[None, :] >= date_lo[:, None]) & (
+            slab_date[None, :] <= date_hi[:, None]
+        )
+        keep = court_ok & date_ok & (scores >= min_similarity[:, None])
+        scores = jnp.where(keep, scores, -jnp.inf)
+        v, i = exact_topk(scores, ksem)
+        gi = i.astype(jnp.int32) + base
+        nv, ni = merge_topk(
+            jnp.stack([best_v, v], axis=1), jnp.stack([best_i, gi], axis=1),
+            ksem,
+        )
+        return (nv, ni), None
+
+    init = (
+        jnp.full((B, ksem), -jnp.inf, jnp.float32),
+        jnp.full((B, ksem), -1, jnp.int32),
+    )
+    xs = (
+        corpus_q.reshape(num_chunks, S, -1),
+        corpus_scale.reshape(num_chunks, S, 1),
+        chunk_court.reshape(num_chunks, S),
+        chunk_date.reshape(num_chunks, S),
+        jnp.arange(num_chunks, dtype=jnp.int32) * S,
+    )
+    (sem_v, sem_i), _ = jax.lax.scan(step, init, xs)
+    sem_i = jnp.maximum(sem_i, 0)
+
+    lex_v, lex_chunk, lex_src = lexical_side_list(
+        trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
+        court_table, date_lo, date_hi, exact_weight,
+    )
+    return merge_dedup_topk(
+        sem_v, sem_i, lex_v, lex_chunk, lex_src, chunk_case, k
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "overfetch", "rescore_factor"),
 )
@@ -211,7 +302,7 @@ def fused_partitioned_topk(
     part_rows: jax.Array,  # [P, m] int32 chunk row per slot (-1 pad)
     part_int8: jax.Array,  # [P, m, D] int8 partitioned chunk embeddings
     part_scale: jax.Array,  # [P, m] f32 per-row scales (0 on pads)
-    corpus_bf16: jax.Array,  # [N, D] bf16 rescore copy
+    corpus_bf16: Optional[jax.Array],  # [N, D] bf16 rescore copy (None: skip rescore)
     chunk_case: jax.Array,  # [N] int32
     chunk_court: jax.Array,  # [N] int32
     chunk_date: jax.Array,  # [N] int32
@@ -241,54 +332,80 @@ def fused_partitioned_topk(
     level, exactly like the staged PartitionedANN path).
     """
     qn = query_emb.astype(jnp.float32)
+    B = qn.shape[0]
+    m = part_rows.shape[1]
     # 1) probe partitions
     cs = jnp.einsum("bd,pd->bp", qn, centroids,
                     preferred_element_type=jnp.float32)
-    _, top_p = exact_topk(cs, min(nprobe, centroids.shape[0]))  # [B, np]
-    # 2) gather probed blocks (row-indexed gathers with a small [B, np]
-    # index — cheap; never a [B, N] scatter)
-    rows = jnp.take(part_rows, top_p, axis=0)  # [B, np, m]
-    blocks = jnp.take(part_int8, top_p, axis=0)  # [B, np, m, D]
-    scales = jnp.take(part_scale, top_p, axis=0)  # [B, np, m]
-    # 3) int8 scan (int32 MXU accumulation)
+    np_eff = min(nprobe, centroids.shape[0])
+    _, top_p = exact_topk(cs, np_eff)  # [B, np]
     q8, q_scale = quantize_queries(qn)
-    acc = jnp.einsum("bd,bpmd->bpm", q8, blocks,
-                     preferred_element_type=jnp.int32)
-    scores = acc.astype(jnp.float32) * scales * q_scale[:, :, None]
 
-    B = scores.shape[0]
-    flat_scores = scores.reshape(B, -1)  # [B, np*m]
-    flat_rows = rows.reshape(B, -1)
-    safe_flat = jnp.maximum(flat_rows, 0)
+    # 2+3+4) scan over probe ranks: each step gathers ONE probed block per
+    # query ([B, m, D] int8 — bounded working set regardless of corpus
+    # size; a one-shot [B, np, m, D] gather would be tens of GB at CAP
+    # scale), scores it on the MXU, applies the filters, and k-way merges
+    # into the running candidate list. Probe rank 0 is every query's best
+    # partition, so early steps do most of the recall work.
+    ksem = min(max(k * max(1, overfetch), k), np_eff * m)
+    W = min(ksem * max(1, rescore_factor), np_eff * m)  # carried candidates
 
-    # 4) fused metadata filters + threshold over the probed rows only
-    court_ok = jnp.take_along_axis(
-        court_table, jnp.take(chunk_court, safe_flat), axis=1
+    def step(carry, probe_col):  # probe_col: [B] partition id per query
+        best_v, best_r = carry
+        rows = jnp.take(part_rows, probe_col, axis=0)  # [B, m]
+        blocks = jnp.take(part_int8, probe_col, axis=0)  # [B, m, D]
+        scales = jnp.take(part_scale, probe_col, axis=0)  # [B, m]
+        acc = jnp.einsum("bd,bmd->bm", q8, blocks,
+                         preferred_element_type=jnp.int32)
+        scores = acc.astype(jnp.float32) * scales * q_scale
+        safe = jnp.maximum(rows, 0)
+        court_ok = jnp.take_along_axis(
+            court_table, jnp.take(chunk_court, safe), axis=1
+        )
+        dts = jnp.take(chunk_date, safe)
+        date_ok = (dts >= date_lo[:, None]) & (dts <= date_hi[:, None])
+        keep = (
+            (rows >= 0) & court_ok & date_ok
+            & (scores >= min_similarity[:, None])
+        )
+        scores = jnp.where(keep, scores, -jnp.inf)
+        v, i = exact_topk(scores, min(W, m))
+        r = jnp.take_along_axis(rows, i, axis=1)
+        nv, nr = merge_topk(
+            jnp.stack([best_v, jnp.pad(v, ((0, 0), (0, W - v.shape[1])),
+                                       constant_values=-jnp.inf)], axis=1),
+            jnp.stack([best_r, jnp.pad(r, ((0, 0), (0, W - r.shape[1])),
+                                       constant_values=-1)], axis=1),
+            W,
+        )
+        return (nv, nr), None
+
+    init = (
+        jnp.full((B, W), -jnp.inf, jnp.float32),
+        jnp.full((B, W), -1, part_rows.dtype),
     )
-    dts = jnp.take(chunk_date, safe_flat)
-    date_ok = (dts >= date_lo[:, None]) & (dts <= date_hi[:, None])
-    keep = (
-        (flat_rows >= 0) & court_ok & date_ok
-        & (flat_scores >= min_similarity[:, None])
+    (cand_v, cand_rows), _ = jax.lax.scan(
+        step, init, jnp.moveaxis(top_p, 0, 1)
     )
-    flat_scores = jnp.where(keep, flat_scores, -jnp.inf)
 
-    # 5) partial top on int8 scores, then full-precision bf16 rescore
-    ksem = min(max(k * max(1, overfetch), k), flat_scores.shape[-1])
-    cand_n = min(ksem * max(1, rescore_factor), flat_scores.shape[-1])
-    cand_v, cand_pos = exact_topk(flat_scores, cand_n)
-    cand_rows = jnp.take_along_axis(flat_rows, cand_pos, axis=-1)
+    # 5) full-precision bf16 rescore of the carried candidates (skipped
+    # when no rescore copy exists — int8 scores are already exact-ordered
+    # for int8 data)
     safe_rows = jnp.maximum(cand_rows, 0)
-    re = gather_rescore(qn, corpus_bf16, safe_rows)
-    # rescored values keep the int8-pass masks (filters/threshold/pads) and
-    # re-check the similarity threshold at full precision (parity with the
-    # staged path, which thresholds the rescored ANN output)
-    re = jnp.where(
-        jnp.isfinite(cand_v) & (re >= min_similarity[:, None]), re, -jnp.inf
-    )
-    sem_v, pos2 = exact_topk(re, ksem)
+    if corpus_bf16 is not None:
+        re = gather_rescore(qn, corpus_bf16, safe_rows)
+        # rescored values keep the int8-pass masks (filters/threshold/pads)
+        # and re-check the similarity threshold at full precision (parity
+        # with the staged path, which thresholds the rescored ANN output)
+        re = jnp.where(
+            jnp.isfinite(cand_v) & (re >= min_similarity[:, None]),
+            re, -jnp.inf,
+        )
+    else:
+        re = cand_v
+    sem_v, pos2 = exact_topk(re, min(ksem, W))
     sem_chunk = jnp.take_along_axis(cand_rows, pos2, axis=-1)
-    sem_chunk = jnp.maximum(sem_chunk, 0)
+    sem_chunk = jnp.maximum(sem_chunk, 0).astype(jnp.int32)
 
     # 6) lexical side list + merge + dedup + final top-k
     lex_v, lex_chunk, lex_src = lexical_side_list(

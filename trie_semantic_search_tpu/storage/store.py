@@ -249,6 +249,51 @@ class StorageManager:
             text = self.get_case_text(case_id) or ""
             yield meta, text
 
+    def iter_cases_rowid(
+        self, start_row: int = 0, batch: int = 256
+    ) -> Iterator[tuple[int, CaseMetadata, str]]:
+        """Stream ``(dense_row, metadata, full_text)`` in rowid order —
+        the SAME order as :meth:`fetch_filter_columns`, so the yielded
+        index IS the dense device row id. ``start_row`` skips already-
+        processed rows (the streaming build driver's resume watermark).
+
+        Reads in bounded batches (keyset pagination on rowid, not OFFSET)
+        so a CAP-scale table never materialises in memory."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT rowid FROM case_metadata ORDER BY rowid "
+                "LIMIT 1 OFFSET ?", (start_row,)
+            ).fetchone()
+        if row is None:
+            return
+        last_rowid = row[0] - 1
+        dense = start_row
+        while True:
+            with self._lock:
+                rows = self._conn.execute(
+                    "SELECT m.rowid, m.metadata_json, t.compressed, t.text "
+                    "FROM case_metadata m "
+                    "LEFT JOIN case_text t ON t.case_id = m.case_id "
+                    "WHERE m.rowid > ? ORDER BY m.rowid LIMIT ?",
+                    (last_rowid, batch),
+                ).fetchall()
+            if not rows:
+                return
+            for rowid, meta_json, compressed, blob in rows:
+                last_rowid = rowid
+                try:
+                    meta = CaseMetadata.from_json(json.loads(meta_json))
+                except (ValueError, KeyError) as e:
+                    raise StorageCorruption(
+                        location=f"case_metadata/rowid={rowid}", details=str(e)
+                    ) from e
+                text = ""
+                if blob is not None:
+                    raw = gzip.decompress(blob) if compressed else blob
+                    text = raw.decode("utf-8")
+                yield dense, meta, text
+                dense += 1
+
     def fetch_filter_columns(self) -> list[tuple[str, str, str]]:
         """(case_id, court, decision_date) rows for the device-column export.
 
