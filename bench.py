@@ -23,6 +23,42 @@ import time
 import numpy as np
 
 
+def fetch_sync(res) -> None:
+    """Force a dispatched computation to actually finish.
+
+    Timing discipline for the remote-TPU tunnel (all measured here):
+      * repeated identical (executable, inputs) dispatches are CACHED by
+        the serving layer (~0.1 ms returns) — every timed dispatch must use
+        distinct inputs;
+      * ``block_until_ready`` can acknowledge a pipelined dispatch BEFORE
+        remote execution (measured 0.1 ms acks with the real cost appearing
+        at the next fetch) — only fetching a value derived from the result
+        is a reliable sync point;
+      * a synced dispatch carries ~60 ms of tunnel round-trip — amortize by
+        timing two in-program repetition counts and taking the SLOPE.
+    """
+    leaf = res
+    while isinstance(leaf, (tuple, list)):
+        leaf = leaf[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def timed_slope(run, r_lo: int, r_hi: int, trials: int = 4) -> float:
+    """Seconds per unit of in-program repetition: run(r, trial) dispatches
+    a program doing ``r`` repetitions with trial-distinct inputs; the fixed
+    tunnel overhead cancels in the (r_hi - r_lo) difference."""
+    med = {}
+    for r in (r_lo, r_hi):
+        fetch_sync(run(r, 0))  # compile + drain
+        ts = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            fetch_sync(run(r, t + 1))
+            ts.append(time.perf_counter() - t0)
+        med[r] = statistics.median(ts)
+    return max((med[r_hi] - med[r_lo]) / (r_hi - r_lo), 1e-9)
+
+
 def build_synthetic_trie(num_paths: int = 20000, vocab: int = 5000, seed: int = 0):
     from trie_semantic_search_tpu.index.trie import TrieBuilder
 
@@ -130,12 +166,32 @@ def main() -> None:
         )
         return v, i, rows, valid
 
+    # DISTINCT inputs for every timed dispatch + fetch-synced slope timing
+    # (see fetch_sync for the measured tunnel pitfalls). Pre-materialised
+    # per-trial device arrays — indexing a device array inside the timed
+    # region would dispatch a slice op of its own.
+    R_LO, R_HI = 2, R
     rng2 = np.random.default_rng(2)
-    ids = jnp.asarray(rng2.integers(0, config.vocab_size, (B, L)), jnp.int32)
+    ids_t = [
+        jnp.asarray(rng2.integers(0, config.vocab_size, (B, L)), jnp.int32)
+        for _ in range(TRIALS + 1)
+    ]
     mask = jnp.ones((B, L), jnp.int32)
-    ids_r = jnp.asarray(rng2.integers(0, config.vocab_size, (R, B, L)), jnp.int32)
-    mask_r = jnp.ones((R, B, L), jnp.int32)
-    trie_r = jnp.broadcast_to(trie_queries, (R, *trie_queries.shape))
+    pools = {
+        rv: [
+            jnp.asarray(
+                rng2.integers(0, config.vocab_size, (rv, B, L)), jnp.int32
+            )
+            for _ in range(TRIALS + 1)
+        ]
+        for rv in (R_LO, R_HI)
+    }
+    masks_r = {rv: jnp.ones((rv, B, L), jnp.int32) for rv in (R_LO, R_HI)}
+    tries_r = {
+        rv: jnp.broadcast_to(trie_queries, (rv, *trie_queries.shape))
+        for rv in (R_LO, R_HI)
+    }
+    jax.block_until_ready((ids_t, pools))
 
     @jax.jit
     def serving_loop(params, ids_r, mask_r, trie_r):
@@ -148,28 +204,27 @@ def main() -> None:
         acc, (rows, valid) = jax.lax.scan(body, 0.0, (ids_r, mask_r, trie_r))
         return acc, rows[-1], valid[-1]
 
-    # warmup (compile both programs)
-    out = query_step(params, ids, mask, trie_queries)
-    jax.block_until_ready(out)
-    jax.block_until_ready(serving_loop(params, ids_r, mask_r, trie_r))
+    # warmup (compile the single-step program)
+    out = query_step(params, ids_t[0], mask, trie_queries)
+    fetch_sync(out)
 
-    # single-dispatch latency (includes host→device dispatch)
+    # single-dispatch latency (includes the tunnel's ~60 ms round-trips —
+    # reported separately; production serving runs device-local)
     lat_times = []
-    for _ in range(TRIALS):
+    for t in range(TRIALS):
         t0 = time.perf_counter()
-        out = query_step(params, ids, mask, trie_queries)
-        jax.block_until_ready(out)
+        out = query_step(params, ids_t[t + 1], mask, trie_queries)
+        fetch_sync(out)
         lat_times.append(time.perf_counter() - t0)
     dispatch_batch_ms = statistics.median(lat_times) * 1000
 
-    # amortized steady-state throughput
-    loop_times = []
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        res = serving_loop(params, ids_r, mask_r, trie_r)
-        jax.block_until_ready(res)
-        loop_times.append(time.perf_counter() - t0)
-    step_s = statistics.median(loop_times) / R
+    # steady-state per-batch time: slope between R_LO and R_HI in-program
+    # batches (tunnel overhead cancels exactly)
+    def run_loop(rv, t):
+        return serving_loop(params, pools[rv][t], masks_r[rv], tries_r[rv])
+
+    step_s = timed_slope(run_loop, R_LO, R_HI, trials=TRIALS)
+    res = run_loop(R_HI, 0)
     batch_ms = step_s * 1000
     qps = B / step_s
     p50_per_query_ms = batch_ms / B
@@ -241,6 +296,9 @@ def suite() -> None:
     trie.freeze()
     queries = [names[i] for i in rng.integers(0, len(names), 256)]
     trie.search_batch_rows(queries)  # warm (compile)
+    # distinct queries for the timed call (the tunnel caches identical
+    # dispatches — see capscale note)
+    queries = [names[i] for i in rng.integers(0, len(names), 256)]
     t0 = time.perf_counter()
     rows, valid = trie.search_batch_rows(queries)
     dt1 = time.perf_counter() - t0
@@ -257,12 +315,14 @@ def suite() -> None:
         content.insert_content(toks, row, 0)
     content.freeze()
     build_s = time.perf_counter() - t0
-    phrase_qs = []
-    for _ in range(256):
-        phrase_qs.append(" ".join(vocab[i] for i in rng.integers(0, 2000, 3)))
-    content.search_batch_rows(phrase_qs)  # warm (compile)
+    def mk_phrases():
+        return [
+            " ".join(vocab[i] for i in rng.integers(0, 2000, 3))
+            for _ in range(256)
+        ]
+    content.search_batch_rows(mk_phrases())  # warm (compile)
     t0 = time.perf_counter()
-    content.search_batch_rows(phrase_qs)
+    content.search_batch_rows(mk_phrases())  # distinct timed queries
     q_s = time.perf_counter() - t0
     st = content.get_stats()["content"]
     report("ingestion_demo", build_seconds=round(build_s, 3),
@@ -286,9 +346,18 @@ def suite() -> None:
     cj = jnp.asarray(corpus, jnp.bfloat16)
     qj = jnp.asarray(qv)
     jax.block_until_ready(f(qj, cj))
+    # distinct query batch per timed iteration (identical dispatches are
+    # cached by the tunnel)
+    q_iters = [
+        jnp.asarray(corpus[rng.integers(0, len(corpus), 256)])
+        for _ in range(5)
+    ]
+    jax.block_until_ready(q_iters)
+    # pipeline the 5 dispatches, fetch-sync the last (device executes
+    # in-order, so one fetch drains all five; see fetch_sync)
     t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(f(qj, cj))
+    outs = [f(qi_, cj) for qi_ in q_iters]
+    fetch_sync(outs[-1])
     dt3 = (time.perf_counter() - t0) / 5
     report("brute_cosine_topk", corpus=100_000, batch=256,
            batch_ms=round(dt3 * 1000, 3), qps=round(256 / dt3, 1))
@@ -313,8 +382,9 @@ def suite() -> None:
     if recall < 0.95:
         nprobe = 64
         recall = recall_at(nprobe)
+    q_timed = corpus[rng.integers(0, len(corpus), 256)]  # distinct queries
     t0 = time.perf_counter()
-    ann.search(qv, 10, nprobe=nprobe)  # timed (already compiled above)
+    ann.search(q_timed, 10, nprobe=nprobe)  # timed (compiled above)
     dt4 = time.perf_counter() - t0
     report("partitioned_ann", recall_at_10=round(recall, 4), nprobe=nprobe,
            partitions=256, batch_ms=round(dt4 * 1000, 3))
@@ -340,16 +410,18 @@ def suite() -> None:
             )
         built = build_indexes(storage, cfg)
         engine = SearchEngine(cfg, storage, built.trie, built.vector, built.columns)
-        qs = [
-            SearchQuery(
-                query=f"doctrine {i % 20} and procedure",
-                court_filter=[courts[i % 2]],
-                date_range=(dt.date(1950, 1, 1), dt.date(1995, 1, 1)),
-            )
-            for i in range(64)
-        ]
-        engine.search_batch(qs)  # warm at the timed batch size (compile)
+        def mk_queries(salt: int):
+            return [
+                SearchQuery(
+                    query=f"doctrine {(i + salt) % 20} and procedure",
+                    court_filter=[courts[i % 2]],
+                    date_range=(dt.date(1950, 1, 1), dt.date(1995, 1, 1)),
+                )
+                for i in range(64)
+            ]
+        engine.search_batch(mk_queries(0))  # warm at the timed batch size
         engine.query_cache.clear()
+        qs = mk_queries(7)  # distinct timed queries (tunnel dispatch cache)
         t0 = time.perf_counter()
         res = engine.search_batch(qs)
         dt5 = time.perf_counter() - t0
@@ -470,29 +542,71 @@ def capscale() -> None:
         )
 
     # ---- config A: chunked-brute fused hybrid at B=256 (exact) ----
-    TRIALS = 8
+    # Timing discipline (measured on this tunnel): repeated identical
+    # dispatches are CACHED by the serving layer (~0.1 ms returns) and a
+    # single dispatch costs ~33 ms in tunnel round-trip. So: R in-program
+    # batches per dispatch (amortizes the tunnel) and DISTINCT queries for
+    # every dispatch (defeats the cache).
+    import functools as _ft
+
+    TRIALS = 4
+    R_LO, R_HI = 2, 8
     NCHUNKS = 16
     args_a = common(B_BRUTE)
-    t_compile = time.perf_counter()
-    va, ia, ca, sa = jax.block_until_ready(
-        fused_hybrid_topk_chunked(
-            qv, corpus_q, corpus_scale, chunk_case, chunk_court, chunk_date,
-            k=K, overfetch=1, num_chunks=NCHUNKS, **args_a,
-        )
-    )
-    print(f"A compiled+ran in {time.perf_counter()-t_compile:.1f}s",
-          file=sys.stderr)
-    times = []
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            fused_hybrid_topk_chunked(
-                qv, corpus_q, corpus_scale, chunk_case, chunk_court,
-                chunk_date, k=K, overfetch=1, num_chunks=NCHUNKS, **args_a,
+
+    @_ft.partial(jax.jit, static_argnames=("recall_target",))
+    def loop_a(qs_r, cq, cscale, ccase, ccourt, cdate, ct, dlo, dhi,
+               tr, ts, tcc, msim, ew, recall_target=1.0):
+        def body(carry, qb):
+            v, i, cases, src = fused_hybrid_topk_chunked(
+                qb, cq, cscale, ccase, ccourt, cdate, ct, dlo, dhi,
+                tr, ts, tcc, msim, ew, k=K, overfetch=1,
+                num_chunks=NCHUNKS, recall_target=recall_target,
             )
-        )
-        times.append(time.perf_counter() - t0)
-    batch_ms = statistics.median(times) * 1000
+            return carry + v.sum(), (v, i)
+        acc, (vs, idxs) = jax.lax.scan(body, 0.0, qs_r)
+        return acc, vs, idxs
+
+    def a_args():
+        a = args_a
+        return (a["court_table"], a["date_lo"], a["date_hi"],
+                a["trie_rows"], a["trie_src"], a["trie_chunk_of_case"],
+                a["min_similarity"], a["exact_weight"])
+
+    kq2 = jax.random.split(jax.random.PRNGKey(11), 64).reshape(2, 32, 2)
+
+    def make_q(key, r, b):
+        kp2, kn3 = jax.random.split(key)
+        part = jax.random.randint(kp2, (r, b), 0, P)
+        out = centroids[part] + 0.3 * jax.random.normal(
+            kn3, (r, b, D), jnp.float32
+        ) / np.sqrt(D)
+        return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+    qa_pools = {
+        rv: [make_q(kq2[ri, t], rv, B_BRUTE) for t in range(TRIALS + 1)]
+        for ri, rv in enumerate((R_LO, R_HI))
+    }
+    jax.block_until_ready(qa_pools)
+
+    def time_a(recall_target):
+        def run(rv, t):
+            return loop_a(
+                qa_pools[rv][t], corpus_q, corpus_scale, chunk_case,
+                chunk_court, chunk_date, *a_args(),
+                recall_target=recall_target,
+            )
+
+        t_compile = time.perf_counter()
+        fetch_sync(run(R_LO, 0))
+        compile_s = time.perf_counter() - t_compile
+        step_s = timed_slope(run, R_LO, R_HI, trials=TRIALS)
+        acc, vs, idxs = run(R_HI, 0)
+        return step_s * 1000, compile_s, vs, idxs
+
+    batch_ms, compile_a, vs_a, idxs_a = time_a(1.0)
+    va, ia = vs_a[0], idxs_a[0]  # first batch results (oracle queries)
+    print(f"A compiled+ran in {compile_a:.1f}s", file=sys.stderr)
     # HBM floor: one full int8-corpus read per batch
     floor_ms = corpus_q.nbytes / 819e9 * 1000
     report(
@@ -504,40 +618,81 @@ def capscale() -> None:
         recall_at_10=1.0, note="exact int8 scan (oracle for config B)",
     )
 
-    # ---- config B: partitioned fused at B=16, nprobe=32 ----
+    # ---- config A2: same program, Pallas fused scan per slab ----
+    pal_ms, compile_p, vs_p, idxs_p = time_a(0.97)
+    exact_sets = np.asarray(idxs_a).reshape(-1, K)
+    pal_sets = np.asarray(idxs_p).reshape(-1, K)
+    rec_p = float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / K
+        for a, b in zip(pal_sets, exact_sets)
+    ]))
+    report(
+        "capscale_brute_8M_pallas", corpus_chunks=N, batch=B_BRUTE,
+        batch_ms=round(pal_ms, 2),
+        qps=round(B_BRUTE / (pal_ms / 1000), 1),
+        x_over_floor=round(pal_ms / floor_ms, 2),
+        recall_at_10_vs_exact=round(rec_p, 4),
+        compile_s=round(compile_p, 1),
+        note="per-slab Pallas fused scan (recall_target=0.97)",
+    )
+
+    # ---- config B: partitioned fused at B=16 (low-latency path) ----
     # no bf16 rescore copy: the corpus was generated AS int8, so int8
-    # scores are already exact for it (corpus_bf16=None skips the gather)
-    qv16 = qv[:B_PART]
-    oracle16 = np.asarray(ia[:B_PART, :K])
+    # scores are already exact for it (corpus_bf16=None skips the gather).
+    # Same discipline: R_B in-program batches/dispatch, distinct queries.
     args_b = common(B_PART)
-    for nprobe in (32, 64):
-        t0 = time.perf_counter()
-        vb, ib, cb, sb = jax.block_until_ready(
-            fused_partitioned_topk(
-                qv16, centroids, part_rows, part_int8, part_scale, None,
-                chunk_case, chunk_court, chunk_date,
+    kq3 = jax.random.split(jax.random.PRNGKey(13), 64).reshape(2, 32, 2)
+    qb_pools = {
+        rv: [make_q(kq3[ri, t], rv, B_PART) for t in range(TRIALS + 1)]
+        for ri, rv in enumerate((R_LO, R_HI))
+    }
+    jax.block_until_ready(qb_pools)
+
+    # exact oracle for B's recall queries (one flat exact-scan dispatch)
+    flat_q = qb_pools[R_HI][0].reshape(R_HI * B_PART, D)
+    args_o = common(R_HI * B_PART)
+    vo, io, co, so = fused_hybrid_topk_chunked(
+        flat_q, corpus_q, corpus_scale, chunk_case, chunk_court, chunk_date,
+        k=K, overfetch=1, num_chunks=NCHUNKS, **args_o,
+    )
+    oracle_b = np.asarray(io).reshape(R_HI, B_PART, K)
+
+    @_ft.partial(jax.jit, static_argnames=("nprobe",))
+    def loop_b(qs_r, cents, prows, pint8, pscale, ccase, ccourt, cdate,
+               ct, dlo, dhi, tr, ts, tcc, msim, ew, nprobe):
+        def body(carry, qb):
+            v, i, cases, src = fused_partitioned_topk(
+                qb, cents, prows, pint8, pscale, None,
+                ccase, ccourt, cdate, ct, dlo, dhi, tr, ts, tcc, msim, ew,
                 k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
-                **args_b,
             )
-        )
+            return carry + v.sum(), (v, i)
+        acc, (vs, idxs) = jax.lax.scan(body, 0.0, qs_r)
+        return acc, vs, idxs
+
+    def b_args():
+        a = args_b
+        return (a["court_table"], a["date_lo"], a["date_hi"],
+                a["trie_rows"], a["trie_src"], a["trie_chunk_of_case"],
+                a["min_similarity"], a["exact_weight"])
+
+    for nprobe in (32, 64):
+        def run_b(rv, t, _np_=nprobe):
+            return loop_b(
+                qb_pools[rv][t], centroids, part_rows, part_int8,
+                part_scale, chunk_case, chunk_court, chunk_date, *b_args(),
+                nprobe=_np_,
+            )
+
+        t0 = time.perf_counter()
+        fetch_sync(run_b(R_LO, 0))
         compile_s = time.perf_counter() - t0
-        times = []
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
-            jax.block_until_ready(
-                fused_partitioned_topk(
-                    qv16, centroids, part_rows, part_int8, part_scale, None,
-                    chunk_case, chunk_court, chunk_date,
-                    k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
-                    **args_b,
-                )
-            )
-            times.append(time.perf_counter() - t0)
-        bms = statistics.median(times) * 1000
-        got = np.asarray(ib[:, :K])
+        bms = timed_slope(run_b, R_LO, R_HI, trials=TRIALS) * 1000
+        acc, vb, ib = run_b(R_HI, 0)
+        got = np.asarray(ib)[:, :, :K].reshape(-1, K)
         recall = float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / K
-            for a, b in zip(got, oracle16)
+            for a, b in zip(got, oracle_b.reshape(-1, K))
         ]))
         report(
             "capscale_partitioned_8M", corpus_chunks=N, batch=B_PART,
@@ -551,7 +706,8 @@ def capscale() -> None:
 
     # free the 8M corpus before the 1M harness
     del corpus_q, corpus_scale, part_int8, part_scale, blocks, scales
-    del va, ia, ca, sa
+    del va, ia, vs_a, idxs_a, vs_p, idxs_p, qa_pools, qb_pools
+    del vo, io, co, so, vb, ib, acc
 
     # ---- config C: 1M-row recall/memory harness on the real class ----
     from trie_semantic_search_tpu.core.config import AnnConfig
@@ -573,17 +729,20 @@ def capscale() -> None:
                                    kmeans_sample=131_072))
     ann.build(v1)
     build_s = time.perf_counter() - t0
-    qi = rng.integers(0, N1, 128)
-    q1 = v1[qi]
+    q1 = v1[rng.integers(0, N1, 128)]
+    # timing queries DISTINCT from the recall queries: the tunnel caches
+    # repeated identical dispatches (see config A note)
+    q_time = [v1[rng.integers(0, N1, 128)] for _ in range(4)]
     _, oracle1 = ann.search_brute(q1, K)  # bf16 exact scan
     nprobe1, recall1, bms1 = None, 0.0, None
     for nprobe in (16, 32, 64, 128):
-        t0 = time.perf_counter()
-        _, got1 = ann.search(q1, K, nprobe=nprobe)
-        first_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ann.search(q1, K, nprobe=nprobe)
-        bms1 = (time.perf_counter() - t0) * 1000
+        _, got1 = ann.search(q1, K, nprobe=nprobe)  # compile + recall
+        t_times = []
+        for qt in q_time:
+            t0 = time.perf_counter()
+            ann.search(qt, K, nprobe=nprobe)
+            t_times.append(time.perf_counter() - t0)
+        bms1 = statistics.median(t_times) * 1000
         recall1 = float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / K
             for a, b in zip(got1, oracle1)

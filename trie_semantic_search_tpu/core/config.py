@@ -272,6 +272,11 @@ class SearchEngineConfig:
     #: k*fused_overfetch chunk candidates so k slots still fill with
     #: distinct cases when one case's chunks crowd the chunk-level top-k.
     fused_overfetch: int = 4
+    #: semantic-candidate recall target for the fused brute scan. < 1.0
+    #: permits the partial-reduction kernels on TPU (the Pallas fused scan /
+    #: approx_max_k — candidate recall ≈ this value, final ordering exact);
+    #: 1.0 forces the exact reduction everywhere.
+    fused_recall_target: float = 0.97
     enable_query_cache: bool = True
     query_cache_size: int = 10000
     query_cache_ttl_seconds: int = 3600

@@ -169,19 +169,26 @@ class PartitionedANN:
     def _make_search_fn(self, k: int, nprobe: int):
         cfg = self.config
         rescore_k = min(k * max(1, cfg.rescore_factor), self.num_vectors)
+        quantize = bool(cfg.quantize_int8)
 
+        # NOTE: index arrays are explicit jit arguments, never closure
+        # captures — a captured device array becomes an HLO *constant*,
+        # which a remote-compile tunnel must serialise with the program
+        # (multi-GB request bodies at CAP scale → HTTP 413).
         @jax.jit
-        def _search(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+        def _search(
+            q, centroids, part_rows, part_int8, part_scale, corpus_bf16
+        ) -> tuple[jax.Array, jax.Array]:
             qn = l2_normalize(q.astype(jnp.float32))
             # 1) probe partitions
-            cs = jnp.einsum("bd,pd->bp", qn, self.centroids,
+            cs = jnp.einsum("bd,pd->bp", qn, centroids,
                             preferred_element_type=jnp.float32)
             _, top_p = jax.lax.top_k(cs, nprobe)  # [B, nprobe]
             # 2) gather probed blocks
-            rows = jnp.take(self.part_rows, top_p, axis=0)  # [B, np, m]
-            blocks = jnp.take(self.part_int8, top_p, axis=0)  # [B, np, m, D]
-            scales = jnp.take(self.part_scale, top_p, axis=0)  # [B, np, m]
-            if cfg.quantize_int8:
+            rows = jnp.take(part_rows, top_p, axis=0)  # [B, np, m]
+            blocks = jnp.take(part_int8, top_p, axis=0)  # [B, np, m, D]
+            scales = jnp.take(part_scale, top_p, axis=0)  # [B, np, m]
+            if quantize:
                 # 3) int8 scan (int32 MXU accumulation)
                 q_abs = jnp.max(jnp.abs(qn), axis=-1, keepdims=True)
                 q_scale = jnp.maximum(q_abs, 1e-12) / 127.0
@@ -204,14 +211,18 @@ class PartitionedANN:
             _, cand_pos = exact_topk(flat_scores, cand_n)
             cand_rows = jnp.take_along_axis(flat_rows, cand_pos, axis=-1)
             safe = jnp.maximum(cand_rows, 0)
-            re = gather_rescore(qn, self.corpus_bf16, safe)
+            re = gather_rescore(qn, corpus_bf16, safe)
             re = jnp.where(cand_rows >= 0, re, -jnp.inf)
             kk = min(k, cand_n)
             v, pos = exact_topk(re, kk)
             idx = jnp.take_along_axis(cand_rows, pos, axis=-1)
             return v, idx
 
-        return _search
+        def _bound(q):
+            return _search(q, self.centroids, self.part_rows, self.part_int8,
+                           self.part_scale, self.corpus_bf16)
+
+        return _bound
 
     def search(
         self, queries: np.ndarray | jax.Array, k: int,
@@ -236,17 +247,19 @@ class PartitionedANN:
         kk = min(k, self.num_vectors)
         if self._brute_fn is None or self._brute_fn[0] != kk:
 
+            # corpus as an explicit argument (not a captured HLO constant —
+            # see _make_search_fn)
             @jax.jit
-            def _brute(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+            def _brute(q, corpus_bf16) -> tuple[jax.Array, jax.Array]:
                 qn = l2_normalize(q.astype(jnp.float32))
                 scores = jnp.einsum(
-                    "bd,nd->bn", qn.astype(jnp.bfloat16), self.corpus_bf16,
+                    "bd,nd->bn", qn.astype(jnp.bfloat16), corpus_bf16,
                     preferred_element_type=jnp.float32,
                 )
                 return exact_topk(scores, kk)
 
             self._brute_fn = (kk, _brute)
-        v, i = self._brute_fn[1](jnp.asarray(queries))
+        v, i = self._brute_fn[1](jnp.asarray(queries), self.corpus_bf16)
         return np.asarray(v), np.asarray(i.astype(jnp.int32))
 
     def tune_nprobe(

@@ -37,8 +37,20 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .pallas_scan import TILE_N, pallas_fused_topk
 from .scoring import gather_rescore
 from .topk import exact_topk, fast_topk, merge_topk
+
+
+def _use_pallas(n_rows: int, recall_target: float) -> bool:
+    """The Pallas fused scan is the TPU path whenever its stride-family
+    approximation is permitted (``recall_target < 1``) and the corpus is
+    tile-divisible (the engine's layouts pad to powers of two)."""
+    return (
+        recall_target < 1.0
+        and n_rows % TILE_N == 0
+        and jax.default_backend() == "tpu"
+    )
 
 #: Result-source codes threaded through the fused programs so the host can
 #: reconstruct the reference's MatchType surface (search.rs:70-82).
@@ -168,6 +180,24 @@ def fused_hybrid_topk(
     each ``[B, k]`` — k *distinct* cases per query (−inf/−1 padded)."""
     # 1) semantic scores (int8 MXU)
     q8, q_scale = quantize_queries(query_emb)
+    ksem = min(max(k * max(1, overfetch), k), corpus_q.shape[0])
+    if _use_pallas(corpus_q.shape[0], recall_target):
+        # 1+2+3+5a in ONE Pallas program: scan + filters + threshold +
+        # pre-reduced candidates; the [B, N] score matrix never touches HBM
+        # (round-1 VERDICT item 4). Approximate at the stride-family level,
+        # like approx_max_k — hence gated on recall_target < 1.
+        sem_v, sem_i = pallas_fused_topk(
+            q8, q_scale, corpus_q, corpus_scale, chunk_court, chunk_date,
+            court_table, date_lo, date_hi, min_similarity, k=ksem,
+        )
+        sem_i = jnp.maximum(sem_i, 0)
+        lex_v, lex_chunk, lex_src = lexical_side_list(
+            trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
+            court_table, date_lo, date_hi, exact_weight,
+        )
+        return merge_dedup_topk(
+            sem_v, sem_i, lex_v, lex_chunk, lex_src, chunk_case, k
+        )
     acc = jnp.einsum("bd,nd->bn", q8, corpus_q, preferred_element_type=jnp.int32)
     scores = acc.astype(jnp.float32) * q_scale * corpus_scale.reshape(1, -1)
 
@@ -184,7 +214,6 @@ def fused_hybrid_topk(
 
     # 5a) over-fetched semantic top-k (approx_max_k — the TPU-KNN partial
     # reduction — when recall_target < 1; the merge below stays exact)
-    ksem = min(max(k * max(1, overfetch), k), scores.shape[-1])
     if recall_target >= 1.0:
         sem_v, sem_i = exact_topk(scores, ksem)
     else:
@@ -203,7 +232,7 @@ def fused_hybrid_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "overfetch", "num_chunks")
+    jax.jit, static_argnames=("k", "overfetch", "num_chunks", "recall_target")
 )
 def fused_hybrid_topk_chunked(
     query_emb: jax.Array,  # [B, D] f32, L2-normalised
@@ -223,13 +252,17 @@ def fused_hybrid_topk_chunked(
     k: int,
     overfetch: int = 4,
     num_chunks: int = 16,
+    recall_target: float = 1.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """CAP-scale brute fused step: identical semantics to
     :func:`fused_hybrid_topk` but the corpus scan runs as a ``lax.scan``
     over ``num_chunks`` corpus slabs with a running top-k merge, so the
     working set is ``O(B·N/num_chunks)`` instead of a materialised
-    ``[B, N]`` score matrix (8.6 GB at B=256, N=8.4M — past HBM). Exact:
-    every slab keeps ``k·overfetch`` candidates before the merge.
+    ``[B, N]`` score matrix (8.6 GB at B=256, N=8.4M — past HBM). Exact
+    when ``recall_target >= 1``: every slab keeps ``k·overfetch``
+    candidates before the merge. With ``recall_target < 1`` on TPU each
+    slab runs the Pallas fused scan instead (stride-family approximate,
+    and the per-slab score matrix never touches HBM at all).
 
     N must divide by ``num_chunks`` (pad the corpus; pad rows carry zero
     scales and court id 0 with date ``MISSING_DATE`` — or pass a divisible
@@ -245,23 +278,32 @@ def fused_hybrid_topk_chunked(
             query_emb, corpus_q, corpus_scale, chunk_case, chunk_court,
             chunk_date, court_table, date_lo, date_hi, trie_rows, trie_src,
             trie_chunk_of_case, min_similarity, exact_weight,
-            k=k, overfetch=overfetch,
+            k=k, overfetch=overfetch, recall_target=recall_target,
         )
     S = N // num_chunks
+
+    slab_pallas = _use_pallas(S, recall_target)
 
     def step(carry, xs):
         best_v, best_i = carry
         slab_q, slab_s, slab_court, slab_date, base = xs
-        acc = jnp.einsum("bd,nd->bn", q8, slab_q,
-                         preferred_element_type=jnp.int32)
-        scores = acc.astype(jnp.float32) * q_scale * slab_s.reshape(1, -1)
-        court_ok = jnp.take(court_table, slab_court, axis=1)
-        date_ok = (slab_date[None, :] >= date_lo[:, None]) & (
-            slab_date[None, :] <= date_hi[:, None]
-        )
-        keep = court_ok & date_ok & (scores >= min_similarity[:, None])
-        scores = jnp.where(keep, scores, -jnp.inf)
-        v, i = exact_topk(scores, ksem)
+        if slab_pallas:
+            v, i = pallas_fused_topk(
+                q8, q_scale, slab_q, slab_s, slab_court, slab_date,
+                court_table, date_lo, date_hi, min_similarity, k=ksem,
+            )
+            i = jnp.maximum(i, 0)
+        else:
+            acc = jnp.einsum("bd,nd->bn", q8, slab_q,
+                             preferred_element_type=jnp.int32)
+            scores = acc.astype(jnp.float32) * q_scale * slab_s.reshape(1, -1)
+            court_ok = jnp.take(court_table, slab_court, axis=1)
+            date_ok = (slab_date[None, :] >= date_lo[:, None]) & (
+                slab_date[None, :] <= date_hi[:, None]
+            )
+            keep = court_ok & date_ok & (scores >= min_similarity[:, None])
+            scores = jnp.where(keep, scores, -jnp.inf)
+            v, i = exact_topk(scores, ksem)
         gi = i.astype(jnp.int32) + base
         nv, ni = merge_topk(
             jnp.stack([best_v, v], axis=1), jnp.stack([best_i, gi], axis=1),

@@ -152,6 +152,211 @@ def pallas_int8_topk(
     return out_v, out_i
 
 
+def pack_court_words(court_table: jax.Array) -> jax.Array:
+    """Pack a ``[B, V]`` bool allowed-court table into ``[B, W]`` uint32
+    bitmask words (``W = ceil(V/32)``). The fused kernel applies the court
+    filter as W elementwise bitmask passes instead of a ``[B, N]`` gather
+    (Mosaic has no dynamic-gather lowering) or a ``[B, V]×[V, N]`` one-hot
+    matmul (30%+ extra MXU work at V=128)."""
+    B, V = court_table.shape
+    W = max(1, -(-V // 32))
+    ct = jnp.pad(court_table, ((0, 0), (0, W * 32 - V)))
+    bits = ct.reshape(B, W, 32).astype(jnp.uint32) << jnp.arange(
+        32, dtype=jnp.uint32
+    )
+    # bits are disjoint, so sum == bitwise-or
+    return bits.sum(axis=-1, dtype=jnp.uint32)
+
+
+def _fused_scan_kernel(
+    q8_ref,  # [TB, D] int8
+    qscale_ref,  # [TB, 1] f32
+    qwords_ref,  # [TB, W] uint32 allowed-court bitmask words
+    qdlo_ref,  # [TB, 1] int32 date lower bound (inclusive)
+    qdhi_ref,  # [TB, 1] int32 date upper bound (inclusive)
+    qmins_ref,  # [TB, 1] f32 similarity threshold
+    tile_ref,  # [TN, D] int8
+    tscale_ref,  # [TN, 1] f32
+    tcword_ref,  # [TN, 1] int32 court word index per chunk
+    tcbit_ref,  # [TN, 1] uint32 court bit per chunk
+    tdate_ref,  # [TN, 1] int32 decision date per chunk
+    out_v_ref,  # [TB, 1, lanes] f32 block-reduced candidate scores
+    out_i_ref,  # [TB, 1, lanes] int32 global row index per candidate
+    *,
+    tile_n: int,
+    lanes: int,
+    n_words: int,
+):
+    """Fused int8 scan + metadata filters + per-lane-column pre-reduction.
+
+    Stateless per grid step (no carried scratch): each (corpus tile, query
+    tile) step emits ``lanes`` candidates — the max-scoring row of each
+    stride-``lanes`` column family — and the tiny final top-k runs in XLA
+    over ``num_tiles·lanes`` candidates per query. Replaces the round-1
+    kernel's K-pass running merge (the VPU cost documented in
+    docs/ROADMAP.md "Pallas kernel merge cost"); the pre-reduction is the
+    approx_max_k-style partial reduction (PAPERS.md TPU-KNN), losing a true
+    top-k entry only when two land in the same (tile, lane) stride family.
+    """
+    n_idx = pl.program_id(0)
+
+    # int8 × int8 → int32 on the MXU, rescaled to f32 cosine
+    acc = jax.lax.dot_general(
+        q8_ref[:],
+        tile_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = (
+        acc.astype(jnp.float32)
+        * qscale_ref[:]
+        * tscale_ref[:].reshape(1, -1)
+    )
+
+    # court filter: W bitmask passes (parity with ops/hybrid's
+    # take(court_table, chunk_court) — same [B, N] truth table)
+    cw = tcword_ref[:].reshape(1, -1)  # [1, TN] int32
+    cb = tcbit_ref[:].reshape(1, -1)  # [1, TN] uint32
+    court_ok = jnp.zeros(scores.shape, jnp.bool_)
+    for w in range(n_words):
+        qw = qwords_ref[:, w : w + 1]  # [TB, 1] uint32
+        court_ok = court_ok | (((qw & cb) != 0) & (cw == w))
+
+    dts = tdate_ref[:].reshape(1, -1)  # [1, TN]
+    date_ok = (dts >= qdlo_ref[:]) & (dts <= qdhi_ref[:])
+    keep = court_ok & date_ok & (scores >= qmins_ref[:])
+    scores = jnp.where(keep, scores, -jnp.inf)
+
+    # strided pre-reduction: lane column l keeps the best of rows
+    # {j·lanes + l}; strict '>' keeps the lower j on ties (lower row id —
+    # the determinism promise within a column family). Contiguous chunks of
+    # one case land in *different* lanes, so same-case chunks rarely
+    # collide — good for the downstream dedup-by-case.
+    nb = tile_n // lanes
+    red_v = scores[:, :lanes]
+    red_j = jnp.zeros(red_v.shape, jnp.int32)
+    for j in range(1, nb):
+        s = scores[:, j * lanes : (j + 1) * lanes]
+        upd = s > red_v
+        red_v = jnp.where(upd, s, red_v)
+        red_j = jnp.where(upd, j, red_j)
+    lane = jax.lax.broadcasted_iota(jnp.int32, red_v.shape, 1)
+    out_v_ref[:, 0, :] = red_v
+    out_i_ref[:, 0, :] = n_idx * tile_n + red_j * lanes + lane
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_b", "tile_n", "lanes", "interpret"),
+)
+def pallas_fused_topk(
+    q8: jax.Array,  # [B, D] int8 quantised queries
+    q_scale: jax.Array,  # [B, 1] f32
+    corpus_q: jax.Array,  # [N, D] int8 (N % tile_n == 0)
+    corpus_scale: jax.Array,  # [N, 1] f32
+    chunk_court: jax.Array,  # [N] int32 court id per chunk
+    chunk_date: jax.Array,  # [N] int32 decision date per chunk
+    court_table: jax.Array,  # [B, V] bool allowed-court table
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    min_sim: jax.Array,  # [B] f32
+    k: int,
+    tile_b: int = TILE_B,
+    tile_n: int = TILE_N,
+    lanes: int = 128,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused filtered scan + top-k: the TPU serving path of
+    ``ops.hybrid.fused_hybrid_topk`` (round-1 VERDICT item 4).
+
+    HBM traffic is ``N·D`` int8 (read the corpus once) plus
+    ``8·B·N/nb`` candidate bytes out — the [B, N] f32 score matrix of the
+    XLA path (``2·4·B·N`` write+read) never exists. Approximate at the
+    stride-family level (recall ≈ approx_max_k at reduction ratio
+    ``tile_n/lanes``); returns ``(values, global indices) [B, k]`` with
+    filtered rows at ``-inf``.
+    """
+    B, D = q8.shape
+    N = corpus_q.shape[0]
+    if B % tile_b != 0:
+        tile_b = B  # small batches: single query tile
+    if N % tile_n != 0 or tile_n % lanes != 0:
+        raise ValueError(
+            f"N={N} must divide by tile_n={tile_n}, tile_n by lanes={lanes}"
+        )
+    qwords = pack_court_words(court_table)
+    W = qwords.shape[1]
+    cword = (chunk_court.astype(jnp.int32) // 32).reshape(N, 1)
+    cbit = (
+        jnp.uint32(1) << (chunk_court.astype(jnp.uint32) % 32)
+    ).reshape(N, 1)
+    dts = chunk_date.astype(jnp.int32).reshape(N, 1)
+    num_n, num_b = N // tile_n, B // tile_b
+
+    kernel = functools.partial(
+        _fused_scan_kernel, tile_n=tile_n, lanes=lanes, n_words=W
+    )
+    # corpus axis OUTER: the corpus tile streams through HBM exactly once;
+    # query-side blocks (tiny) cycle in the inner grid dimension.
+    q_map = lambda n, b: (b, 0)  # noqa: E731
+    t_map = lambda n, b: (n, 0)  # noqa: E731
+    out_v, out_i = pl.pallas_call(
+        kernel,
+        grid=(num_n, num_b),
+        in_specs=[
+            pl.BlockSpec((tile_b, D), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, W), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, 1), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), t_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), t_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tile_b, 1, lanes), lambda n, b: (b, n, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_b, 1, lanes), lambda n, b: (b, n, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, num_n, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_n, lanes), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * D,
+            bytes_accessed=N * D + B * D + 8 * B * N // (tile_n // lanes),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        q8,
+        q_scale.astype(jnp.float32).reshape(B, 1),
+        qwords,
+        date_lo.astype(jnp.int32).reshape(B, 1),
+        date_hi.astype(jnp.int32).reshape(B, 1),
+        min_sim.astype(jnp.float32).reshape(B, 1),
+        corpus_q,
+        corpus_scale.astype(jnp.float32).reshape(N, 1),
+        cword,
+        cbit,
+        dts,
+    )
+    cand_v = out_v.reshape(B, num_n * lanes)
+    cand_i = out_i.reshape(B, num_n * lanes)
+    kk = min(k, cand_v.shape[1])
+    v, pos = jax.lax.top_k(cand_v, kk)
+    i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return v, jnp.where(jnp.isneginf(v), -1, i)
+
+
 def xla_int8_topk(
     q8: jax.Array,
     q_scale: jax.Array,

@@ -266,6 +266,7 @@ class SearchEngine:
             exact_weight=[q.config.exact_match_weight for q in queries],
             k=min(128, max(16, max_limit + 8)),
             overfetch=self.config.search.fused_overfetch,
+            recall_target=self.config.search.fused_recall_target,
         )
         results: list[list[SearchResult]] = []
         for b, q in enumerate(queries):

@@ -173,6 +173,7 @@ class FusedHybridSearch:
         exact_weight: Sequence[float],
         k: int = 40,
         overfetch: int = 4,
+        recall_target: float = 1.0,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Run the fused step. Returns ``(scores, chunk_idx, case_rows,
         src)`` each ``[B, k]`` (-inf/-1 padded) — k *distinct* cases per
@@ -273,6 +274,7 @@ class FusedHybridSearch:
                 self.chunk_case,
                 self.chunk_court,
                 self.chunk_date,
+                recall_target=recall_target,
                 **common,
             )
         return np.asarray(v), np.asarray(i), np.asarray(cases), np.asarray(src)
