@@ -213,6 +213,115 @@ def test_fused_kernel_recall_vs_exact():
     assert float(np.mean(recalls)) >= 0.95
 
 
+# ---------------------------------------------------------------------------
+# scalar-prefetch probe kernel (partitioned ANN): interpret-mode parity.
+# ---------------------------------------------------------------------------
+
+
+def test_probe_kernel_matches_emulation():
+    B, D, P, m, NP, lanes, V = 4, 32, 16, 64, 4, 32, 40
+    rng = np.random.default_rng(5)
+    q8 = jnp.asarray(rng.integers(-127, 127, (B, D)), jnp.int8)
+    qs = jnp.asarray(rng.random((B, 1)).astype(np.float32) * 0.01 + 1e-3)
+    pint8 = jnp.asarray(rng.integers(-127, 127, (P, m, D)), jnp.int8)
+    pscale = jnp.asarray(
+        rng.random((P, m)).astype(np.float32) * 0.01 + 1e-3
+    )
+    prows = np.arange(P * m, dtype=np.int32).reshape(P, m)
+    prows[-1, -5:] = -1  # pad slots in the last partition
+    chunk_court = rng.integers(0, V, P * m).astype(np.int32)
+    chunk_date = rng.integers(0, 1000, P * m).astype(np.int32)
+    pcw, pcb, pdt = ps.partition_filter_columns(
+        prows, chunk_court, chunk_date
+    )
+    table = rng.random((B, V)) < 0.7
+    qwords = ps.pack_court_words(jnp.asarray(table))
+    lo = rng.integers(0, 300, B).astype(np.int32)
+    hi = rng.integers(600, 1000, B).astype(np.int32)
+    ms = np.full(B, -1e30, np.float32)
+    top_p = rng.integers(0, P, (B, NP)).astype(np.int32)
+    top_p[0, -1] = P - 1  # cover the padded partition
+
+    v, s = ps.pallas_probe_candidates(
+        q8, qs, jnp.asarray(top_p), pint8, pscale, jnp.asarray(prows),
+        pcw, pcb, pdt, qwords, jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(ms), lanes=lanes, interpret=True,
+    )
+    v, s = np.asarray(v).reshape(B, NP, lanes), np.asarray(s).reshape(
+        B, NP, lanes
+    )
+
+    # numpy emulation
+    q8n, qsn = np.asarray(q8, np.int32), np.asarray(qs)
+    pin, psn = np.asarray(pint8, np.int32), np.asarray(pscale)
+    for b in range(B):
+        for pi, pid in enumerate(top_p[b]):
+            scores = (pin[pid] @ q8n[b]).astype(np.float32) * psn[pid] * qsn[b, 0]
+            rows = prows[pid]
+            keep = (
+                (rows >= 0)
+                & table[b, chunk_court[np.maximum(rows, 0)]]
+                & (chunk_date[np.maximum(rows, 0)] >= lo[b])
+                & (chunk_date[np.maximum(rows, 0)] <= hi[b])
+            )
+            scores = np.where(keep, scores, -np.inf)
+            sm = scores.reshape(m // lanes, lanes)
+            ev = sm.max(axis=0)
+            ej = sm.argmax(axis=0) * lanes + np.arange(lanes)
+            np.testing.assert_allclose(v[b, pi], ev, atol=1e-5)
+            real = np.isfinite(ev)
+            np.testing.assert_array_equal(s[b, pi][real], ej[real])
+
+
+def test_probe_kernel_in_fused_partitioned():
+    """fused_partitioned_topk with precomputed partition columns returns
+    the same results whether they are passed or derived in-program (the
+    XLA scan path runs on CPU either way — this guards the column layout)."""
+    from trie_semantic_search_tpu.ops.hybrid import fused_partitioned_topk
+
+    B, D, P, m, C = 4, 16, 8, 32, 64
+    N = P * m
+    rng = np.random.default_rng(9)
+    qv = rng.standard_normal((B, D)).astype(np.float32)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    cents = rng.standard_normal((P, D)).astype(np.float32)
+    pint8 = rng.integers(-127, 127, (P, m, D)).astype(np.int8)
+    pscale = (rng.random((P, m)) * 0.01 + 1e-3).astype(np.float32)
+    prows = np.arange(N, dtype=np.int32).reshape(P, m)
+    chunk_case = rng.integers(0, C, N).astype(np.int32)
+    chunk_court = rng.integers(0, 8, N).astype(np.int32)
+    chunk_date = rng.integers(0, 100, N).astype(np.int32)
+    pcw, pcb, pdt = ps.partition_filter_columns(
+        prows, chunk_court, chunk_date
+    )
+    kw = dict(
+        court_table=jnp.ones((B, 8), bool),
+        date_lo=jnp.zeros(B, jnp.int32),
+        date_hi=jnp.full(B, 100, jnp.int32),
+        trie_rows=jnp.full((B, 4), -1, jnp.int32),
+        trie_src=jnp.full((B, 4), 3, jnp.int32),
+        trie_chunk_of_case=jnp.zeros(C, jnp.int32),
+        min_similarity=jnp.full(B, -1e30, jnp.float32),
+        exact_weight=jnp.full(B, 2.0, jnp.float32),
+        k=5, nprobe=4,
+    )
+    a = fused_partitioned_topk(
+        jnp.asarray(qv), jnp.asarray(cents), jnp.asarray(prows),
+        jnp.asarray(pint8), jnp.asarray(pscale), None,
+        jnp.asarray(chunk_case), jnp.asarray(chunk_court),
+        jnp.asarray(chunk_date), recall_target=0.97,
+        part_cword=pcw, part_cbit=pcb, part_date=pdt, **kw,
+    )
+    b = fused_partitioned_topk(
+        jnp.asarray(qv), jnp.asarray(cents), jnp.asarray(prows),
+        jnp.asarray(pint8), jnp.asarray(pscale), None,
+        jnp.asarray(chunk_case), jnp.asarray(chunk_court),
+        jnp.asarray(chunk_date), recall_target=0.97, **kw,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_pack_court_words():
     table = np.zeros((2, 40), bool)
     table[0, [0, 31, 32, 39]] = True

@@ -336,7 +336,9 @@ def fused_hybrid_topk_chunked(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "overfetch", "rescore_factor"),
+    static_argnames=(
+        "k", "nprobe", "overfetch", "rescore_factor", "recall_target"
+    ),
 )
 def fused_partitioned_topk(
     query_emb: jax.Array,  # [B, D] f32, L2-normalised
@@ -360,6 +362,10 @@ def fused_partitioned_topk(
     nprobe: int,
     overfetch: int = 4,
     rescore_factor: int = 4,
+    recall_target: float = 1.0,
+    part_cword: Optional[jax.Array] = None,  # [P, m] int32 (see below)
+    part_cbit: Optional[jax.Array] = None,  # [P, m] uint32
+    part_date: Optional[jax.Array] = None,  # [P, m] int32
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """CAP-scale fused step: partitioned-ANN probe + filtered scan + bf16
     rescore + lexical boost + dedup-by-case + top-k in ONE program
@@ -372,6 +378,14 @@ def fused_partitioned_topk(
     Returns ``(scores, chunk_idx, case_rows, src)`` like
     :func:`fused_hybrid_topk` (semantic part approximate at the probe
     level, exactly like the staged PartitionedANN path).
+
+    On TPU with ``recall_target < 1`` and partition-major filter columns
+    (``part_cword/cbit/date`` — precompute once per corpus with
+    ``ops.pallas_scan.partition_filter_columns``; passing ``None`` derives
+    them in-program, an N-sized gather per call), the probe scan runs as
+    the scalar-prefetch Pallas kernel: the pipeline DMAs exactly the
+    probed blocks instead of XLA's copying gather (measured ~400 ms →
+    ~HBM-bound for B=16, nprobe=32 at 8.4M rows).
     """
     qn = query_emb.astype(jnp.float32)
     B = qn.shape[0]
@@ -391,6 +405,40 @@ def fused_partitioned_topk(
     # partition, so early steps do most of the recall work.
     ksem = min(max(k * max(1, overfetch), k), np_eff * m)
     W = min(ksem * max(1, rescore_factor), np_eff * m)  # carried candidates
+
+    use_probe_kernel = (
+        recall_target < 1.0
+        and m % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+    if use_probe_kernel:
+        from .pallas_scan import (
+            pack_court_words,
+            pallas_probe_candidates,
+        )
+
+        if part_cword is None or part_cbit is None or part_date is None:
+            safe = jnp.maximum(part_rows, 0)
+            pc = jnp.take(chunk_court, safe)
+            part_cword = jnp.where(part_rows >= 0, pc // 32, -1)
+            part_cbit = jnp.uint32(1) << (pc.astype(jnp.uint32) % 32)
+            part_date = jnp.where(
+                part_rows >= 0, jnp.take(chunk_date, safe), -(2**31)
+            )
+        qwords = pack_court_words(court_table)
+        kc_v, kc_s = pallas_probe_candidates(
+            q8, q_scale, top_p, part_int8, part_scale, part_rows,
+            part_cword, part_cbit, part_date, qwords, date_lo, date_hi,
+            min_similarity,
+        )
+        lanes_n = kc_v.shape[1] // np_eff
+        rows3 = part_rows[
+            top_p[:, :, None], kc_s.reshape(B, np_eff, lanes_n)
+        ]
+        cand_v, pos0 = exact_topk(kc_v, min(W, kc_v.shape[1]))
+        cand_rows = jnp.take_along_axis(
+            rows3.reshape(B, -1), pos0, axis=1
+        )
 
     def step(carry, probe_col):  # probe_col: [B] partition id per query
         best_v, best_r = carry
@@ -422,13 +470,14 @@ def fused_partitioned_topk(
         )
         return (nv, nr), None
 
-    init = (
-        jnp.full((B, W), -jnp.inf, jnp.float32),
-        jnp.full((B, W), -1, part_rows.dtype),
-    )
-    (cand_v, cand_rows), _ = jax.lax.scan(
-        step, init, jnp.moveaxis(top_p, 0, 1)
-    )
+    if not use_probe_kernel:
+        init = (
+            jnp.full((B, W), -jnp.inf, jnp.float32),
+            jnp.full((B, W), -1, part_rows.dtype),
+        )
+        (cand_v, cand_rows), _ = jax.lax.scan(
+            step, init, jnp.moveaxis(top_p, 0, 1)
+        )
 
     # 5) full-precision bf16 rescore of the carried candidates (skipped
     # when no rescore copy exists — int8 scores are already exact-ordered

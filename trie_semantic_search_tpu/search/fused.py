@@ -109,6 +109,15 @@ class FusedHybridSearch:
             ann._require_built()
             self.ann = ann
             self.corpus_q = self.corpus_scale = None
+            # partition-major filter columns for the scalar-prefetch probe
+            # kernel (one-time layout; see ops/pallas_scan)
+            from ..ops.pallas_scan import partition_filter_columns
+
+            self._part_cols = partition_filter_columns(
+                np.asarray(ann.part_rows),
+                columns.court_ids[chunk_case],
+                columns.dates[chunk_case],
+            )
         else:
             # brute mode materialises its own int8 corpus copy; the
             # partitioned mode reuses the ANN's device blocks instead.
@@ -252,6 +261,7 @@ class FusedHybridSearch:
             overfetch=overfetch,
         )
         if self.ann_mode == "partitioned":
+            pcw, pcb, pdt = self._part_cols
             v, i, cases, src = fused_partitioned_topk(
                 q,
                 self.ann.centroids,
@@ -264,6 +274,10 @@ class FusedHybridSearch:
                 self.chunk_date,
                 nprobe=self.ann.default_nprobe,
                 rescore_factor=max(1, self.ann.config.rescore_factor),
+                recall_target=recall_target,
+                part_cword=pcw,
+                part_cbit=pcb,
+                part_date=pdt,
                 **common,
             )
         else:
