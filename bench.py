@@ -657,14 +657,26 @@ def capscale() -> None:
     )
     oracle_b = np.asarray(io).reshape(R_HI, B_PART, K)
 
-    @_ft.partial(jax.jit, static_argnames=("nprobe",))
+    from trie_semantic_search_tpu.ops.pallas_scan import (
+        partition_filter_columns,
+    )
+
+    pcw, pcb, pdt = partition_filter_columns(
+        np.asarray(part_rows), np.asarray(chunk_court),
+        np.asarray(chunk_date),
+    )
+
+    @_ft.partial(jax.jit, static_argnames=("nprobe", "recall_target"))
     def loop_b(qs_r, cents, prows, pint8, pscale, ccase, ccourt, cdate,
-               ct, dlo, dhi, tr, ts, tcc, msim, ew, nprobe):
+               ct, dlo, dhi, tr, ts, tcc, msim, ew, pw, pb, pd, nprobe,
+               recall_target=1.0):
         def body(carry, qb):
             v, i, cases, src = fused_partitioned_topk(
                 qb, cents, prows, pint8, pscale, None,
                 ccase, ccourt, cdate, ct, dlo, dhi, tr, ts, tcc, msim, ew,
                 k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
+                recall_target=recall_target,
+                part_cword=pw, part_cbit=pb, part_date=pd,
             )
             return carry + v.sum(), (v, i)
         acc, (vs, idxs) = jax.lax.scan(body, 0.0, qs_r)
@@ -676,33 +688,37 @@ def capscale() -> None:
                 a["trie_rows"], a["trie_src"], a["trie_chunk_of_case"],
                 a["min_similarity"], a["exact_weight"])
 
-    for nprobe in (32, 64):
-        def run_b(rv, t, _np_=nprobe):
-            return loop_b(
-                qb_pools[rv][t], centroids, part_rows, part_int8,
-                part_scale, chunk_case, chunk_court, chunk_date, *b_args(),
-                nprobe=_np_,
-            )
+    for variant, rt in (("", 1.0), ("_probekernel", 0.97)):
+        for nprobe in (32, 64):
+            def run_b(rv, t, _np_=nprobe, _rt_=rt):
+                return loop_b(
+                    qb_pools[rv][t], centroids, part_rows, part_int8,
+                    part_scale, chunk_case, chunk_court, chunk_date,
+                    *b_args(), pcw, pcb, pdt,
+                    nprobe=_np_, recall_target=_rt_,
+                )
 
-        t0 = time.perf_counter()
-        fetch_sync(run_b(R_LO, 0))
-        compile_s = time.perf_counter() - t0
-        bms = timed_slope(run_b, R_LO, R_HI, trials=TRIALS) * 1000
-        acc, vb, ib = run_b(R_HI, 0)
-        got = np.asarray(ib)[:, :, :K].reshape(-1, K)
-        recall = float(np.mean([
-            len(set(a.tolist()) & set(b.tolist())) / K
-            for a, b in zip(got, oracle_b.reshape(-1, K))
-        ]))
-        report(
-            "capscale_partitioned_8M", corpus_chunks=N, batch=B_PART,
-            nprobe=nprobe, probed_frac=round(nprobe * m / N, 4),
-            batch_ms=round(bms, 2), qps=round(B_PART / (bms / 1000), 1),
-            recall_at_10_vs_exact=round(recall, 4),
-            compile_s=round(compile_s, 1),
-        )
-        if recall >= 0.95:
-            break
+            t0 = time.perf_counter()
+            fetch_sync(run_b(R_LO, 0))
+            compile_s = time.perf_counter() - t0
+            bms = timed_slope(run_b, R_LO, R_HI, trials=TRIALS) * 1000
+            acc, vb, ib = run_b(R_HI, 0)
+            got = np.asarray(ib)[:, :, :K].reshape(-1, K)
+            recall = float(np.mean([
+                len(set(a.tolist()) & set(b.tolist())) / K
+                for a, b in zip(got, oracle_b.reshape(-1, K))
+            ]))
+            report(
+                "capscale_partitioned_8M" + variant, corpus_chunks=N,
+                batch=B_PART,
+                nprobe=nprobe, probed_frac=round(nprobe * m / N, 4),
+                batch_ms=round(bms, 2),
+                qps=round(B_PART / (bms / 1000), 1),
+                recall_at_10_vs_exact=round(recall, 4),
+                compile_s=round(compile_s, 1),
+            )
+            if recall >= 0.95:
+                break
 
     # free the 8M corpus before the 1M harness
     del corpus_q, corpus_scale, part_int8, part_scale, blocks, scales

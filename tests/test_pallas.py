@@ -247,11 +247,10 @@ def test_probe_kernel_matches_emulation():
         pcw, pcb, pdt, qwords, jnp.asarray(lo), jnp.asarray(hi),
         jnp.asarray(ms), lanes=lanes, interpret=True,
     )
-    v, s = np.asarray(v).reshape(B, NP, lanes), np.asarray(s).reshape(
-        B, NP, lanes
-    )
+    v = np.asarray(v).reshape(B, NP, 2, lanes)
+    s = np.asarray(s).reshape(B, NP, 2, lanes)
 
-    # numpy emulation
+    # numpy emulation: top-2 per lane over the m//lanes sub-blocks
     q8n, qsn = np.asarray(q8, np.int32), np.asarray(qs)
     pin, psn = np.asarray(pint8, np.int32), np.asarray(pscale)
     for b in range(B):
@@ -266,8 +265,9 @@ def test_probe_kernel_matches_emulation():
             )
             scores = np.where(keep, scores, -np.inf)
             sm = scores.reshape(m // lanes, lanes)
-            ev = sm.max(axis=0)
-            ej = sm.argmax(axis=0) * lanes + np.arange(lanes)
+            order = np.argsort(-sm, axis=0, kind="stable")  # desc, ties→low j
+            ev = np.take_along_axis(sm, order[:2], axis=0)  # [2, lanes]
+            ej = order[:2] * lanes + np.arange(lanes)
             np.testing.assert_allclose(v[b, pi], ev, atol=1e-5)
             real = np.isfinite(ev)
             np.testing.assert_array_equal(s[b, pi][real], ej[real])

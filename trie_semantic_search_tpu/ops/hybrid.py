@@ -32,6 +32,7 @@ case-level columns through the chunk→case map. Everything is shape-static.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -406,10 +407,14 @@ def fused_partitioned_topk(
     ksem = min(max(k * max(1, overfetch), k), np_eff * m)
     W = min(ksem * max(1, rescore_factor), np_eff * m)  # carried candidates
 
+    # TSS_PROBE_INTERPRET=1 forces the kernel in Pallas interpret mode on
+    # any backend — lets the FULL glue path (slot→row mapping, rescore,
+    # merge) run under the CPU test mesh.
+    probe_interpret = os.environ.get("TSS_PROBE_INTERPRET") == "1"
     use_probe_kernel = (
         recall_target < 1.0
         and m % 128 == 0
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or probe_interpret)
     )
     if use_probe_kernel:
         from .pallas_scan import (
@@ -429,7 +434,7 @@ def fused_partitioned_topk(
         kc_v, kc_s = pallas_probe_candidates(
             q8, q_scale, top_p, part_int8, part_scale, part_rows,
             part_cword, part_cbit, part_date, qwords, date_lo, date_hi,
-            min_similarity,
+            min_similarity, interpret=probe_interpret,
         )
         lanes_n = kc_v.shape[1] // np_eff
         rows3 = part_rows[
