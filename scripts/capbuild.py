@@ -1,0 +1,183 @@
+"""CAP-scale streaming-build driver (round-1 VERDICT item 6 done-criterion).
+
+Generates a synthetic legal corpus at reference scale (the reference claims
+6.5M cases, /root/reference/README.md:11,25 — its index build was never
+wired) and drives :class:`index.streaming.StreamingIndexBuilder` over it:
+
+  python scripts/capbuild.py gen   --cases 25000 --work /tmp/capbuild
+  python scripts/capbuild.py build --work /tmp/capbuild [--no-resume]
+
+``gen`` writes cases straight into the sqlite store (ingest-path parity is
+covered by tests/test_scale_e2e.py; this driver measures the BUILD).
+``build`` streams storage → tokenize → bucketed TPU encode → shard append
+with per-shard crash-safe checkpoints, then prints one JSON report line:
+cases, chunks, shards, chunks/s, peak RSS. Kill it mid-run (SIGKILL) and
+re-run to exercise resume — finished shards are not re-embedded and the
+report records ``resumed_from_row``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime as dt
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TOPICS = [
+    "due process", "equal protection", "freedom of speech",
+    "search and seizure", "right to counsel", "double jeopardy",
+    "eminent domain", "commerce clause", "habeas corpus", "qualified immunity",
+    "sovereign immunity", "strict scrutiny", "probable cause",
+    "cruel and unusual punishment", "establishment clause", "takings clause",
+]
+COURTS = [
+    "Supreme Court of the United States",
+    "United States Court of Appeals for the First Circuit",
+    "United States Court of Appeals for the Second Circuit",
+    "United States Court of Appeals for the Ninth Circuit",
+    "Supreme Court of California",
+    "New York Court of Appeals",
+    "Supreme Judicial Court of Massachusetts",
+    "Texas Court of Criminal Appeals",
+]
+VERBS = ["held", "concluded", "determined", "reasoned", "found", "ruled"]
+OUTCOMES = ["affirmed", "reversed", "vacated", "remanded", "dismissed"]
+DOCTRINES = [
+    "incorporation", "preemption", "severability", "standing", "mootness",
+    "ripeness", "abstention", "exhaustion", "deference", "proportionality",
+]
+
+
+def _sentences(rng, i: int, n: int) -> list[str]:
+    t = TOPICS[i % len(TOPICS)]
+    t2 = TOPICS[(i * 7 + 3) % len(TOPICS)]
+    d = DOCTRINES[i % len(DOCTRINES)]
+    out = [
+        f"This case number {i} presents a question of {t} under the "
+        f"{d} framework.",
+        f"The court below {VERBS[i % len(VERBS)]} against the petitioner "
+        f"on {t} grounds.",
+    ]
+    for j in range(n - 3):
+        v = VERBS[(i + j) % len(VERBS)]
+        out.append(
+            f"In reaching part {j} of its analysis the court {v} that the "
+            f"{t if j % 2 else t2} claim turns on {d} principles and the "
+            f"record developed at trial number {int(rng.integers(0, 9999))}."
+        )
+    out.append(
+        f"The judgment is {OUTCOMES[i % len(OUTCOMES)]} and the case is "
+        f"remanded for further proceedings consistent with this opinion."
+    )
+    return out
+
+
+def cmd_gen(args) -> None:
+    import numpy as np
+
+    from trie_semantic_search_tpu.core.config import Config
+    from trie_semantic_search_tpu.core.types import CaseMetadata, new_case_id
+    from trie_semantic_search_tpu.storage.store import StorageManager
+
+    work = Path(args.work)
+    work.mkdir(parents=True, exist_ok=True)
+    cfg = Config()
+    cfg.storage.db_path = str(work / "db.sqlite")
+    cfg.storage.backup_enabled = False
+    storage = StorageManager(cfg.storage)
+    rng = np.random.default_rng(42)
+    t0 = time.perf_counter()
+    batch: list[tuple[CaseMetadata, str]] = []
+    total = 0
+    for i in range(args.cases):
+        year = 1850 + (i * 13) % 175
+        meta = CaseMetadata(
+            id=new_case_id(),
+            name=f"Petitioner{i} v. Respondent{i % 4093}",
+            citation=f"{100 + i % 500} U.S. {i % 900 + 1} ({year})",
+            court=COURTS[i % len(COURTS)],
+            decision_date=dt.date(year, 1 + i % 12, 1 + i % 28),
+        )
+        n_sent = int(rng.integers(args.min_sentences, args.max_sentences + 1))
+        batch.append((meta, " ".join(_sentences(rng, i, n_sent))))
+        if len(batch) >= 1000:
+            stored, errors = storage.store_cases_batch(batch)
+            assert not errors, errors[:3]
+            total += stored
+            batch = []
+            if total % 5000 == 0:
+                rate = total / (time.perf_counter() - t0)
+                print(f"gen: {total}/{args.cases} cases ({rate:.0f}/s)",
+                      file=sys.stderr)
+    if batch:
+        stored, _ = storage.store_cases_batch(batch)
+        total += stored
+    storage.close()
+    print(json.dumps({
+        "stage": "gen", "cases": total,
+        "seconds": round(time.perf_counter() - t0, 1),
+        "db_bytes": (work / "db.sqlite").stat().st_size,
+    }))
+
+
+def cmd_build(args) -> None:
+    if args.cpu:  # dev/CI: virtual CPU backend (must precede backend init)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from trie_semantic_search_tpu.core.config import Config
+    from trie_semantic_search_tpu.index.streaming import StreamingIndexBuilder
+    from trie_semantic_search_tpu.storage.store import StorageManager
+
+    work = Path(args.work)
+    cfg = Config()
+    cfg.storage.db_path = str(work / "db.sqlite")
+    cfg.storage.backup_enabled = False
+    cfg.trie.index_path = str(work / "trie")
+    cfg.trie.content_windowing = "phrase_start"
+    cfg.vector.hnsw.index_path = str(work / "vec")
+    cfg.vector.hnsw.num_partitions = args.partitions
+    storage = StorageManager(cfg.storage)
+    builder = StreamingIndexBuilder(
+        storage, cfg, work_dir=work / "stream",
+        shard_chunks=args.shard_chunks,
+    )
+    built = builder.build(resume=not args.no_resume)
+    r = built.report
+    print(json.dumps({
+        "stage": "build",
+        **{k: getattr(r, k) for k in (
+            "cases", "content_chunks", "citations", "shards",
+            "resumed_from_row", "chunks_per_second", "peak_rss_bytes",
+        )},
+        "seconds": round(r.seconds, 1),
+    }))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--cases", type=int, default=25_000)
+    g.add_argument("--min-sentences", type=int, default=16)
+    g.add_argument("--max-sentences", type=int, default=24)
+    g.add_argument("--work", required=True)
+    g.set_defaults(fn=cmd_gen)
+    b = sub.add_parser("build")
+    b.add_argument("--work", required=True)
+    b.add_argument("--shard-chunks", type=int, default=32_768)
+    b.add_argument("--partitions", type=int, default=512)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--cpu", action="store_true")
+    b.set_defaults(fn=cmd_build)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -106,10 +106,10 @@ def make_filtered_data(B, D, N, V, seed=0):
 
 
 def emulate_fused(q8, qs, cq, cs, court, date, table, lo, hi, ms,
-                  tile_n, lanes):
-    """Exact numpy emulation of the kernel's masked scan + stride-family
-    pre-reduction (lane column l of tile t keeps the best of rows
-    {t·tile_n + j·lanes + l}, ties to the lower j)."""
+                  tile_n, lanes, k):
+    """Exact numpy emulation of the kernel's masked scan + running
+    top-T-per-lane reduce (lane l keeps the T best rows with
+    ``row % lanes == l`` across the whole corpus, ties to the lower row)."""
     q8, qs, cq, cs = map(np.asarray, (q8, qs, cq, cs))
     court, date, table = map(np.asarray, (court, date, table))
     lo, hi, ms = map(np.asarray, (lo, hi, ms))
@@ -122,14 +122,11 @@ def emulate_fused(q8, qs, cq, cs, court, date, table, lo, hi, ms,
         & (scores >= ms[:, None])
     )
     scores = np.where(keep, scores, -np.inf)
-    num_n, nb = N // tile_n, tile_n // lanes
-    s = scores.reshape(B, num_n, nb, lanes)
-    red_v = s.max(axis=2)
-    j = s.argmax(axis=2)  # first max → lowest j, like the kernel
-    idx = (
-        np.arange(num_n)[None, :, None] * tile_n
-        + j * lanes + np.arange(lanes)[None, None, :]
-    )
+    n_keep = min(max(2, -(-k // lanes) + 1), tile_n // lanes)
+    s = scores.reshape(B, N // lanes, lanes)  # rows j·lanes+l in col l
+    order = np.argsort(-s, axis=1, kind="stable")[:, :n_keep]  # ties→low row
+    red_v = np.take_along_axis(s, order, axis=1)  # [B, T, lanes]
+    idx = order * lanes + np.arange(lanes)[None, None, :]
     return red_v.reshape(B, -1), idx.reshape(B, -1)
 
 
@@ -147,7 +144,7 @@ def test_fused_kernel_matches_emulation(tile_b, tile_n, lanes, V):
         tile_b=tile_b, tile_n=tile_n, lanes=lanes, interpret=True,
     )
     ev, ei = emulate_fused(q8, qs, cq, cs, court, date, table, lo, hi, ms,
-                           tile_n, lanes)
+                           tile_n, lanes, K)
     order = np.argsort(-ev, axis=1, kind="stable")[:, :K]
     ref_v = np.take_along_axis(ev, order, axis=1)
     ref_i = np.take_along_axis(ei, order, axis=1)

@@ -171,78 +171,106 @@ def pack_court_words(court_table: jax.Array) -> jax.Array:
 def _fused_scan_kernel(
     q8_ref,  # [TB, D] int8
     qscale_ref,  # [TB, 1] f32
-    qwords_ref,  # [TB, W] uint32 allowed-court bitmask words
-    qdlo_ref,  # [TB, 1] int32 date lower bound (inclusive)
-    qdhi_ref,  # [TB, 1] int32 date upper bound (inclusive)
+    qwords_ref,  # [TB, W] int32 allowed-court bitmask words
+    qdlo_ref,  # [TB, 1] f32 date lower bound (inclusive, f32-exact)
+    qdhi_ref,  # [TB, 1] f32 date upper bound (inclusive, f32-exact)
     qmins_ref,  # [TB, 1] f32 similarity threshold
     tile_ref,  # [TN, D] int8
-    tscale_ref,  # [TN, 1] f32
-    tcword_ref,  # [TN, 1] int32 court word index per chunk
-    tcbit_ref,  # [TN, 1] uint32 court bit per chunk
-    tdate_ref,  # [TN, 1] int32 decision date per chunk
-    out_v_ref,  # [TB, 1, lanes] f32 block-reduced candidate scores
-    out_i_ref,  # [TB, 1, lanes] int32 global row index per candidate
+    tscale_ref,  # [TN/lanes, lanes] f32 — lane-major (see wrapper)
+    tcword_ref,  # [TN/lanes, lanes] int32 court word index per chunk
+    tcbit_ref,  # [TN/lanes, lanes] int32 court bit per chunk
+    tdate_ref,  # [TN/lanes, lanes] f32 decision date per chunk (f32-exact)
+    out_v_ref,  # [TB, T·lanes] f32 running top-T-per-lane scores
+    out_i_ref,  # [TB, T·lanes] int32 global row index per candidate
     *,
     tile_n: int,
     lanes: int,
     n_words: int,
+    n_keep: int,
 ):
-    """Fused int8 scan + metadata filters + per-lane-column pre-reduction.
+    """Fused int8 scan + metadata filters + running top-T-per-lane.
 
-    Stateless per grid step (no carried scratch): each (corpus tile, query
-    tile) step emits ``lanes`` candidates — the max-scoring row of each
-    stride-``lanes`` column family — and the tiny final top-k runs in XLA
-    over ``num_tiles·lanes`` candidates per query. Replaces the round-1
-    kernel's K-pass running merge (the VPU cost documented in
-    docs/ROADMAP.md "Pallas kernel merge cost"); the pre-reduction is the
-    approx_max_k-style partial reduction (PAPERS.md TPU-KNN), losing a true
-    top-k entry only when two land in the same (tile, lane) stride family.
+    The corpus axis is the INNER grid dimension, so the per-query-tile
+    output block stays resident in VMEM across the whole corpus stream and
+    doubles as the accumulator: each step bubble-inserts its ``tile_n``
+    filtered scores into per-lane sorted top-``T`` lists. Only ``T·lanes``
+    candidates per query ever leave the kernel — the round-1 layout wrote
+    ``lanes`` candidates per corpus tile ([num_n, B, lanes]: 134 MB per
+    512k-row slab at B=256, which XLA spilled to scoped VMEM and OOM'd).
+
+    Mosaic VMEM discipline (all measured on v5e via the remote compiler):
+    scoring, filtering, and inserting happen per stride-``lanes`` slice,
+    never on full [TB, TN] tensors — full-width filter compares cost
+    ~100 MB of scoped VMEM and fail to compile; per-row columns arrive
+    lane-major ([rows/lanes, lanes], element (r, l) = row r·lanes+l) so
+    their blocks tile (8,128) exactly — a (TN, 1) column block pads to
+    lanes·TN·4 bytes (1 MB each at TN=2048).
+
+    Accuracy = approx_max_k at reduction ratio N/(T·lanes): a true top-k
+    entry is lost only when ``T`` better rows share its lane (PAPERS.md
+    TPU-KNN).
     """
-    n_idx = pl.program_id(0)
+    n_idx = pl.program_id(1)
 
-    # int8 × int8 → int32 on the MXU, rescaled to f32 cosine
+    @pl.when(n_idx == 0)
+    def _init():
+        out_v_ref[:] = jnp.full(out_v_ref.shape, -jnp.inf, jnp.float32)
+        out_i_ref[:] = jnp.full(out_i_ref.shape, -1, jnp.int32)
+
+    # int8 × int8 → int32 on the MXU
     acc = jax.lax.dot_general(
         q8_ref[:],
         tile_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    scores = (
-        acc.astype(jnp.float32)
-        * qscale_ref[:]
-        * tscale_ref[:].reshape(1, -1)
-    )
 
-    # court filter: W bitmask passes (parity with ops/hybrid's
-    # take(court_table, chunk_court) — same [B, N] truth table)
-    cw = tcword_ref[:].reshape(1, -1)  # [1, TN] int32
-    cb = tcbit_ref[:].reshape(1, -1)  # [1, TN] uint32
-    court_ok = jnp.zeros(scores.shape, jnp.bool_)
-    for w in range(n_words):
-        qw = qwords_ref[:, w : w + 1]  # [TB, 1] uint32
-        court_ok = court_ok | (((qw & cb) != 0) & (cw == w))
-
-    dts = tdate_ref[:].reshape(1, -1)  # [1, TN]
-    date_ok = (dts >= qdlo_ref[:]) & (dts <= qdhi_ref[:])
-    keep = court_ok & date_ok & (scores >= qmins_ref[:])
-    scores = jnp.where(keep, scores, -jnp.inf)
-
-    # strided pre-reduction: lane column l keeps the best of rows
-    # {j·lanes + l}; strict '>' keeps the lower j on ties (lower row id —
-    # the determinism promise within a column family). Contiguous chunks of
-    # one case land in *different* lanes, so same-case chunks rarely
-    # collide — good for the downstream dedup-by-case.
     nb = tile_n // lanes
-    red_v = scores[:, :lanes]
-    red_j = jnp.zeros(red_v.shape, jnp.int32)
-    for j in range(1, nb):
-        s = scores[:, j * lanes : (j + 1) * lanes]
-        upd = s > red_v
-        red_v = jnp.where(upd, s, red_v)
-        red_j = jnp.where(upd, j, red_j)
-    lane = jax.lax.broadcasted_iota(jnp.int32, red_v.shape, 1)
-    out_v_ref[0, :, :] = red_v
-    out_i_ref[0, :, :] = n_idx * tile_n + red_j * lanes + lane
+    rv = [out_v_ref[:, t * lanes : (t + 1) * lanes] for t in range(n_keep)]
+    ri = [out_i_ref[:, t * lanes : (t + 1) * lanes] for t in range(n_keep)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rv[0].shape, 1)
+    for j in range(nb):
+        # rescale to f32 cosine for this lane slice
+        s = (
+            acc[:, j * lanes : (j + 1) * lanes].astype(jnp.float32)
+            * qscale_ref[:]
+            * tscale_ref[j : j + 1, :]
+        )
+        # court filter: W bitmask passes (parity with ops/hybrid's
+        # take(court_table, chunk_court)). int32 bit ops, not uint32: the
+        # two's-complement &/!=0 is identical and Mosaic compiles the
+        # int32 form ~30x faster (measured 102s → 3s).
+        court_ok = jnp.zeros(s.shape, jnp.bool_)
+        for w in range(n_words):
+            qw = qwords_ref[:, w : w + 1]  # [TB, 1] int32
+            court_ok = court_ok | (
+                ((qw & tcbit_ref[j : j + 1, :]) != 0)
+                & (tcword_ref[j : j + 1, :] == w)
+            )
+        # date compare in f32 (values are f32-exact by the columns
+        # contract — see MetadataColumns.encode_date_range)
+        dtj = tdate_ref[j : j + 1, :]
+        keep = (
+            court_ok
+            & (dtj >= qdlo_ref[:])
+            & (dtj <= qdhi_ref[:])
+            & (s >= qmins_ref[:])
+        )
+        s = jnp.where(keep, s, -jnp.inf)
+        # bubble-insert into the per-lane sorted top-T lists held in the
+        # output block. Strict '>' keeps the earlier (lower-row-id) entry
+        # on ties — the determinism promise within a lane. Same-case
+        # contiguous chunks land in different lanes, so they rarely
+        # collide — good for the downstream dedup-by-case.
+        gi = n_idx * tile_n + j * lanes + lane
+        for t in range(n_keep):
+            gt = s > rv[t]
+            nv, niv = jnp.where(gt, s, rv[t]), jnp.where(gt, gi, ri[t])
+            s, gi = jnp.where(gt, rv[t], s), jnp.where(gt, ri[t], gi)
+            rv[t], ri[t] = nv, niv
+    for t in range(n_keep):
+        out_v_ref[:, t * lanes : (t + 1) * lanes] = rv[t]
+        out_i_ref[:, t * lanes : (t + 1) * lanes] = ri[t]
 
 
 @functools.partial(
@@ -269,12 +297,14 @@ def pallas_fused_topk(
     """Fused filtered scan + top-k: the TPU serving path of
     ``ops.hybrid.fused_hybrid_topk`` (round-1 VERDICT item 4).
 
-    HBM traffic is ``N·D`` int8 (read the corpus once) plus
-    ``8·B·N/nb`` candidate bytes out — the [B, N] f32 score matrix of the
-    XLA path (``2·4·B·N`` write+read) never exists. Approximate at the
-    stride-family level (recall ≈ approx_max_k at reduction ratio
-    ``tile_n/lanes``); returns ``(values, global indices) [B, k]`` with
-    filtered rows at ``-inf``.
+    HBM traffic is ``num_b·N·D`` int8 (the corpus streams once per query
+    tile) plus ``8·B·T·lanes`` candidate bytes out — the [B, N] f32 score
+    matrix of the XLA path (``2·4·B·N`` write+read) never exists, and
+    neither does a per-corpus-tile candidate array (the accumulator lives
+    in the resident output block). Approximate at the lane-family level
+    (a true top-k entry is lost only when ``T`` better rows share its
+    lane); returns ``(values, global indices) [B, k]`` with filtered rows
+    at ``(-inf, -1)``.
     """
     B, D = q8.shape
     N = corpus_q.shape[0]
@@ -284,25 +314,34 @@ def pallas_fused_topk(
         raise ValueError(
             f"N={N} must divide by tile_n={tile_n}, tile_n by lanes={lanes}"
         )
-    qwords = pack_court_words(court_table)
+    qwords = jax.lax.bitcast_convert_type(
+        pack_court_words(court_table), jnp.int32
+    )
     W = qwords.shape[1]
-    cword = (chunk_court.astype(jnp.int32) // 32).reshape(N, 1)
-    cbit = (
-        jnp.uint32(1) << (chunk_court.astype(jnp.uint32) % 32)
-    ).reshape(N, 1)
-    dts = chunk_date.astype(jnp.int32).reshape(N, 1)
+    # per-row columns go lane-major [N/lanes, lanes] (element (r, l) = row
+    # r·lanes+l): blocks tile (8,128) exactly — see the kernel docstring
+    cword = (chunk_court.astype(jnp.int32) // 32).reshape(N // lanes, lanes)
+    cbit = jax.lax.bitcast_convert_type(
+        jnp.uint32(1) << (chunk_court.astype(jnp.uint32) % 32), jnp.int32
+    ).reshape(N // lanes, lanes)
+    dts = chunk_date.astype(jnp.float32).reshape(N // lanes, lanes)
     num_n, num_b = N // tile_n, B // tile_b
+    # top-T per lane: enough slots to hold k plus one collision layer
+    n_keep = min(max(2, -(-k // lanes) + 1), tile_n // lanes)
 
     kernel = functools.partial(
-        _fused_scan_kernel, tile_n=tile_n, lanes=lanes, n_words=W
+        _fused_scan_kernel, tile_n=tile_n, lanes=lanes, n_words=W,
+        n_keep=n_keep,
     )
-    # corpus axis OUTER: the corpus tile streams through HBM exactly once;
-    # query-side blocks (tiny) cycle in the inner grid dimension.
-    q_map = lambda n, b: (b, 0)  # noqa: E731
-    t_map = lambda n, b: (n, 0)  # noqa: E731
+    # corpus axis INNER: the per-query-tile output block stays resident in
+    # VMEM as the running accumulator while the corpus streams; the corpus
+    # is re-read once per query tile (num_b = B/tile_b passes — still far
+    # cheaper than materialising per-tile candidates).
+    q_map = lambda b, n: (b, 0)  # noqa: E731
+    t_map = lambda b, n: (n, 0)  # noqa: E731
     out_v, out_i = pl.pallas_call(
         kernel,
-        grid=(num_n, num_b),
+        grid=(num_b, num_n),
         in_specs=[
             pl.BlockSpec((tile_b, D), q_map),
             pl.BlockSpec((tile_b, 1), q_map),
@@ -311,26 +350,22 @@ def pallas_fused_topk(
             pl.BlockSpec((tile_b, 1), q_map),
             pl.BlockSpec((tile_b, 1), q_map),
             pl.BlockSpec((tile_n, D), t_map),
-            pl.BlockSpec((tile_n, 1), t_map),
-            pl.BlockSpec((tile_n, 1), t_map),
-            pl.BlockSpec((tile_n, 1), t_map),
-            pl.BlockSpec((tile_n, 1), t_map),
+            pl.BlockSpec((tile_n // lanes, lanes), t_map),
+            pl.BlockSpec((tile_n // lanes, lanes), t_map),
+            pl.BlockSpec((tile_n // lanes, lanes), t_map),
+            pl.BlockSpec((tile_n // lanes, lanes), t_map),
         ],
-        # outputs are tile-major [num_n, B, lanes]: the per-step block's
-        # last two dims (tile_b, lanes) then satisfy Mosaic's (8, 128)
-        # tiling rule (a [B, num_n, lanes] layout would need an illegal
-        # middle-dim-1 block)
         out_specs=(
-            pl.BlockSpec((1, tile_b, lanes), lambda n, b: (n, b, 0)),
-            pl.BlockSpec((1, tile_b, lanes), lambda n, b: (n, b, 0)),
+            pl.BlockSpec((tile_b, n_keep * lanes), q_map),
+            pl.BlockSpec((tile_b, n_keep * lanes), q_map),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((num_n, B, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((num_n, B, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((B, n_keep * lanes), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_keep * lanes), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * D,
-            bytes_accessed=N * D + B * D + 8 * B * N // (tile_n // lanes),
+            bytes_accessed=num_b * N * D + B * D + 8 * B * n_keep * lanes,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -338,20 +373,18 @@ def pallas_fused_topk(
         q8,
         q_scale.astype(jnp.float32).reshape(B, 1),
         qwords,
-        date_lo.astype(jnp.int32).reshape(B, 1),
-        date_hi.astype(jnp.int32).reshape(B, 1),
+        date_lo.astype(jnp.float32).reshape(B, 1),
+        date_hi.astype(jnp.float32).reshape(B, 1),
         min_sim.astype(jnp.float32).reshape(B, 1),
         corpus_q,
-        corpus_scale.astype(jnp.float32).reshape(N, 1),
+        corpus_scale.astype(jnp.float32).reshape(N // lanes, lanes),
         cword,
         cbit,
         dts,
     )
-    cand_v = jnp.swapaxes(out_v, 0, 1).reshape(B, num_n * lanes)
-    cand_i = jnp.swapaxes(out_i, 0, 1).reshape(B, num_n * lanes)
-    kk = min(k, cand_v.shape[1])
-    v, pos = jax.lax.top_k(cand_v, kk)
-    i = jnp.take_along_axis(cand_i, pos, axis=1)
+    kk = min(k, out_v.shape[1])
+    v, pos = jax.lax.top_k(out_v, kk)
+    i = jnp.take_along_axis(out_i, pos, axis=1)
     return v, jnp.where(jnp.isneginf(v), -1, i)
 
 

@@ -139,11 +139,19 @@ class MetadataColumns:
         decision date (lo below ``MISSING_DATE``) — parity with the staged
         path, which only applies the mask when a range is given. An explicit
         range with an open start still excludes missing dates: a dateless
-        row cannot satisfy a date filter."""
+        row cannot satisfy a date filter.
+
+        **f32-exactness contract** (the Pallas fused kernel compares dates
+        in f32 — int32 broadcast-compares blow Mosaic's scoped VMEM): every
+        bound and column value here is exactly representable in f32 with
+        order preserved. Real dates are |days| < 2^23; ``MISSING_DATE``
+        (-1e9) and ±2^31 are exact; the open-start bound is -(2^24) (NOT
+        ``MISSING_DATE + 1``, which rounds to the same f32 as
+        ``MISSING_DATE`` and would wrongly admit dateless rows)."""
         if not date_range:
             return (-(2**31), 2**31 - 1)
         start, end = date_range
-        lo = date_to_int(start) if start else int(MISSING_DATE) + 1
+        lo = date_to_int(start) if start else -(2**24)
         hi = date_to_int(end) if end else 2**31 - 1
         return (lo, hi)
 
