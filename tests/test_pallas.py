@@ -181,6 +181,28 @@ def test_fused_kernel_filters_respected():
             assert val >= 0.0
 
 
+def test_fused_kernel_filter_skip_flags():
+    """use_court/use_date=False with trivial filters == filtered defaults:
+    the static skip must not change results when the filters are no-ops."""
+    B, D, N, V, K = 8, 32, 512, 40, 8
+    q8, qs, cq, cs, court, date, _table, _lo, _hi, ms = make_filtered_data(
+        B, D, N, V, seed=6
+    )
+    open_table = jnp.ones((B, V), bool)
+    open_lo = jnp.full(B, -(2**31), jnp.int32)
+    open_hi = jnp.full(B, 2**31 - 1, jnp.int32)
+    kw = dict(k=K, tile_b=4, tile_n=128, lanes=32, interpret=True)
+    v0, i0 = ps.pallas_fused_topk(
+        q8, qs, cq, cs, court, date, open_table, open_lo, open_hi, ms, **kw
+    )
+    v1, i1 = ps.pallas_fused_topk(
+        q8, qs, cq, cs, court, date, open_table, open_lo, open_hi, ms,
+        use_court=False, use_date=False, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
 def test_fused_kernel_recall_vs_exact():
     """Top-k recall vs the exact masked scan stays high (the stride-family
     pre-reduction loses an entry only on in-family collisions)."""

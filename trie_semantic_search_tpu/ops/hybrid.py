@@ -157,7 +157,12 @@ def merge_dedup_topk(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "overfetch", "recall_target"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "overfetch", "recall_target", "use_court", "use_date"
+    ),
+)
 def fused_hybrid_topk(
     query_emb: jax.Array,  # [B, D] f32, L2-normalised
     corpus_q: jax.Array,  # [N, D] int8 chunk embeddings
@@ -176,9 +181,16 @@ def fused_hybrid_topk(
     k: int,
     overfetch: int = 4,
     recall_target: float = 1.0,
+    use_court: bool = True,
+    use_date: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Brute-scan fused step. Returns ``(scores, chunk_idx, case_rows, src)``
-    each ``[B, k]`` — k *distinct* cases per query (−inf/−1 padded)."""
+    each ``[B, k]`` — k *distinct* cases per query (−inf/−1 padded).
+
+    ``use_court=False`` / ``use_date=False`` are static host-side promises
+    that no query in the batch carries that filter; the semantic-scan mask
+    work compiles away (the lexical side list keeps its checks — it is
+    tiny)."""
     # 1) semantic scores (int8 MXU)
     q8, q_scale = quantize_queries(query_emb)
     ksem = min(max(k * max(1, overfetch), k), corpus_q.shape[0])
@@ -190,6 +202,7 @@ def fused_hybrid_topk(
         sem_v, sem_i = pallas_fused_topk(
             q8, q_scale, corpus_q, corpus_scale, chunk_court, chunk_date,
             court_table, date_lo, date_hi, min_similarity, k=ksem,
+            use_court=use_court, use_date=use_date,
         )
         sem_i = jnp.maximum(sem_i, 0)
         lex_v, lex_chunk, lex_src = lexical_side_list(
@@ -206,11 +219,14 @@ def fused_hybrid_topk(
     # court filter: gather over the shared 1-D chunk_court index (a [B, N]
     # take_along_axis with a materialised [B, N] index matrix, or a [B, N]
     # scatter for the boost, each cost ~100x more on TPU — measured).
-    court_ok = jnp.take(court_table, chunk_court, axis=1)  # [B, N]
-    date_ok = (chunk_date[None, :] >= date_lo[:, None]) & (
-        chunk_date[None, :] <= date_hi[:, None]
-    )
-    keep = court_ok & date_ok & (scores >= min_similarity[:, None])
+    keep = scores >= min_similarity[:, None]
+    if use_court:
+        keep = keep & jnp.take(court_table, chunk_court, axis=1)  # [B, N]
+    if use_date:
+        keep = keep & (
+            (chunk_date[None, :] >= date_lo[:, None])
+            & (chunk_date[None, :] <= date_hi[:, None])
+        )
     scores = jnp.where(keep, scores, -jnp.inf)
 
     # 5a) over-fetched semantic top-k (approx_max_k — the TPU-KNN partial
@@ -254,6 +270,8 @@ def fused_hybrid_topk_chunked(
     overfetch: int = 4,
     num_chunks: int = 16,
     recall_target: float = 1.0,
+    use_court: bool = True,
+    use_date: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """CAP-scale brute fused step: identical semantics to
     :func:`fused_hybrid_topk` but the corpus scan runs as a ``lax.scan``
@@ -280,6 +298,7 @@ def fused_hybrid_topk_chunked(
             chunk_date, court_table, date_lo, date_hi, trie_rows, trie_src,
             trie_chunk_of_case, min_similarity, exact_weight,
             k=k, overfetch=overfetch, recall_target=recall_target,
+            use_court=use_court, use_date=use_date,
         )
     S = N // num_chunks
 
@@ -292,17 +311,21 @@ def fused_hybrid_topk_chunked(
             v, i = pallas_fused_topk(
                 q8, q_scale, slab_q, slab_s, slab_court, slab_date,
                 court_table, date_lo, date_hi, min_similarity, k=ksem,
+                use_court=use_court, use_date=use_date,
             )
             i = jnp.maximum(i, 0)
         else:
             acc = jnp.einsum("bd,nd->bn", q8, slab_q,
                              preferred_element_type=jnp.int32)
             scores = acc.astype(jnp.float32) * q_scale * slab_s.reshape(1, -1)
-            court_ok = jnp.take(court_table, slab_court, axis=1)
-            date_ok = (slab_date[None, :] >= date_lo[:, None]) & (
-                slab_date[None, :] <= date_hi[:, None]
-            )
-            keep = court_ok & date_ok & (scores >= min_similarity[:, None])
+            keep = scores >= min_similarity[:, None]
+            if use_court:
+                keep = keep & jnp.take(court_table, slab_court, axis=1)
+            if use_date:
+                keep = keep & (
+                    (slab_date[None, :] >= date_lo[:, None])
+                    & (slab_date[None, :] <= date_hi[:, None])
+                )
             scores = jnp.where(keep, scores, -jnp.inf)
             v, i = exact_topk(scores, ksem)
         gi = i.astype(jnp.int32) + base

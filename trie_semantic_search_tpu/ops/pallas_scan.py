@@ -187,6 +187,7 @@ def _fused_scan_kernel(
     lanes: int,
     n_words: int,
     n_keep: int,
+    use_date: bool,
 ):
     """Fused int8 scan + metadata filters + running top-T-per-lane.
 
@@ -236,26 +237,29 @@ def _fused_scan_kernel(
             * qscale_ref[:]
             * tscale_ref[j : j + 1, :]
         )
-        # court filter: W bitmask passes (parity with ops/hybrid's
-        # take(court_table, chunk_court)). int32 bit ops, not uint32: the
-        # two's-complement &/!=0 is identical and Mosaic compiles the
-        # int32 form ~30x faster (measured 102s → 3s).
-        court_ok = jnp.zeros(s.shape, jnp.bool_)
-        for w in range(n_words):
-            qw = qwords_ref[:, w : w + 1]  # [TB, 1] int32
-            court_ok = court_ok | (
-                ((qw & tcbit_ref[j : j + 1, :]) != 0)
-                & (tcword_ref[j : j + 1, :] == w)
-            )
-        # date compare in f32 (values are f32-exact by the columns
-        # contract — see MetadataColumns.encode_date_range)
-        dtj = tdate_ref[j : j + 1, :]
-        keep = (
-            court_ok
-            & (dtj >= qdlo_ref[:])
-            & (dtj <= qdhi_ref[:])
-            & (s >= qmins_ref[:])
-        )
+        # similarity threshold is always on; court/date masks compile away
+        # entirely when the caller proves the batch has no such filter
+        # (n_words == 0 / use_date=False) — the per-slice mask ops are a
+        # real share of the VPU work on an otherwise compute-bound scan
+        keep = s >= qmins_ref[:]
+        if n_words:
+            # court filter: W bitmask passes (parity with ops/hybrid's
+            # take(court_table, chunk_court)). int32 bit ops, not uint32:
+            # the two's-complement &/!=0 is identical and Mosaic compiles
+            # the int32 form ~30x faster (measured 102s → 3s).
+            court_ok = jnp.zeros(s.shape, jnp.bool_)
+            for w in range(n_words):
+                qw = qwords_ref[:, w : w + 1]  # [TB, 1] int32
+                court_ok = court_ok | (
+                    ((qw & tcbit_ref[j : j + 1, :]) != 0)
+                    & (tcword_ref[j : j + 1, :] == w)
+                )
+            keep = keep & court_ok
+        if use_date:
+            # date compare in f32 (values are f32-exact by the columns
+            # contract — see MetadataColumns.encode_date_range)
+            dtj = tdate_ref[j : j + 1, :]
+            keep = keep & (dtj >= qdlo_ref[:]) & (dtj <= qdhi_ref[:])
         s = jnp.where(keep, s, -jnp.inf)
         # bubble-insert into the per-lane sorted top-T lists held in the
         # output block. Strict '>' keeps the earlier (lower-row-id) entry
@@ -275,7 +279,10 @@ def _fused_scan_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tile_b", "tile_n", "lanes", "interpret"),
+    static_argnames=(
+        "k", "tile_b", "tile_n", "lanes", "interpret", "use_court",
+        "use_date",
+    ),
 )
 def pallas_fused_topk(
     q8: jax.Array,  # [B, D] int8 quantised queries
@@ -293,6 +300,8 @@ def pallas_fused_topk(
     tile_n: int = TILE_N,
     lanes: int = 128,
     interpret: bool = False,
+    use_court: bool = True,
+    use_date: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused filtered scan + top-k: the TPU serving path of
     ``ops.hybrid.fused_hybrid_topk`` (round-1 VERDICT item 4).
@@ -305,6 +314,11 @@ def pallas_fused_topk(
     (a true top-k entry is lost only when ``T`` better rows share its
     lane); returns ``(values, global indices) [B, k]`` with filtered rows
     at ``(-inf, -1)``.
+
+    ``use_court=False`` / ``use_date=False`` are STATIC promises that no
+    query in the batch carries that filter — the mask ops compile away
+    (the scan is VPU-heavy; callers that can prove filter absence
+    host-side should say so).
     """
     B, D = q8.shape
     N = corpus_q.shape[0]
@@ -330,8 +344,8 @@ def pallas_fused_topk(
     n_keep = min(max(2, -(-k // lanes) + 1), tile_n // lanes)
 
     kernel = functools.partial(
-        _fused_scan_kernel, tile_n=tile_n, lanes=lanes, n_words=W,
-        n_keep=n_keep,
+        _fused_scan_kernel, tile_n=tile_n, lanes=lanes,
+        n_words=W if use_court else 0, n_keep=n_keep, use_date=use_date,
     )
     # corpus axis INNER: the per-query-tile output block stays resident in
     # VMEM as the running accumulator while the corpus streams; the corpus

@@ -289,6 +289,11 @@ class FusedHybridSearch:
                 self.chunk_court,
                 self.chunk_date,
                 recall_target=recall_target,
+                # static host-side promises: when NO query in the batch
+                # carries a court/date filter the scan's mask work compiles
+                # away (specialised jit variants, at most 4)
+                use_court=any(bool(c) for c in court_filters),
+                use_date=any(bool(dr) for dr in date_ranges),
                 **common,
             )
         return np.asarray(v), np.asarray(i), np.asarray(cases), np.asarray(src)
