@@ -88,7 +88,7 @@ def cmd_gen(args) -> None:
     work.mkdir(parents=True, exist_ok=True)
     cfg = Config()
     cfg.storage.db_path = str(work / "db.sqlite")
-    cfg.storage.backup_enabled = False
+    cfg.storage.backup.enabled = False
     storage = StorageManager(cfg.storage)
     rng = np.random.default_rng(42)
     t0 = time.perf_counter()
@@ -137,7 +137,7 @@ def cmd_build(args) -> None:
     work = Path(args.work)
     cfg = Config()
     cfg.storage.db_path = str(work / "db.sqlite")
-    cfg.storage.backup_enabled = False
+    cfg.storage.backup.enabled = False
     cfg.trie.index_path = str(work / "trie")
     cfg.trie.content_windowing = "phrase_start"
     cfg.vector.hnsw.index_path = str(work / "vec")

@@ -186,13 +186,37 @@ class FusedHybridSearch:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Run the fused step. Returns ``(scores, chunk_idx, case_rows,
         src)`` each ``[B, k]`` (-inf/-1 padded) — k *distinct* cases per
-        query, already filtered + boosted, with MatchType provenance."""
-        B = len(queries_text)
+        query, already filtered + boosted, with MatchType provenance.
+
+        The batch axis is padded to the next power of two before the
+        device call (pad queries carry an unsatisfiable +inf similarity
+        threshold and no lexical hits, then are sliced away) — without
+        this every distinct micro-batch size from the API batcher jits a
+        fresh fused program (measured 15–90 s per shape over the
+        remote-compile tunnel; the embedder and trie walk already bucket
+        internally, CLAUDE.md invariant)."""
+        B0 = B = len(queries_text)
+        Bp = 1 << max(0, B - 1).bit_length()  # next power of two ≥ B
         # lexical hits (batched device walk across the three tries)
         trie_rows, trie_valid = self.trie_index.search_batch_rows(
             list(queries_text)
         )
         trie_rows = np.where(trie_valid, trie_rows, -1).astype(np.int32)
+        if Bp != B:
+            pad = Bp - B
+            query_embs = np.concatenate(
+                [query_embs,
+                 np.zeros((pad, query_embs.shape[1]), query_embs.dtype)]
+            )
+            trie_rows = np.concatenate(
+                [trie_rows,
+                 np.full((pad, trie_rows.shape[1]), -1, np.int32)]
+            )
+            court_filters = list(court_filters) + [None] * pad
+            date_ranges = list(date_ranges) + [None] * pad
+            min_similarity = list(min_similarity) + [np.float32(np.inf)] * pad
+            exact_weight = list(exact_weight) + [0.0] * pad
+            B = Bp
         trie_src = np.broadcast_to(
             self._trie_src(trie_rows.shape[1]), trie_rows.shape
         )
@@ -245,7 +269,8 @@ class FusedHybridSearch:
                 overfetch=overfetch,
             )
             return (
-                np.asarray(v), np.asarray(i), np.asarray(cases), np.asarray(src)
+                np.asarray(v)[:B0], np.asarray(i)[:B0],
+                np.asarray(cases)[:B0], np.asarray(src)[:B0],
             )
 
         common = dict(
@@ -296,4 +321,7 @@ class FusedHybridSearch:
                 use_date=any(bool(dr) for dr in date_ranges),
                 **common,
             )
-        return np.asarray(v), np.asarray(i), np.asarray(cases), np.asarray(src)
+        return (
+            np.asarray(v)[:B0], np.asarray(i)[:B0],
+            np.asarray(cases)[:B0], np.asarray(src)[:B0],
+        )
