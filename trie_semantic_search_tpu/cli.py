@@ -325,7 +325,9 @@ def cmd_loadtest(args: argparse.Namespace) -> int:
                         if resp.status != 200:
                             errors[0] += 1
                     latencies.append((time.perf_counter() - t0) * 1000)
-                except aiohttp.ClientError:
+                except (aiohttp.ClientError, asyncio.TimeoutError):
+                    # TimeoutError is NOT a ClientError — without this an
+                    # over-deadline request crashes the whole run
                     errors[0] += 1
 
         timeout = aiohttp.ClientTimeout(total=args.timeout)

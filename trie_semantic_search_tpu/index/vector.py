@@ -96,6 +96,24 @@ class VectorIndex:
         self.cache.put(text, emb)
         return emb
 
+    def generate_embeddings(self, texts: Sequence[str]) -> np.ndarray:
+        """Batch ``generate_embedding``: ONE bucketed device dispatch for
+        all cache misses. Per-query embedding costs a dispatch + result
+        fetch over the device link each (~2.8 s/query measured on the
+        remote tunnel — 31/32 of the serving batch wall time); the batch
+        path amortises it to one round trip."""
+        out: list[Optional[np.ndarray]] = [
+            self.cache.get(t) for t in texts
+        ]
+        miss = [i for i, e in enumerate(out) if e is None]
+        if miss:
+            embs = self.embedder.embed([texts[i] for i in miss]).embedding
+            for j, i in enumerate(miss):
+                emb = np.asarray(embs[j])
+                out[i] = emb
+                self.cache.put(texts[i], emb)
+        return np.stack(out)  # type: ignore[arg-type]
+
     # -- building (ref vector.rs:117-125) -----------------------------------
 
     def add_document(self, case_row: int, text: str, paragraph_index: int = 0) -> None:

@@ -152,21 +152,31 @@ class SearchEngine:
         self._fused = None  # rebind to the new artifacts on demand
         self.query_cache.clear()
 
-    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 16, 32, 64)) -> None:
+    def warmup(
+        self, batch_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)
+    ) -> None:
         """Pre-compile the hot query-path programs for the serving batch
         buckets, so the first user query doesn't pay jit latency (observed:
-        60+ s cold on the remote-compile path). Runs one throwaway query
-        per bucket with caching disabled."""
-        probe = "warmup probe query"
+        60+ s cold on the remote-compile path). Covers every power-of-two
+        batch bucket (query_batch pads to these) × a short and a long
+        query (the embedder buckets token length, so realistic queries hit
+        a second length bucket). Runs throwaway queries with caching
+        disabled."""
+        probes = (
+            "warmup probe query",
+            "a longer warmup probe query exercising the next token length "
+            "bucket of the embedding model pipeline for serving",
+        )
         for b in batch_sizes:
-            qs = [
-                SearchQuery(query=f"{probe} {i}", config=SearchConfig())
-                for i in range(b)
-            ]
-            try:
-                self._execute_batch(qs)
-            except Exception as e:  # warmup must never block serving
-                _log.warning("warmup batch %d failed: %s", b, e)
+            for probe in probes:
+                qs = [
+                    SearchQuery(query=f"{probe} {i}", config=SearchConfig())
+                    for i in range(b)
+                ]
+                try:
+                    self._execute_batch(qs)
+                except Exception as e:  # warmup must never block serving
+                    _log.warning("warmup batch %d failed: %s", b, e)
 
     # -- public API (ref search.rs:149-182) ---------------------------------
 
@@ -250,24 +260,24 @@ class SearchEngine:
         needs slack for hydration failures — not a chunks-per-case
         multiplier."""
         texts = [q.query for q in queries]
-        embs = np.stack(
-            [self.vector_index.generate_embedding(t) for t in texts]
-        )
+        with metrics.timed("fused_embed"):
+            embs = self.vector_index.generate_embeddings(texts)
         fused = self._get_fused()
         max_limit = max(
             (q.max_results or q.config.max_results) for q in queries
         )
-        vals, chunks, cases, srcs = fused.query_batch(
-            embs,
-            texts,
-            court_filters=[q.court_filter for q in queries],
-            date_ranges=[q.date_range for q in queries],
-            min_similarity=[q.config.min_similarity for q in queries],
-            exact_weight=[q.config.exact_match_weight for q in queries],
-            k=min(128, max(16, max_limit + 8)),
-            overfetch=self.config.search.fused_overfetch,
-            recall_target=self.config.search.fused_recall_target,
-        )
+        with metrics.timed("fused_device"):
+            vals, chunks, cases, srcs = fused.query_batch(
+                embs,
+                texts,
+                court_filters=[q.court_filter for q in queries],
+                date_ranges=[q.date_range for q in queries],
+                min_similarity=[q.config.min_similarity for q in queries],
+                exact_weight=[q.config.exact_match_weight for q in queries],
+                k=min(128, max(16, max_limit + 8)),
+                overfetch=self.config.search.fused_overfetch,
+                recall_target=self.config.search.fused_recall_target,
+            )
         results: list[list[SearchResult]] = []
         for b, q in enumerate(queries):
             limit = q.max_results or q.config.max_results
