@@ -130,8 +130,27 @@ class SearchEngine:
         )
         # snippet anchoring must replay the builder's exact chunking
         self._text_processor = TextProcessor(config.text_processing)
+        # hot cases hit the normalize→sentence-split replay on every
+        # semantic result; cache the split per text (host CPU is the
+        # serving bottleneck at high concurrency)
+        from .cache import _LruTtl
+
+        self._sentences_cache: _LruTtl[list[str]] = _LruTtl(max_size=2048)
         self._queries_served = 0
         self._fused = None  # lazily-built FusedHybridSearch
+
+    def _sentences_of(self, case_id, text: str) -> list[str]:
+        """Builder-pipeline sentence split of a case text, LRU-cached by
+        case id (snippet anchoring replays normalize→sentences for every
+        semantic hit; hot cases repeat across queries)."""
+        cached = self._sentences_cache.get(case_id)
+        if cached is not None:
+            return cached
+        sents = self._text_processor.extract_sentences(
+            self._text_processor.normalize_text(text)
+        )
+        self._sentences_cache.put(case_id, sents)
+        return sents
 
     # -- index swap (lock-free hot reload; README.md:161-165 hot-reload) ----
 
@@ -151,6 +170,7 @@ class SearchEngine:
             self.columns = columns
         self._fused = None  # rebind to the new artifacts on demand
         self.query_cache.clear()
+        self._sentences_cache.clear()  # reindex may have rewritten texts
 
     def warmup(
         self, batch_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)
@@ -303,8 +323,7 @@ class SearchEngine:
                 chunk_text = None
                 if mtype == MatchType.SEMANTIC and text and chunk >= 0:
                     para = int(fused.chunk_para[int(chunk)])
-                    norm = self._text_processor.normalize_text(text)
-                    sents = self._text_processor.extract_sentences(norm)
+                    sents = self._sentences_of(meta.id, text)
                     if 0 <= para < len(sents):
                         chunk_text = sents[para]
                 snippet, highlights = generate_snippet(
@@ -405,8 +424,7 @@ class SearchEngine:
                 # drift whenever a short sentence was filtered out.
                 chunk_text = None
                 if mtype == MatchType.SEMANTIC and text:
-                    norm = self._text_processor.normalize_text(text)
-                    sents = self._text_processor.extract_sentences(norm)
+                    sents = self._sentences_of(meta.id, text)
                     if 0 <= para < len(sents):
                         chunk_text = sents[para]
                 snippet, highlights = generate_snippet(
