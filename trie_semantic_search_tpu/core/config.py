@@ -261,9 +261,11 @@ class SearchEngineConfig:
     search_timeout_ms: int = 5000
     #: run the single-program fused device query step (semantic scan +
     #: device filter masks + lexical boost + top-k in one jit program)
-    #: instead of the staged path. Identical results; fewer host<->device
-    #: round-trips per batch.
-    use_fused_device_path: bool = False
+    #: instead of the staged path. Identical results (parity-tested incl.
+    #: MatchType provenance); fewer host<->device round-trips per batch.
+    #: Default ON since round 2 — it is the measured-fast serving path;
+    #: set False to serve through the reference-shaped staged pipeline.
+    use_fused_device_path: bool = True
     #: fused-path ANN mode: "auto" picks partitioned probing above ~50k
     #: chunks (work per query independent of N) and the exact brute scan
     #: below; "brute"/"partitioned" force one.
