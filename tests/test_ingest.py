@@ -413,6 +413,50 @@ def test_manager_bulk_job(storage, tmp_config):
     assert mgr.cache.get_last_update("mock") is not None
 
 
+def test_manager_pause_resume(storage, tmp_config):
+    """PAUSED job driver (the state the reference declared, mod.rs:116-185,
+    without a driver): pause holds ingestion at a batch boundary, resume
+    finishes the job; a cancel during a pause still drains."""
+    import asyncio
+
+    tmp_config.ingestion.batch_size = 1  # one case per batch → 3 boundaries
+    mgr = IngestionManager(tmp_config, storage)
+    mgr.register_source(MockDataSource())
+
+    async def drive():
+        mgr.pause()
+        task = asyncio.create_task(mgr.ingest_bulk("mock"))
+        await asyncio.sleep(0.1)
+        # held before the first batch; job visible as PAUSED
+        assert not task.done()
+        assert any(j.status == JobStatus.PAUSED for j in mgr.jobs) or any(
+            j.status == JobStatus.RUNNING for j in mgr.jobs
+        )
+        mgr.pause()  # idempotent; marks the RUNNING job PAUSED
+        assert mgr.pipeline.paused
+        mgr.resume()
+        job = await asyncio.wait_for(task, timeout=30)
+        return job
+
+    job = run(drive())
+    assert job.status == JobStatus.COMPLETED
+    assert job.stats.processed == 3
+    assert len(storage.list_case_ids()) == 3
+
+    # cancel during a pause must not deadlock
+    async def drive_cancel():
+        mgr2 = IngestionManager(tmp_config, storage)
+        mgr2.register_source(MockDataSource())
+        mgr2.pause()
+        task = asyncio.create_task(mgr2.ingest_bulk("mock"))
+        await asyncio.sleep(0.1)
+        await asyncio.wait_for(mgr2.cancel(), timeout=10)
+        return await asyncio.wait_for(task, timeout=30)
+
+    job2 = run(drive_cancel())
+    assert job2.status in (JobStatus.CANCELLED, JobStatus.COMPLETED)
+
+
 def test_manager_unknown_source(storage, tmp_config):
     mgr = IngestionManager(tmp_config, storage)
     job = run(mgr.ingest_bulk("nope"))

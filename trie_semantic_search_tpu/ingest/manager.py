@@ -130,7 +130,9 @@ class IngestionManager:
 
     async def run_job(self, job: IngestionJob) -> IngestionJob:
         self.jobs.append(job)
-        job.status = JobStatus.RUNNING
+        job.status = (
+            JobStatus.PAUSED if self.pipeline.paused else JobStatus.RUNNING
+        )
         job.started_at = _dt.datetime.now(_dt.timezone.utc)
         try:
             if job.job_type == IngestionJobType.REPROCESS:
@@ -215,6 +217,22 @@ class IngestionManager:
         (jobs finish with status CANCELLED — the job state the reference
         declared, ingestion/mod.rs:116-185, without a driver)."""
         await self.pipeline.shutdown()
+
+    def pause(self) -> None:
+        """Hold running jobs at the next batch boundary and mark them
+        PAUSED (the job state the reference declared without a driver,
+        ingestion/mod.rs:116-185)."""
+        self.pipeline.pause()
+        for job in self.jobs:
+            if job.status == JobStatus.RUNNING:
+                job.status = JobStatus.PAUSED
+
+    def resume(self) -> None:
+        """Release paused jobs back to RUNNING."""
+        self.pipeline.resume()
+        for job in self.jobs:
+            if job.status == JobStatus.PAUSED:
+                job.status = JobStatus.RUNNING
 
     async def reprocess(self) -> IngestionJob:
         """Re-run text processing + metadata enhancement over every stored

@@ -86,6 +86,11 @@ class IngestionPipeline:
         self.stats = PipelineStats()
         self._job_sem = asyncio.Semaphore(max(1, config.max_concurrent_jobs))
         self._shutdown = asyncio.Event()
+        # pause gate between batches: set = running, cleared = paused
+        # (drives the PAUSED job state the reference declared without a
+        # driver, ingestion/mod.rs:116-185)
+        self._resume = asyncio.Event()
+        self._resume.set()
         self._inflight: set[asyncio.Task] = set()
         # serialises the dup-check→store critical section: concurrent batch
         # workers would otherwise both pass the check and double-insert
@@ -113,6 +118,18 @@ class IngestionPipeline:
         bs = max(1, self.config.batch_size)
         batches = [cases[i : i + bs] for i in range(0, len(cases), bs)]
         for bi, batch in enumerate(batches):
+            if not self._resume.is_set():
+                _log.info("ingestion paused before batch %d", bi)
+                # wake on EITHER resume or shutdown (a cancel() during a
+                # pause must still drain the run)
+                rt = asyncio.create_task(self._resume.wait())
+                st = asyncio.create_task(self._shutdown.wait())
+                _, pending = await asyncio.wait(
+                    {rt, st}, return_when=asyncio.FIRST_COMPLETED
+                )
+                for t in pending:
+                    t.cancel()
+                _log.info("ingestion resumed at batch %d", bi)
             if self._shutdown.is_set():
                 _log.warning("shutdown requested; stopping after %d batches", bi)
                 break
@@ -289,6 +306,18 @@ class IngestionPipeline:
     def health_check(self) -> None:
         self.storage.health_check()
         self.cache.health_check()
+
+    def pause(self) -> None:
+        """Hold ingestion at the next batch boundary (in-flight batch
+        items finish; nothing new starts until :meth:`resume`)."""
+        self._resume.clear()
+
+    def resume(self) -> None:
+        self._resume.set()
+
+    @property
+    def paused(self) -> bool:
+        return not self._resume.is_set()
 
     async def shutdown(self) -> None:
         """Drain in-flight work, flush caches (ref pipeline.rs:458-477)."""
