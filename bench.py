@@ -554,14 +554,17 @@ def capscale() -> None:
     NCHUNKS = 16
     args_a = common(B_BRUTE)
 
-    @_ft.partial(jax.jit, static_argnames=("recall_target",))
+    @_ft.partial(
+        jax.jit, static_argnames=("recall_target", "use_filters")
+    )
     def loop_a(qs_r, cq, cscale, ccase, ccourt, cdate, ct, dlo, dhi,
-               tr, ts, tcc, msim, ew, recall_target=1.0):
+               tr, ts, tcc, msim, ew, recall_target=1.0, use_filters=True):
         def body(carry, qb):
             v, i, cases, src = fused_hybrid_topk_chunked(
                 qb, cq, cscale, ccase, ccourt, cdate, ct, dlo, dhi,
                 tr, ts, tcc, msim, ew, k=K, overfetch=1,
                 num_chunks=NCHUNKS, recall_target=recall_target,
+                use_court=use_filters, use_date=use_filters,
             )
             return carry + v.sum(), (v, i)
         acc, (vs, idxs) = jax.lax.scan(body, 0.0, qs_r)
@@ -589,12 +592,12 @@ def capscale() -> None:
     }
     jax.block_until_ready(qa_pools)
 
-    def time_a(recall_target):
+    def time_a(recall_target, use_filters=True):
         def run(rv, t):
             return loop_a(
                 qa_pools[rv][t], corpus_q, corpus_scale, chunk_case,
                 chunk_court, chunk_date, *a_args(),
-                recall_target=recall_target,
+                recall_target=recall_target, use_filters=use_filters,
             )
 
         t_compile = time.perf_counter()
@@ -634,6 +637,27 @@ def capscale() -> None:
         recall_at_10_vs_exact=round(rec_p, 4),
         compile_s=round(compile_p, 1),
         note="per-slab Pallas fused scan (recall_target=0.97)",
+    )
+
+    # ---- config A3: same Pallas scan, no filters requested ----
+    # the serving engine statically drops the court/date mask work when a
+    # batch carries no filters (the common case); this config's filters
+    # are trivially open, so config A's exact results remain the oracle
+    nf_ms, compile_nf, vs_nf, idxs_nf = time_a(0.97, use_filters=False)
+    nf_sets = np.asarray(idxs_nf).reshape(-1, K)
+    rec_nf = float(np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / K
+        for a, b in zip(nf_sets, exact_sets)
+    ]))
+    report(
+        "capscale_brute_8M_pallas_nofilter", corpus_chunks=N, batch=B_BRUTE,
+        batch_ms=round(nf_ms, 2),
+        qps=round(B_BRUTE / (nf_ms / 1000), 1),
+        x_over_floor=round(nf_ms / floor_ms, 2),
+        recall_at_10_vs_exact=round(rec_nf, 4),
+        compile_s=round(compile_nf, 1),
+        note="Pallas fused scan, court/date mask work compiled away "
+             "(the no-filters-requested serving case)",
     )
 
     # ---- config B: partitioned fused at B=16 (low-latency path) ----

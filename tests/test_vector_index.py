@@ -132,6 +132,22 @@ def test_vector_index_embedding_cache(vindex):
     assert vindex.cache.get_stats().hits > before
 
 
+def test_generate_embeddings_batch_matches_single(vindex):
+    """The batched embed path (one device dispatch for all cache misses)
+    must return exactly what per-query generate_embedding returns, for any
+    mix of cached and uncached queries."""
+    import numpy as np
+
+    texts = [DOCS[0], DOCS[2], DOCS[1], DOCS[0]]
+    vindex.generate_embedding(DOCS[2])  # pre-cache one of them
+    batch = vindex.generate_embeddings(texts)
+    singles = np.stack([vindex.generate_embedding(t) for t in texts])
+    np.testing.assert_allclose(batch, singles, atol=1e-6)
+    assert batch.shape == (4, vindex.config.dimension)
+    # repeats inside one batch come back identical
+    np.testing.assert_array_equal(batch[0], batch[3])
+
+
 def test_vector_index_empty():
     idx = VectorIndex(
         VectorConfig(hnsw=AnnConfig(num_partitions=8)),
