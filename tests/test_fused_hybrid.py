@@ -358,3 +358,15 @@ def test_fused_chunked_matches_oneshot():
     c = fused_hybrid_topk_chunked(*args, k=8, overfetch=4, num_chunks=7)
     for x, y in zip(a, c):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # explicit static filter-skip flags must trace (regression: flags
+    # missing from chunked's static_argnames raised
+    # TracerBoolConversionError) and chunked==one-shot must hold under them
+    a_nf = fused_hybrid_topk(
+        *args, k=8, overfetch=4, use_court=False, use_date=False
+    )
+    d = fused_hybrid_topk_chunked(
+        *args, k=8, overfetch=4, num_chunks=8,
+        use_court=False, use_date=False,
+    )
+    for x, y in zip(a_nf, d):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -249,7 +249,11 @@ def fused_hybrid_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "overfetch", "num_chunks", "recall_target")
+    jax.jit,
+    static_argnames=(
+        "k", "overfetch", "num_chunks", "recall_target", "use_court",
+        "use_date",
+    ),
 )
 def fused_hybrid_topk_chunked(
     query_emb: jax.Array,  # [B, D] f32, L2-normalised
