@@ -812,10 +812,10 @@ class TrieIndex:
             t.encode_queries(toks, self.MAX_QUERY_TOKENS)
             for t, toks in zip(tries, (lower, raw, lower))
         )
-        rows, valid = _walk3_jit(
-            tuple(t.device() for t in tries), ids, max_postings
-        )
-        return np.asarray(rows)[:B], np.asarray(valid)[:B]
+        rows, valid = jax.device_get(
+            _walk3_jit(tuple(t.device() for t in tries), ids, max_postings)
+        )  # one transfer for both outputs
+        return rows[:B], valid[:B]
 
     def get_completions(self, prefix: str, limit: int = 10) -> list[str]:
         """Implements the reference's TODO (trie.rs:133-136): merged

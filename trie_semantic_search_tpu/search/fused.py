@@ -29,6 +29,7 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -268,10 +269,8 @@ class FusedHybridSearch:
                 n_valid=self.num_vectors,
                 overfetch=overfetch,
             )
-            return (
-                np.asarray(v)[:B0], np.asarray(i)[:B0],
-                np.asarray(cases)[:B0], np.asarray(src)[:B0],
-            )
+            v, i, cases, src = jax.device_get((v, i, cases, src))
+            return v[:B0], i[:B0], cases[:B0], src[:B0]
 
         common = dict(
             court_table=jnp.asarray(court_table),
@@ -321,7 +320,7 @@ class FusedHybridSearch:
                 use_date=any(bool(dr) for dr in date_ranges),
                 **common,
             )
-        return (
-            np.asarray(v)[:B0], np.asarray(i)[:B0],
-            np.asarray(cases)[:B0], np.asarray(src)[:B0],
-        )
+        # ONE device→host transfer for all four result arrays (separate
+        # np.asarray fetches each pay a device-link round trip)
+        v, i, cases, src = jax.device_get((v, i, cases, src))
+        return v[:B0], i[:B0], cases[:B0], src[:B0]
