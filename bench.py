@@ -517,7 +517,8 @@ def capscale() -> None:
     chunk_date = (chunk_case % 20000).astype(jnp.int32)
 
     # ---- queries: perturbed members of random partitions
-    B_BRUTE, B_PART = 256, 16
+    B_BRUTE = 256
+    B_PART = int(os.environ.get("TSS_CAPSCALE_BPART", 16))
     kq = jax.random.PRNGKey(7)
     kp, kn2 = jax.random.split(kq)
     qpart = jax.random.randint(kp, (B_BRUTE,), 0, P)
