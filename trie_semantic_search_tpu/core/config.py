@@ -261,10 +261,15 @@ class SearchEngineConfig:
     search_timeout_ms: int = 5000
     #: run the single-program fused device query step (semantic scan +
     #: device filter masks + lexical boost + top-k in one jit program)
-    #: instead of the staged path. Identical results (parity-tested incl.
-    #: MatchType provenance); fewer host<->device round-trips per batch.
-    #: Default ON since round 2 — it is the measured-fast serving path;
-    #: set False to serve through the reference-shaped staged pipeline.
+    #: instead of the staged path. Semantics parity-tested (incl. MatchType
+    #: provenance), and results are bit-identical to the staged path when
+    #: ``fused_recall_target >= 1.0``. With the default recall target < 1
+    #: the semantic *candidate set* is approximate on TPU (Pallas fused
+    #: scan / ``approx_max_k`` partial reductions — candidate recall ≈ the
+    #: target, final ordering exact), so results may differ from exact mode
+    #: in ~(1-target) of semantic slots. Default ON since round 2 — it is
+    #: the measured-fast serving path; set False to serve through the
+    #: reference-shaped staged pipeline.
     use_fused_device_path: bool = True
     #: fused-path ANN mode: "auto" picks partitioned probing above ~50k
     #: chunks (work per query independent of N) and the exact brute scan

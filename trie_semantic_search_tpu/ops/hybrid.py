@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from .pallas_scan import TILE_N, pallas_fused_topk
 from .scoring import gather_rescore
-from .topk import exact_topk, fast_topk, merge_topk
+from .topk import exact_topk, fast_topk, merge_topk, topk_by_score_then_row
 
 
 def _use_pallas(n_rows: int, recall_target: float) -> bool:
@@ -318,6 +318,13 @@ def fused_hybrid_topk_chunked(
                 use_court=use_court, use_date=use_date,
             )
             i = jnp.maximum(i, 0)
+            if v.shape[1] < ksem:
+                # the kernel returns at most n_keep*lanes candidates; pad
+                # to the carried width so the merge stack shapes agree
+                # (parity with fused_partitioned_topk's step)
+                pad = ksem - v.shape[1]
+                v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+                i = jnp.pad(i, ((0, 0), (0, pad)))
         else:
             acc = jnp.einsum("bd,nd->bn", q8, slab_q,
                              preferred_element_type=jnp.int32)
@@ -362,10 +369,31 @@ def fused_hybrid_topk_chunked(
     )
 
 
+def resolve_probe_kernel(
+    recall_target: float, m: int
+) -> tuple[bool, bool]:
+    """Host-side resolution of the probe-kernel choice for
+    :func:`fused_partitioned_topk` — returns ``(use_probe_kernel,
+    probe_interpret)``. Callers resolve this OUTSIDE the jitted step and
+    pass the results as static arguments so the trace cache keys on them
+    (env var / backend changes after the first trace are not silently
+    ignored). ``TSS_PROBE_INTERPRET=1`` forces the kernel in Pallas
+    interpret mode on any backend — lets the FULL glue path (slot→row
+    mapping, rescore, merge) run under the CPU test mesh."""
+    probe_interpret = os.environ.get("TSS_PROBE_INTERPRET") == "1"
+    use_probe_kernel = (
+        recall_target < 1.0
+        and m % 128 == 0
+        and (jax.default_backend() == "tpu" or probe_interpret)
+    )
+    return use_probe_kernel, probe_interpret
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "nprobe", "overfetch", "rescore_factor", "recall_target"
+        "k", "nprobe", "overfetch", "rescore_factor", "recall_target",
+        "use_probe_kernel", "probe_interpret",
     ),
 )
 def fused_partitioned_topk(
@@ -394,6 +422,8 @@ def fused_partitioned_topk(
     part_cword: Optional[jax.Array] = None,  # [P, m] int32 (see below)
     part_cbit: Optional[jax.Array] = None,  # [P, m] uint32
     part_date: Optional[jax.Array] = None,  # [P, m] int32
+    use_probe_kernel: Optional[bool] = None,  # static; None → resolve now
+    probe_interpret: Optional[bool] = None,  # static; None → resolve now
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """CAP-scale fused step: partitioned-ANN probe + filtered scan + bf16
     rescore + lexical boost + dedup-by-case + top-k in ONE program
@@ -434,15 +464,14 @@ def fused_partitioned_topk(
     ksem = min(max(k * max(1, overfetch), k), np_eff * m)
     W = min(ksem * max(1, rescore_factor), np_eff * m)  # carried candidates
 
-    # TSS_PROBE_INTERPRET=1 forces the kernel in Pallas interpret mode on
-    # any backend — lets the FULL glue path (slot→row mapping, rescore,
-    # merge) run under the CPU test mesh.
-    probe_interpret = os.environ.get("TSS_PROBE_INTERPRET") == "1"
-    use_probe_kernel = (
-        recall_target < 1.0
-        and m % 128 == 0
-        and (jax.default_backend() == "tpu" or probe_interpret)
-    )
+    # Kernel choice is a STATIC argument resolved by the caller (the env
+    # var / backend must be part of the jit cache key — ADVICE r2). The
+    # None default resolves here for ad-hoc callers, but happens at trace
+    # time only, so long-lived callers should pass explicit values.
+    if use_probe_kernel is None or probe_interpret is None:
+        _upk, _pi = resolve_probe_kernel(recall_target, m)
+        use_probe_kernel = _upk if use_probe_kernel is None else use_probe_kernel
+        probe_interpret = _pi if probe_interpret is None else probe_interpret
     if use_probe_kernel:
         from .pallas_scan import (
             pack_court_words,
@@ -467,9 +496,11 @@ def fused_partitioned_topk(
         rows3 = part_rows[
             top_p[:, :, None], kc_s.reshape(B, np_eff, lanes_n)
         ]
-        cand_v, pos0 = exact_topk(kc_v, min(W, kc_v.shape[1]))
-        cand_rows = jnp.take_along_axis(
-            rows3.reshape(B, -1), pos0, axis=1
+        # composite-key reduction: kernel candidates are (probe, lane)-
+        # ordered, so break score ties on the global row id (determinism
+        # invariant), not on slot position
+        cand_v, cand_rows = topk_by_score_then_row(
+            kc_v, rows3.reshape(B, -1), min(W, kc_v.shape[1])
         )
 
     def step(carry, probe_col):  # probe_col: [B] partition id per query
@@ -526,8 +557,9 @@ def fused_partitioned_topk(
         )
     else:
         re = cand_v
-    sem_v, pos2 = exact_topk(re, min(ksem, W))
-    sem_chunk = jnp.take_along_axis(cand_rows, pos2, axis=-1)
+    sem_v, sem_chunk = topk_by_score_then_row(
+        re, cand_rows.astype(jnp.int32), min(ksem, W)
+    )
     sem_chunk = jnp.maximum(sem_chunk, 0).astype(jnp.int32)
 
     # 6) lexical side list + merge + dedup + final top-k

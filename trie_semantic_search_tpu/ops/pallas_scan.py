@@ -397,8 +397,13 @@ def pallas_fused_topk(
         dts,
     )
     kk = min(k, out_v.shape[1])
-    v, pos = jax.lax.top_k(out_v, kk)
-    i = jnp.take_along_axis(out_i, pos, axis=1)
+    # final reduction over the lane-ordered accumulator: composite-key sort
+    # so score ties break to the lower global row id across lanes (the repo
+    # determinism invariant; lax.top_k alone would break ties by lane/slot
+    # position here)
+    from .topk import topk_by_score_then_row
+
+    v, i = topk_by_score_then_row(out_v, out_i, kk)
     return v, jnp.where(jnp.isneginf(v), -1, i)
 
 

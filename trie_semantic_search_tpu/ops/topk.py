@@ -46,6 +46,27 @@ def fast_topk(
     return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
 
 
+def topk_by_score_then_row(
+    values: jax.Array,  # [..., M] candidate scores
+    rows: jax.Array,  # [..., M] global row id per candidate
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k by score desc with ties broken to the LOWER row id — the repo
+    determinism invariant — independent of candidate *position* order.
+
+    ``jax.lax.top_k`` breaks ties by position, which matches the invariant
+    only when candidates are laid out in row order; kernel outputs are
+    lane/slot-ordered, so the final reduction sorts on the composite key
+    ``(-value, row)`` instead (one lexicographic ``lax.sort`` over the few
+    hundred carried candidates — negligible next to the scan).
+    """
+    k = min(k, values.shape[-1])
+    neg_v, srt_rows = jax.lax.sort(
+        (-values, rows), num_keys=2, dimension=-1
+    )
+    return -neg_v[..., :k], srt_rows[..., :k]
+
+
 def merge_topk(
     values: jax.Array,  # [..., S, k] per-shard top-k values
     indices: jax.Array,  # [..., S, k] per-shard *global* indices

@@ -140,16 +140,19 @@ class SearchEngine:
         self._fused = None  # lazily-built FusedHybridSearch
 
     def _sentences_of(self, case_id, text: str) -> list[str]:
-        """Builder-pipeline sentence split of a case text, LRU-cached by
-        case id (snippet anchoring replays normalize→sentences for every
-        semantic hit; hot cases repeat across queries)."""
-        cached = self._sentences_cache.get(case_id)
+        """Builder-pipeline sentence split of a case text, LRU-cached
+        (snippet anchoring replays normalize→sentences for every semantic
+        hit; hot cases repeat across queries). Keyed by (case id, text
+        length) so a case text rewritten in storage (e.g. a reprocess job)
+        without an index swap cannot serve a stale split (ADVICE r2)."""
+        key = (case_id, len(text))
+        cached = self._sentences_cache.get(key)
         if cached is not None:
             return cached
         sents = self._text_processor.extract_sentences(
             self._text_processor.normalize_text(text)
         )
-        self._sentences_cache.put(case_id, sents)
+        self._sentences_cache.put(key, sents)
         return sents
 
     # -- index swap (lock-free hot reload; README.md:161-165 hot-reload) ----

@@ -286,6 +286,14 @@ class FusedHybridSearch:
         )
         if self.ann_mode == "partitioned":
             pcw, pcb, pdt = self._part_cols
+            # resolve the kernel choice host-side so it is part of the jit
+            # cache key (ADVICE r2: env/backend reads at trace time were
+            # silently stale on later calls)
+            from ..ops.hybrid import resolve_probe_kernel
+
+            upk, pinterp = resolve_probe_kernel(
+                recall_target, int(self.ann.part_rows.shape[1])
+            )
             v, i, cases, src = fused_partitioned_topk(
                 q,
                 self.ann.centroids,
@@ -302,6 +310,8 @@ class FusedHybridSearch:
                 part_cword=pcw,
                 part_cbit=pcb,
                 part_date=pdt,
+                use_probe_kernel=upk,
+                probe_interpret=pinterp,
                 **common,
             )
         else:
