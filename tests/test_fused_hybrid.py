@@ -370,3 +370,32 @@ def test_fused_chunked_matches_oneshot():
     )
     for x, y in zip(a_nf, d):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_query_batch_serves_chunked_above_workset(stack, monkeypatch):
+    """VERDICT r2 item 5: brute-mode serving selects the chunked slab
+    program above the working-set threshold (and at exact recall), with
+    results identical to the one-shot program. The corpus here is
+    non-tile-divisible (7 chunks, padded to TILE_N at init)."""
+    import trie_semantic_search_tpu.search.fused as fused_mod
+
+    built, fused, emb = stack
+    assert fused.ann_mode == "brute"
+    assert int(fused.corpus_q.shape[0]) % 2048 == 0  # padded at init
+    qs = [c[4] for c in CASES]
+    kwargs = dict(
+        court_filters=[None, ["Supreme Court of California"], None],
+        date_ranges=[None, None, (dt.date(1960, 1, 1), dt.date(1969, 1, 1))],
+        min_similarity=[0.2] * 3,
+        exact_weight=[2.0] * 3,
+        k=5,
+        recall_target=1.0,  # exact mode: previously materialised [B, N]
+    )
+    embs = embed(emb, qs)
+    one_shot = fused.query_batch(embs, qs, **kwargs)
+    # force the chunked selection (tiny corpus would never cross 256 MB)
+    monkeypatch.setattr(fused_mod, "_CHUNKED_WORKSET_BYTES", 1)
+    monkeypatch.setattr(fused_mod, "_SLAB_MIN_ROWS", 256)
+    chunked = fused.query_batch(embs, qs, **kwargs)
+    for x, y, name in zip(one_shot, chunked, ("v", "i", "cases", "src")):
+        np.testing.assert_array_equal(x, y, err_msg=name)

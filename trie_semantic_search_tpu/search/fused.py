@@ -41,6 +41,7 @@ from ..ops.hybrid import (
     SRC_CITATION,
     SRC_CONTENT,
     fused_hybrid_topk,
+    fused_hybrid_topk_chunked,
     fused_partitioned_topk,
 )
 from ..ops.scoring import quantize_int8
@@ -49,6 +50,14 @@ from ..storage.columns import MetadataColumns
 #: Corpus size above which the partitioned scan beats the brute scan
 #: (below it, one full-corpus matmul is cheaper than probe+gather).
 PARTITIONED_MIN_VECTORS = 50_000
+
+#: Brute-mode working-set bound: when one [B, N] f32 score matrix would
+#: exceed this, query_batch serves through the chunked slab program
+#: (lax.scan, bounded working set) instead of the one-shot program.
+_CHUNKED_WORKSET_BYTES = 256 * 1024 * 1024
+#: minimum corpus rows per slab in the chunked program (a slab still wants
+#: a full MXU matmul's worth of work)
+_SLAB_MIN_ROWS = 65_536
 
 
 class FusedHybridSearch:
@@ -122,11 +131,35 @@ class FusedHybridSearch:
         else:
             # brute mode materialises its own int8 corpus copy; the
             # partitioned mode reuses the ANN's device blocks instead.
+            # Rows pad to a TILE_N multiple so the Pallas fused scan (and
+            # the chunked slab program) apply at ANY corpus size — pad rows
+            # carry zero scale (score exactly 0) and case -1, and the
+            # engine drops case_row < 0 results (VERDICT r2 item 5).
             self.ann = None
+            from ..ops.pallas_scan import TILE_N
+
+            n = v.shape[0]
+            npad = -(-n // TILE_N) * TILE_N
+            if npad != n:
+                v = np.concatenate(
+                    [v, np.zeros((npad - n, v.shape[1]), v.dtype)]
+                )
+                chunk_case = np.concatenate(
+                    [chunk_case, np.full(npad - n, -1, np.int32)]
+                )
             self.corpus_q, self.corpus_scale = quantize_int8(v)
+            if npad != n:
+                self.corpus_scale = self.corpus_scale.at[n:].set(0.0)
+        safe_case = np.maximum(np.asarray(chunk_case), 0)
+        pad_row = np.asarray(chunk_case) < 0
+        court_col = columns.court_ids[safe_case].copy()
+        date_col = columns.dates[safe_case].copy()
+        if pad_row.any():
+            court_col[pad_row] = 0
+            date_col[pad_row] = np.iinfo(np.int32).min
         self.chunk_case = jnp.asarray(chunk_case)
-        self.chunk_court = jnp.asarray(columns.court_ids[chunk_case])
-        self.chunk_date = jnp.asarray(columns.dates[chunk_case])
+        self.chunk_court = jnp.asarray(court_col)
+        self.chunk_date = jnp.asarray(date_col)
 
     def _init_sharded(
         self, mesh, v: np.ndarray, chunk_case: np.ndarray
@@ -315,13 +348,25 @@ class FusedHybridSearch:
                 **common,
             )
         else:
-            v, i, cases, src = fused_hybrid_topk(
-                q,
-                self.corpus_q,
-                self.corpus_scale,
-                self.chunk_case,
-                self.chunk_court,
-                self.chunk_date,
+            # Program choice (VERDICT r2 item 5): the one-shot program's
+            # XLA fallback materialises a [B, N] f32 score matrix whenever
+            # the Pallas kernel can't run (exact mode, non-TPU backend) —
+            # 8.6 GB at B=256 / N=8.4M, past HBM. Above a working-set
+            # threshold, serve through the chunked slab program instead
+            # (lax.scan over corpus slabs, O(B·N/num_chunks) working set,
+            # exact when recall_target >= 1).
+            N = int(self.corpus_q.shape[0])
+            workset = 4 * B * N  # bytes of one [B, N] f32 score matrix
+            kf = k * max(1, overfetch)
+            num_chunks = 1
+            if workset > _CHUNKED_WORKSET_BYTES:
+                while (
+                    N % (num_chunks * 2) == 0
+                    and N // (num_chunks * 2) >= max(_SLAB_MIN_ROWS, kf)
+                    and 4 * B * (N // num_chunks) > _CHUNKED_WORKSET_BYTES
+                ):
+                    num_chunks *= 2
+            fn_kwargs = dict(
                 recall_target=recall_target,
                 # static host-side promises: when NO query in the batch
                 # carries a court/date filter the scan's mask work compiles
@@ -330,6 +375,20 @@ class FusedHybridSearch:
                 use_date=any(bool(dr) for dr in date_ranges),
                 **common,
             )
+            args = (
+                q,
+                self.corpus_q,
+                self.corpus_scale,
+                self.chunk_case,
+                self.chunk_court,
+                self.chunk_date,
+            )
+            if num_chunks > 1:
+                v, i, cases, src = fused_hybrid_topk_chunked(
+                    *args, num_chunks=num_chunks, **fn_kwargs
+                )
+            else:
+                v, i, cases, src = fused_hybrid_topk(*args, **fn_kwargs)
         # ONE device→host transfer for all four result arrays (separate
         # np.asarray fetches each pay a device-link round trip)
         v, i, cases, src = jax.device_get((v, i, cases, src))
