@@ -114,7 +114,7 @@ def main() -> None:
 
     # ---- trie (device arrays) ----
     trie, paths = build_synthetic_trie()
-    eo, et, tg, po, pc, _se, ie = trie.device()
+    eo, et, tg, po, pc, _se, ie, _pw = trie.device()
     rng = np.random.default_rng(7)
     tq = np.full((B, 8), -1, np.int32)
     for i in range(B):

@@ -413,3 +413,48 @@ def test_completions_frequency_ranked():
     comps = t.completions(["miranda"], limit=2)
     assert comps[0] == "miranda v arizona"  # freq 5 beats freq 1
     assert comps[1] == "miranda warnings"
+
+
+# ---------------------------------------------------------------------------
+# frequency-ranked candidate selection (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_postings_frequency_ranked_before_cap():
+    """A common phrase surfaces the highest-frequency cases first — NOT an
+    arbitrary DFS-order prefix — and the cap keeps the top-weight subset."""
+    idx = TrieIndex(TrieConfig())
+    phrase = "due process of law".split()
+    # case 100 mentions the phrase once; case 200 five times; case 300 three
+    # times — inserted in ascending case order so DFS order != freq order
+    for case_row, count in ((100, 1), (200, 5), (300, 3)):
+        for para in range(count):
+            idx.insert_content(phrase, case_row, para)
+    idx.freeze()
+    rows, valid = idx.search_batch_rows(["due process of law"], max_postings=2)
+    content = rows[0][valid[0]]
+    # cap of 2 per trie: the two highest-frequency cases lead, in order
+    assert content.tolist()[:2] == [200, 200] or content.tolist()[:2] == [
+        200, 300,
+    ]
+    # first-ranked case is the most frequent one, not DFS-first (100)
+    assert content.tolist()[0] == 200
+
+
+def test_ranked_gather_ties_keep_dfs_order():
+    """Equal-weight postings keep DFS (insertion) order — determinism."""
+    idx = TrieIndex(TrieConfig())
+    for case_row in (5, 3, 9):  # one posting each → all weight 1
+        idx.insert_content("equal protection clause".split(), case_row, 0)
+    idx.freeze()
+    rows, valid = idx.search_batch_rows(["equal protection clause"])
+    got = rows[0][valid[0]].tolist()
+    assert got == [5, 3, 9]  # insertion (DFS postings) order preserved
+
+
+def test_frozen_post_weights_derivation(small_trie):
+    """post_weights: count of same-(node, case) postings, aligned to the
+    postings arrays."""
+    w = small_trie.post_weights()
+    assert w.shape[0] == max(1, small_trie.num_postings)
+    assert (w >= 1).all()

@@ -51,7 +51,13 @@ import numpy as np
 
 from ..core.config import TrieConfig
 from ..core.errors import AutomatonCompilationFailed, IndexCorrupted
-from ..ops.trie_kernels import batched_walk, gather_postings, gather_range_postings
+from ..ops.trie_kernels import (
+    batched_walk,
+    gather_postings,
+    gather_postings_ranked,
+    gather_range_postings,
+    gather_range_postings_ranked,
+)
 
 import re as _re
 
@@ -60,16 +66,22 @@ import re as _re
 def _walk3_jit(devices, ids, max_postings: int):
     """All three trie walks + postings gathers (name/citation exact,
     content subtree-range) in ONE jit program → one device round trip.
-    Returns ``(rows, valid)`` concatenated ``[B, 3·max_postings]``."""
+    Candidates are frequency-ranked before the cap (ranked gathers,
+    VERDICT r2 item 7). Returns ``(rows, valid)`` concatenated
+    ``[B, 3·max_postings]``."""
     outs_r, outs_v = [], []
-    for (eo, et, tg, po, pc, se, ie), q, prefix in zip(
+    for (eo, et, tg, po, pc, se, ie, pw), q, prefix in zip(
         devices, ids, (False, False, True)
     ):
         nodes = batched_walk(eo, et, tg, jnp.asarray(q))
         if prefix:
-            r, v = gather_range_postings(po, se, pc, nodes, max_postings)
+            r, v = gather_range_postings_ranked(
+                po, se, pc, pw, nodes, max_postings
+            )
         else:
-            r, v = gather_postings(po, pc, ie, nodes, max_postings)
+            r, v = gather_postings_ranked(
+                po, pc, pw, ie, nodes, max_postings
+            )
         outs_r.append(r)
         outs_v.append(v)
     return jnp.concatenate(outs_r, axis=1), jnp.concatenate(outs_v, axis=1)
@@ -295,6 +307,7 @@ class FrozenTrie:
     id_to_token: list[str]
 
     _device_arrays: Optional[tuple] = None
+    _post_weight: Optional[np.ndarray] = None
 
     @property
     def num_nodes(self) -> int:
@@ -344,6 +357,33 @@ class FrozenTrie:
 
     # -- device path --------------------------------------------------------
 
+    def post_weights(self) -> np.ndarray:
+        """Per-posting lexical rank weight, derived from the frozen arrays
+        (artifact format unchanged; computed once, cached): weight of
+        posting p = number of postings of the same case at the same node —
+        the case's frequency for that exact phrase/path. Drives the ranked
+        candidate gathers (the reference's frequency-ranked intent,
+        trie.rs:257-278, extended from completions to search hits)."""
+        if self._post_weight is None:
+            P = self.num_postings
+            if P == 0:
+                w = np.zeros(1, np.int32)
+            else:
+                node_of = np.repeat(
+                    np.arange(self.num_nodes, dtype=np.int64),
+                    np.diff(self.post_offsets).astype(np.int64),
+                )
+                span = int(self.post_case.max()) + 2
+                key = node_of * span + (
+                    self.post_case.astype(np.int64) + 1
+                )
+                _, inv, counts = np.unique(
+                    key, return_inverse=True, return_counts=True
+                )
+                w = counts[inv].astype(np.int32)
+            object.__setattr__(self, "_post_weight", w)
+        return self._post_weight
+
     def device(self) -> tuple:
         if self._device_arrays is None:
             # Kernels index these arrays unconditionally; keep ≥1 element.
@@ -361,13 +401,14 @@ class FrozenTrie:
                     jnp.asarray(pc),
                     jnp.asarray(self.subtree_post_end),
                     jnp.asarray(self.is_end),
+                    jnp.asarray(self.post_weights()),
                 ),
             )
         return self._device_arrays
 
     def walk(self, token_ids: np.ndarray) -> np.ndarray:
         """Batched device walk → final node id per query."""
-        eo, et, tg, _, _, _, _ = self.device()
+        eo, et, tg, *_ = self.device()
         return np.asarray(batched_walk(eo, et, tg, jnp.asarray(token_ids)))
 
     def search_batch(
@@ -380,12 +421,16 @@ class FrozenTrie:
         (ref trie.rs:241-245). ``prefix=True``: subtree range gather — every
         posting whose inserted path starts with the query (phrase-anywhere
         matching for the windowed content trie)."""
-        eo, et, tg, po, pc, se, ie = self.device()
+        eo, et, tg, po, pc, se, ie, pw = self.device()
         nodes = batched_walk(eo, et, tg, jnp.asarray(token_ids))
         if prefix:
-            rows, valid = gather_range_postings(po, se, pc, nodes, max_postings)
+            rows, valid = gather_range_postings_ranked(
+                po, se, pc, pw, nodes, max_postings
+            )
         else:
-            rows, valid = gather_postings(po, pc, ie, nodes, max_postings)
+            rows, valid = gather_postings_ranked(
+                po, pc, pw, ie, nodes, max_postings
+            )
         return np.asarray(nodes), np.asarray(rows), np.asarray(valid)
 
     # -- host helpers -------------------------------------------------------

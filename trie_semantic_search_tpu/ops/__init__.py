@@ -10,7 +10,14 @@ from .scoring import (
 )
 from .pallas_scan import fused_int8_topk, pallas_int8_topk, xla_int8_topk
 from .topk import chunked_topk, exact_topk, fast_topk, merge_topk, segment_max_dedup
-from .trie_kernels import batched_walk, gather_postings, gather_range_postings, walk_and_gather
+from .trie_kernels import (
+    batched_walk,
+    gather_postings,
+    gather_postings_ranked,
+    gather_range_postings,
+    gather_range_postings_ranked,
+    walk_and_gather,
+)
 
 __all__ = [
     "batched_walk",
@@ -22,7 +29,9 @@ __all__ = [
     "fast_topk",
     "fused_int8_topk",
     "gather_postings",
+    "gather_postings_ranked",
     "gather_range_postings",
+    "gather_range_postings_ranked",
     "gather_rescore",
     "l2_normalize",
     "merge_topk",
