@@ -399,3 +399,47 @@ def test_query_batch_serves_chunked_above_workset(stack, monkeypatch):
     chunked = fused.query_batch(embs, qs, **kwargs)
     for x, y, name in zip(one_shot, chunked, ("v", "i", "cases", "src")):
         np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_sharded_partitioned_engine_matches_single_chip(stack, monkeypatch):
+    """VERDICT r2 item 1 'done' criterion at the engine level: the
+    sharded-partitioned serving mode (forced on the 8-CPU mesh, probe
+    kernel in interpret mode) returns the single-chip results."""
+    from trie_semantic_search_tpu.core.config import MeshConfig
+    from trie_semantic_search_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("TSS_PROBE_INTERPRET", "1")
+    built, fused_single, emb = stack
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    fused_mc = FusedHybridSearch(
+        built.trie, built.vector, built.columns,
+        ann_mode="partitioned", mesh=mesh,
+    )
+    assert fused_mc.ann_mode == "sharded-partitioned"
+    qs = [c[4] for c in CASES] + ["mapp v. ohio"]
+    kwargs = dict(
+        court_filters=[None, ["Supreme Court of California"], None, None],
+        date_ranges=[None, None,
+                     (dt.date(1960, 1, 1), dt.date(1969, 1, 1)), None],
+        min_similarity=[0.2, 0.2, 0.2, 0.99],
+        exact_weight=[2.0] * 4,
+        k=5,
+        recall_target=0.95,
+    )
+    embs = embed(emb, qs)
+    v1, i1, c1, s1 = fused_single.query_batch(embs, qs, **kwargs)
+    vm, im, cm, sm = fused_mc.query_batch(embs, qs, **kwargs)
+    for b in range(4):
+        set1 = {int(c) for c in c1[b] if c >= 0}
+        setm = {int(c) for c in cm[b] if c >= 0}
+        assert set1 == setm, (b, set1, setm)
+        # provenance agrees per case
+        p1 = {int(c): int(s) for c, s in zip(c1[b], s1[b]) if c >= 0}
+        pm = {int(c): int(s) for c, s in zip(cm[b], sm[b]) if c >= 0}
+        assert p1 == pm, b
+        v1d = {int(c): float(v) for c, v in zip(c1[b], v1[b]) if c >= 0}
+        vmd = {int(c): float(v) for c, v in zip(cm[b], vm[b]) if c >= 0}
+        for case in set1:
+            assert abs(v1d[case] - vmd[case]) < 2e-2, (b, case)
+    # the lexical boost query: exact name hit leads on both paths
+    assert cm[3][0] == c1[3][0] and vm[3][0] == 2.0

@@ -125,7 +125,7 @@ def _fused_inputs(mesh, n_cases=64, N=256, D=32, B=4, seed=12):
 
 def _run_fused(mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
                case_court, case_date, court_table, lex, lex_src,
-               date_lo, date_hi, min_sim, ew, K, n_valid=None):
+               date_lo, date_hi, min_sim, ew, K, n_valid=None, **kw):
     import jax
     from trie_semantic_search_tpu.parallel import corpus_sharding, row_sharding
     from trie_semantic_search_tpu.parallel.collectives import sharded_fused_topk
@@ -152,6 +152,7 @@ def _run_fused(mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
         jnp.asarray(ew),
         k=K,
         n_valid=n_valid,
+        **kw,
     )
     return np.array(v), np.array(c), np.array(s)
 
@@ -279,3 +280,128 @@ def test_sharded_fused_topk_lexical_hits_respect_filters(mesh):
     for case in c[0]:
         if case >= 0:
             assert case_court[case] == 1
+
+
+# ---------------------------------------------------------------------------
+# round 3: the sharded path runs the SAME kernels as single-chip serving
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_fused_pallas_kernel_matches_xla(mesh):
+    """VERDICT r2 item 1: sharded brute serving through the per-shard
+    Pallas fused-scan kernel (interpret mode on the CPU mesh) returns the
+    XLA path's results — same glue (local row offsets, pad masking, local
+    dedup, ICI merge)."""
+    from trie_semantic_search_tpu.ops.pallas_scan import TILE_N
+
+    N = 8 * TILE_N  # one kernel tile per shard
+    (corpus, cq, cs, chunk_case, chunk_court, chunk_date, case_court,
+     case_date, court_table, rng) = _fused_inputs(
+        mesh, n_cases=512, N=N, D=32, B=4, seed=21
+    )
+    B = 4
+    lex = np.full((B, 3), -1, np.int32)
+    lex[0, 0] = 7
+    lex_src = np.full((B, 3), 1, np.int32)
+    args = (mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+            case_court, case_date, court_table, lex, lex_src,
+            np.zeros(B, np.int32), np.full(B, 1000, np.int32),
+            np.full(B, 0.0, np.float32), np.full(B, 2.0, np.float32), 5)
+    v_x, c_x, s_x = _run_fused(*args, recall_target=1.0, scan_mode="xla")
+    v_p, c_p, s_p = _run_fused(
+        *args, recall_target=0.9, scan_mode="pallas", scan_interpret=True
+    )
+    np.testing.assert_array_equal(c_x, c_p)
+    np.testing.assert_array_equal(s_x, s_p)
+    np.testing.assert_allclose(v_x, v_p, atol=1e-6)
+
+
+def test_sharded_partitioned_matches_sharded_brute(mesh, monkeypatch):
+    """The sharded-partitioned mode (per-shard partition blocks + shared
+    global centroids + ICI merge) agrees with the sharded exact brute scan
+    when every partition is probed — both with the XLA probe scan and the
+    probe kernel in interpret mode."""
+    import jax
+    from trie_semantic_search_tpu.index.kmeans import train_kmeans
+    from trie_semantic_search_tpu.index.sharded import (
+        build_sharded_partitions,
+    )
+    from trie_semantic_search_tpu.parallel import corpus_sharding, row_sharding
+    from trie_semantic_search_tpu.parallel.collectives import (
+        sharded_partitioned_topk,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    N, D, B, P = 2048, 32, 4, 8
+    (corpus, cq, cs, chunk_case, chunk_court, chunk_date, case_court,
+     case_date, court_table, rng) = _fused_inputs(
+        mesh, n_cases=256, N=N, D=D, B=B, seed=33
+    )
+    lex = np.full((B, 3), -1, np.int32)
+    lex_case = next(
+        int(c) for c in range(256)
+        if court_table[1, case_court[c]] and 0 <= case_date[c] <= 1000
+    )
+    lex[1, 0] = lex_case
+    lex_src = np.full((B, 3), 1, np.int32)
+    date_lo = np.zeros(B, np.int32)
+    date_hi = np.full(B, 1000, np.int32)
+    min_sim = np.full(B, 0.0, np.float32)
+    ew = np.full(B, 2.0, np.float32)
+    K = 5
+
+    v_b, c_b, s_b = _run_fused(
+        mesh, corpus, cq, cs, chunk_case, chunk_court, chunk_date,
+        case_court, case_date, court_table, lex, lex_src, date_lo,
+        date_hi, min_sim, ew, K, recall_target=1.0,
+    )
+
+    centroids = train_kmeans(corpus, P, iters=5, sample=N, seed=0)
+    parts = build_sharded_partitions(
+        corpus, N, 8, centroids, chunk_court, chunk_date
+    )
+    csh, rsh = corpus_sharding(mesh), row_sharding(mesh)
+    p3 = NamedSharding(mesh, PS("data", None, None))
+    p4 = NamedSharding(mesh, PS("data", None, None, None))
+
+    def run(upk, pinterp):
+        v, r, c, s = sharded_partitioned_topk(
+            mesh,
+            jnp.asarray(corpus[:B]),
+            jnp.asarray(centroids, jnp.float32),
+            jax.device_put(jnp.asarray(parts["part_rows"]), p3),
+            jax.device_put(jnp.asarray(parts["part_int8"]), p4),
+            jax.device_put(jnp.asarray(parts["part_scale"]), p3),
+            jax.device_put(jnp.asarray(parts["part_cword"]), p3),
+            jax.device_put(jnp.asarray(parts["part_cbit"]), p3),
+            jax.device_put(jnp.asarray(parts["part_date"]), p3),
+            jax.device_put(jnp.asarray(corpus, jnp.bfloat16), csh),
+            jax.device_put(jnp.asarray(chunk_case), rsh),
+            jnp.asarray(court_table),
+            jnp.asarray(date_lo), jnp.asarray(date_hi),
+            jnp.asarray(lex), jnp.asarray(lex_src),
+            jnp.maximum(jnp.asarray(lex), 0),
+            jnp.asarray(case_court), jnp.asarray(case_date),
+            jnp.asarray(min_sim), jnp.asarray(ew),
+            k=K, nprobe=P,  # probe ALL partitions → no probe loss
+            use_probe_kernel=upk, probe_interpret=pinterp,
+        )
+        return np.array(v), np.array(c), np.array(s)
+
+    for upk in (False, True):
+        v_p, c_p, s_p = run(upk, upk)
+        for b in range(B):
+            set_b = {int(c) for c in c_b[b] if c >= 0}
+            set_p = {int(c) for c in c_p[b] if c >= 0}
+            # clear winners agree; the k-th boundary may swap near-ties
+            # (partitioned reranks candidates in bf16, brute ranks int8)
+            assert (c_b[b][:2] == c_p[b][:2]).all(), (upk, b, c_b[b], c_p[b])
+            assert len(set_b ^ set_p) <= 2, (upk, b, set_b, set_p)
+            # scores of shared cases agree to bf16-rescore tolerance
+            sb = {int(c): float(v) for c, v in zip(c_b[b], v_b[b]) if c >= 0}
+            sp = {int(c): float(v) for c, v in zip(c_p[b], v_p[b]) if c >= 0}
+            for case in set_b & set_p:
+                assert abs(sb[case] - sp[case]) < 2e-2, (upk, b, case)
+        # lexical boost survives with its provenance
+        assert lex_case in c_p[1].tolist()
+        assert s_p[1][c_p[1].tolist().index(lex_case)] == 1  # SRC_CASE_NAME

@@ -157,3 +157,98 @@ class ShardedCorpusIndex:
             raise IndexCorrupted(index_type="sharded", details=str(e)) from e
         idx.build(corpus)
         return idx
+
+
+def build_sharded_partitions(
+    v: np.ndarray,  # [Npad, D] L2-normalised f32; pad rows (>= n_valid) zero
+    n_valid: int,
+    num_shards: int,
+    centroids: np.ndarray,  # [P, D] f32 — GLOBAL k-means centroids
+    chunk_court: np.ndarray,  # [Npad] int32 court id per chunk
+    chunk_date: np.ndarray,  # [Npad] int32 date per chunk
+    lanes: int = 128,
+) -> dict:
+    """Partition a row-sharded corpus PER SHARD against shared global
+    centroids (VERDICT r2 item 1: the sharded-partitioned serving mode).
+
+    Every shard assigns its rows to the same P partitions, so a query that
+    probes partition p scans p's members on every chip — identical probed
+    coverage to single-chip partitioning, split S ways. Returns host
+    arrays for :func:`..parallel.collectives.sharded_partitioned_topk`:
+
+      * ``part_rows [S, P, m]`` — SHARD-LOCAL row per slot (-1 pad),
+      * ``part_int8 [S, P, m, D]`` / ``part_scale [S, P, m]`` — per-row
+        symmetric int8 (scale 0 on pads),
+      * ``part_cword/part_cbit/part_date [S, P, m]`` — partition-major
+        filter columns for the scalar-prefetch probe kernel (pad slots:
+        word -1 / date INT32_MIN — no filter passes),
+
+    with ``m`` = the max partition fill across all shards, padded to a
+    ``lanes`` multiple (the probe kernel's block requirement).
+    """
+    from .kmeans import assign_clusters
+
+    Npad, D = v.shape
+    S = num_shards
+    if Npad % S:
+        raise VectorIndexConstructionFailed(
+            f"padded rows {Npad} not divisible by {S} shards"
+        )
+    shard_rows = Npad // S
+    P = centroids.shape[0]
+    assign = np.asarray(assign_clusters(v, np.asarray(centroids, np.float32)))
+    valid = np.arange(Npad) < n_valid
+
+    # per-shard stable partition fill (vectorised; no per-partition loops)
+    shard_sorted: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    m = 0
+    for s in range(S):
+        lo = s * shard_rows
+        local = np.nonzero(valid[lo : lo + shard_rows])[0].astype(np.int32)
+        a = assign[lo + local]
+        order = np.argsort(a, kind="stable")  # ascending row id within p
+        counts = np.bincount(a, minlength=P).astype(np.int64)
+        shard_sorted.append((local[order], a[order], counts))
+        if counts.size:
+            m = max(m, int(counts.max()))
+    m = max(lanes, -(-m // lanes) * lanes)
+
+    absmax = np.max(np.abs(v), axis=1)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    q8 = np.clip(
+        np.round(v / scale[:, None]), -127, 127
+    ).astype(np.int8)
+
+    part_rows = np.full((S, P, m), -1, np.int32)
+    for s, (rows_sorted, a_sorted, counts) in enumerate(shard_sorted):
+        offsets = np.zeros(P + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        pos = np.arange(len(rows_sorted)) - np.repeat(offsets[:-1], counts)
+        part_rows[s, a_sorted, pos] = rows_sorted
+
+    pad = part_rows < 0
+    safe_local = np.maximum(part_rows, 0)
+    # local slot row -> global row (for embeddings + filter columns)
+    glob = safe_local + (np.arange(S, dtype=np.int32) * shard_rows)[
+        :, None, None
+    ]
+    part_int8 = q8[glob]
+    part_scale = scale[glob].astype(np.float32)
+    part_int8[pad] = 0
+    part_scale[pad] = 0.0
+
+    pc = chunk_court[glob].astype(np.int32)
+    cword = (pc // 32).astype(np.int32)
+    cbit = np.uint32(1) << (pc.astype(np.uint32) % 32)
+    pdt = chunk_date[glob].astype(np.int32)
+    cword[pad] = -1
+    pdt[pad] = np.iinfo(np.int32).min
+    return {
+        "part_rows": part_rows,
+        "part_int8": part_int8,
+        "part_scale": part_scale,
+        "part_cword": cword,
+        "part_cbit": cbit,
+        "part_date": pdt,
+        "m": m,
+    }

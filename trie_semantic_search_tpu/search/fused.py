@@ -99,7 +99,7 @@ class FusedHybridSearch:
         from ..parallel.mesh import DATA_AXIS
 
         if mesh is not None and int(mesh.shape.get(DATA_AXIS, 1)) > 1:
-            self._init_sharded(mesh, v, chunk_case)
+            self._init_sharded(mesh, v, chunk_case, ann_mode)
             return
 
         ann = vector_index.ann
@@ -162,36 +162,109 @@ class FusedHybridSearch:
         self.chunk_date = jnp.asarray(date_col)
 
     def _init_sharded(
-        self, mesh, v: np.ndarray, chunk_case: np.ndarray
+        self, mesh, v: np.ndarray, chunk_case: np.ndarray,
+        ann_mode: str = "auto",
     ) -> None:
         """Lay out the corpus + chunk columns row-sharded over the mesh's
-        data axis (SURVEY §7 step 7 multi-chip; round-1 VERDICT item 4)."""
+        data axis (SURVEY §7 step 7 multi-chip; round-1 VERDICT item 4).
+
+        Respects ``ann_mode`` (VERDICT r2 item 1 — round 2 forced brute):
+        ``auto`` picks the sharded-partitioned mode (per-shard partition
+        blocks against global centroids + the probe kernel + ICI merge)
+        above ``PARTITIONED_MIN_VECTORS``, the sharded brute scan below;
+        both run the same kernels as single-chip serving on each shard.
+        Rows pad to a per-shard TILE_N multiple so the Pallas fused scan
+        applies on every shard."""
         import jax
 
+        from ..ops.pallas_scan import TILE_N
         from ..parallel.mesh import corpus_sharding, pad_corpus, row_sharding
 
         self.mesh = mesh
         self.ann = None
-        self.ann_mode = "sharded"
-        padded, n = pad_corpus(v, mesh, 8)
-        q, scale = quantize_int8(padded)
-        if padded.shape[0] > n:
-            scale = scale.at[n:].set(0.0)  # belt: n_valid masks by row anyway
+        if ann_mode == "auto":
+            ann_mode = (
+                "partitioned"
+                if self.num_vectors >= PARTITIONED_MIN_VECTORS
+                else "brute"
+            )
+        self.ann_mode = (
+            "sharded-partitioned" if ann_mode == "partitioned" else "sharded"
+        )
+        padded, n = pad_corpus(v, mesh, TILE_N)
         csh, rsh = corpus_sharding(mesh), row_sharding(mesh)
-        self.corpus_q = jax.device_put(q, csh)
-        self.corpus_scale = jax.device_put(scale, csh)
 
-        def _pad_col(col: np.ndarray, fill: int) -> jax.Array:
+        def _pad_col(col: np.ndarray, fill: int) -> np.ndarray:
             out = np.full(padded.shape[0], fill, np.int32)
             out[:n] = col
-            return jax.device_put(jnp.asarray(out), rsh)
+            return out
 
-        self.chunk_case = _pad_col(chunk_case, -1)
-        self.chunk_court = _pad_col(self.columns.court_ids[chunk_case], 0)
-        self.chunk_date = _pad_col(self.columns.dates[chunk_case], 0)
+        case_col = _pad_col(chunk_case, -1)
+        court_col = _pad_col(self.columns.court_ids[chunk_case], 0)
+        date_col = _pad_col(
+            self.columns.dates[chunk_case], np.iinfo(np.int32).min
+        )
+        self.chunk_case = jax.device_put(jnp.asarray(case_col), rsh)
+        self.chunk_court = jax.device_put(jnp.asarray(court_col), rsh)
+        self.chunk_date = jax.device_put(jnp.asarray(date_col), rsh)
         # case-level columns (small) replicate for the lexical filter check
         self.case_court = jnp.asarray(self.columns.court_ids)
         self.case_date = jnp.asarray(self.columns.dates)
+
+        if self.ann_mode == "sharded":
+            q, scale = quantize_int8(padded)
+            if padded.shape[0] > n:
+                scale = scale.at[n:].set(0.0)  # belt: n_valid masks by row
+            self.corpus_q = jax.device_put(q, csh)
+            self.corpus_scale = jax.device_put(scale, csh)
+            return
+
+        # sharded-partitioned: per-shard partition blocks against global
+        # centroids (reused from a built PartitionedANN when available)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        from ..index.kmeans import train_kmeans
+        from ..index.sharded import build_sharded_partitions
+        from ..parallel.mesh import DATA_AXIS
+
+        self.corpus_q = self.corpus_scale = None
+        acfg = self.vector_index.config.hnsw
+        ann = self.vector_index.ann
+        if isinstance(ann, PartitionedANN) and ann.centroids is not None:
+            centroids = np.asarray(ann.centroids, np.float32)
+        else:
+            from ..index.ann import _auto_partitions
+
+            P = acfg.num_partitions or _auto_partitions(n)
+            P = min(P, max(8, n))
+            centroids = train_kmeans(
+                v, P, iters=acfg.kmeans_iters, sample=acfg.kmeans_sample,
+                seed=0,
+            )
+        S = int(mesh.shape[DATA_AXIS])
+        parts = build_sharded_partitions(
+            padded, n, S, centroids, court_col, date_col
+        )
+        p3 = NamedSharding(mesh, PS(DATA_AXIS, None, None))
+        p4 = NamedSharding(mesh, PS(DATA_AXIS, None, None, None))
+        self.sp_centroids = jnp.asarray(centroids, jnp.float32)
+        self.sp_rows = jax.device_put(jnp.asarray(parts["part_rows"]), p3)
+        self.sp_int8 = jax.device_put(jnp.asarray(parts["part_int8"]), p4)
+        self.sp_scale = jax.device_put(jnp.asarray(parts["part_scale"]), p3)
+        self.sp_cword = jax.device_put(jnp.asarray(parts["part_cword"]), p3)
+        self.sp_cbit = jax.device_put(jnp.asarray(parts["part_cbit"]), p3)
+        self.sp_date = jax.device_put(jnp.asarray(parts["part_date"]), p3)
+        self.sp_bf16 = jax.device_put(
+            jnp.asarray(padded, jnp.bfloat16), csh
+        )
+        self.sp_m = int(parts["m"])
+        P = centroids.shape[0]
+        if acfg.num_probes:
+            self.sp_nprobe = min(acfg.num_probes, P)
+        else:
+            self.sp_nprobe = min(max(8, P // 10, acfg.ef_search // 4), P)
+        self.sp_rescore = max(1, acfg.rescore_factor)
 
     @staticmethod
     def _trie_src(width: int) -> np.ndarray:
@@ -274,20 +347,17 @@ class FusedHybridSearch:
             lo[b], hi[b] = self.columns.encode_date_range(dr)
 
         q = jnp.asarray(query_embs, jnp.float32)
-        if self.ann_mode == "sharded":
-            from ..parallel.collectives import sharded_fused_topk
+        if self.ann_mode in ("sharded", "sharded-partitioned"):
+            from ..parallel.collectives import (
+                resolve_scan_kernel,
+                sharded_fused_topk,
+                sharded_partitioned_topk,
+            )
 
             # mask lexical hits whose case has no chunk (no representative)
             lex_chunk = self._rep_np[np.maximum(trie_rows, 0)]
             trie_rows = np.where(lex_chunk >= 0, trie_rows, -1)
-            v, i, cases, src = sharded_fused_topk(
-                self.mesh,
-                q,
-                self.corpus_q,
-                self.corpus_scale,
-                self.chunk_case,
-                self.chunk_court,
-                self.chunk_date,
+            shared = (
                 jnp.asarray(court_table),
                 jnp.asarray(lo),
                 jnp.asarray(hi),
@@ -298,10 +368,35 @@ class FusedHybridSearch:
                 self.case_date,
                 jnp.asarray(np.asarray(min_similarity, np.float32)),
                 jnp.asarray(np.asarray(exact_weight, np.float32)),
-                k=k,
-                n_valid=self.num_vectors,
-                overfetch=overfetch,
             )
+            if self.ann_mode == "sharded-partitioned":
+                from ..ops.hybrid import resolve_probe_kernel
+
+                upk, pinterp = resolve_probe_kernel(recall_target, self.sp_m)
+                v, i, cases, src = sharded_partitioned_topk(
+                    self.mesh, q, self.sp_centroids, self.sp_rows,
+                    self.sp_int8, self.sp_scale, self.sp_cword,
+                    self.sp_cbit, self.sp_date, self.sp_bf16,
+                    self.chunk_case, *shared,
+                    k=k, nprobe=self.sp_nprobe, overfetch=overfetch,
+                    rescore_factor=self.sp_rescore,
+                    use_probe_kernel=upk, probe_interpret=pinterp,
+                )
+            else:
+                S = int(self.mesh.shape["data"])
+                scan_mode, scan_interp = resolve_scan_kernel(
+                    recall_target, int(self.corpus_q.shape[0]) // S
+                )
+                v, i, cases, src = sharded_fused_topk(
+                    self.mesh, q, self.corpus_q, self.corpus_scale,
+                    self.chunk_case, self.chunk_court, self.chunk_date,
+                    *shared,
+                    k=k, n_valid=self.num_vectors, overfetch=overfetch,
+                    recall_target=recall_target, scan_mode=scan_mode,
+                    scan_interpret=scan_interp,
+                    use_court=any(bool(c) for c in court_filters),
+                    use_date=any(bool(dr) for dr in date_ranges),
+                )
             v, i, cases, src = jax.device_get((v, i, cases, src))
             return v[:B0], i[:B0], cases[:B0], src[:B0]
 
