@@ -158,3 +158,111 @@ void tss_tb_freeze(void* handle, int32_t* edge_offsets, int32_t* edge_tokens,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sorted-stream CSR construction (round-3 scale path).
+//
+// Builds the SAME frozen layout as tss_tb_freeze directly from a
+// lexicographically sorted window matrix W [n, L] (int32 token ids, -1
+// padding, pads sort before real ids), without ever holding a node pool:
+// the sorted order IS the DFS pre-order, so nodes are numbered as they
+// first appear and postings land in stream order. Memory is O(output),
+// which lets the content index build at corpus scales where the pooled
+// builder's resident nodes (5.9 GB at 500k chunks, docs/ROADMAP) would
+// grow without bound. Python sorts the spilled windows (np.lexsort,
+// stable) and calls count → allocate → fill.
+
+extern "C" {
+
+// Pass 1: number of trie nodes for the sorted window matrix.
+int64_t tss_csr_count(const int32_t* W, int64_t n, int64_t L) {
+  int64_t nodes = 1;  // root
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* w = W + i * L;
+    int64_t depth = 0;
+    while (depth < L && w[depth] >= 0) ++depth;
+    int64_t cpl = 0;
+    if (i > 0) {
+      const int32_t* p = W + (i - 1) * L;
+      while (cpl < depth && p[cpl] == w[cpl]) ++cpl;
+    }
+    nodes += depth - cpl;
+  }
+  return nodes;
+}
+
+// Pass 2: fill the CSR arrays (caller allocates; edges = num_nodes - 1,
+// postings = n). Produces bit-identical output to tss_tb_freeze over the
+// same windows (parity-tested from Python).
+void tss_csr_fill(const int32_t* W, const int32_t* rows, const int32_t* paras,
+                  int64_t n, int64_t L, int64_t num_nodes,
+                  int32_t* edge_offsets, int32_t* edge_tokens,
+                  int32_t* edge_targets, int32_t* post_offsets,
+                  int32_t* post_case, int32_t* post_para,
+                  int32_t* subtree_post_end, uint8_t* is_end,
+                  int32_t* frequency) {
+  const int64_t N = num_nodes;
+  std::vector<int32_t> parent(N, -1);
+  std::vector<int32_t> in_token(N, -1);
+  std::vector<int32_t> child_count(N, 0);
+  std::vector<int32_t> post_count(N, 0);
+  std::vector<int32_t> stack(L + 1, 0);  // stack[d] = node id at depth d
+  for (int64_t i = 0; i < N; ++i) {
+    is_end[i] = 0;
+    frequency[i] = 0;
+  }
+
+  int32_t next_id = 1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* w = W + i * L;
+    int64_t depth = 0;
+    while (depth < L && w[depth] >= 0) ++depth;
+    int64_t cpl = 0;
+    if (i > 0) {
+      const int32_t* p = W + (i - 1) * L;
+      while (cpl < depth && p[cpl] == w[cpl]) ++cpl;
+    }
+    for (int64_t d = cpl; d < depth; ++d) {
+      int32_t id = next_id++;
+      parent[id] = stack[d];
+      in_token[id] = w[d];
+      ++child_count[stack[d]];
+      stack[d + 1] = id;
+    }
+    int32_t terminal = stack[depth];
+    is_end[terminal] = 1;
+    ++frequency[terminal];
+    ++post_count[terminal];
+    // postings are filled in stream order, which equals node-id order of
+    // terminals (sorted stream == DFS pre-order; duplicates adjacent)
+    post_case[i] = rows[i];
+    post_para[i] = paras[i];
+  }
+
+  // edge CSR: children were created in ascending token order per parent
+  // (sorted stream), so a stable counting pass by parent keeps spans
+  // token-sorted.
+  edge_offsets[0] = 0;
+  for (int64_t i = 0; i < N; ++i)
+    edge_offsets[i + 1] = edge_offsets[i] + child_count[i];
+  std::vector<int32_t> fill(N, 0);
+  for (int64_t id = 1; id < N; ++id) {
+    int32_t p = parent[id];
+    int32_t e = edge_offsets[p] + fill[p]++;
+    edge_tokens[e] = in_token[id];
+    edge_targets[e] = static_cast<int32_t>(id);
+  }
+
+  post_offsets[0] = 0;
+  for (int64_t i = 0; i < N; ++i)
+    post_offsets[i + 1] = post_offsets[i] + post_count[i];
+
+  std::vector<int64_t> size(N, 1);
+  for (int64_t i = N - 1; i > 0; --i) size[parent[i]] += size[i];
+  for (int64_t i = 0; i < N; ++i) {
+    int64_t span_end = i + size[i] - 1;
+    subtree_post_end[i] = post_offsets[span_end + 1];
+  }
+}
+
+}  // extern "C"

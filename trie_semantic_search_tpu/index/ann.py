@@ -156,6 +156,108 @@ class PartitionedANN:
         self._search_fn = None
         self._brute_fn = None
 
+    def build_streaming(
+        self,
+        vectors: np.ndarray,  # [N, D] f32, possibly np.memmap — never copied whole
+        seed: int = 0,
+        slab_rows: int = 262_144,
+        reuse_centroids: Optional[np.ndarray] = None,
+    ) -> None:
+        """Corpus-scale :meth:`build`: identical frozen layout, O(slab)
+        incremental host RAM on top of the output arrays (round-3 VERDICT
+        item 2 — ``build`` materialises a normalised f32 copy of the whole
+        corpus, ~10 GB at 6.5M chunks, before quantising).
+
+        k-means trains on a bounded row sample; assignment, int8
+        quantisation, partition fill and the bf16 rescore copy all run
+        slab-wise over the (memmapped) input. Fill order is ascending row
+        id per partition — the same as :meth:`build`."""
+        n, d = vectors.shape
+        if n == 0:
+            raise VectorIndexConstructionFailed("empty corpus")
+        if not self.config.quantize_int8:
+            # bf16-block mode is a small-corpus configuration; stream-build
+            # targets CAP scale where int8 blocks are the design point
+            self.build(np.asarray(vectors), seed=seed,
+                       reuse_centroids=reuse_centroids)
+            return
+        bf16_dt = np.dtype(jnp.bfloat16)
+
+        def _norm_slab(lo: int, hi: int) -> np.ndarray:
+            v = np.asarray(vectors[lo:hi], np.float32)
+            if not np.isfinite(v).all():
+                v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+            return v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+
+        if reuse_centroids is not None:
+            centroids = np.asarray(reuse_centroids, np.float32)
+            P = centroids.shape[0]
+        else:
+            P = self.config.num_partitions or _auto_partitions(n)
+            P = min(P, max(8, n))
+            sample_n = min(n, max(self.config.kmeans_sample, 64 * P))
+            rng = np.random.default_rng(seed)
+            take = np.sort(rng.choice(n, sample_n, replace=False))
+            sample = np.asarray(vectors[take], np.float32)
+            centroids = train_kmeans(
+                sample, P, iters=self.config.kmeans_iters,
+                sample=sample_n, seed=seed,
+            )
+            del sample
+
+        # pass 1: slab-wise assignment
+        assign = np.empty(n, np.int32)
+        for lo in range(0, n, slab_rows):
+            hi = min(lo + slab_rows, n)
+            assign[lo:hi] = np.asarray(
+                assign_clusters(_norm_slab(lo, hi), centroids)
+            )
+        counts = np.bincount(assign, minlength=P)
+        m = max(8, -(-int(counts.max()) // 8) * 8)
+
+        # pass 2: slab-wise quantise + partition fill (ascending row order
+        # per partition — parity with build())
+        part_rows = np.full((P, m), -1, np.int32)
+        part_int8 = np.zeros((P, m, d), np.int8)
+        part_scale = np.zeros((P, m), np.float32)
+        bf16 = np.zeros((n, d), bf16_dt)
+        cursor = np.zeros(P, np.int64)
+        for lo in range(0, n, slab_rows):
+            hi = min(lo + slab_rows, n)
+            v = _norm_slab(lo, hi)
+            bf16[lo:hi] = v.astype(bf16_dt)
+            a = assign[lo:hi]
+            order = np.argsort(a, kind="stable")
+            a_sorted = a[order]
+            c_slab = np.bincount(a, minlength=P).astype(np.int64)
+            offs = np.zeros(P + 1, np.int64)
+            np.cumsum(c_slab, out=offs[1:])
+            pos = (
+                np.arange(len(order)) - np.repeat(offs[:-1], c_slab)
+                + cursor[a_sorted]
+            ).astype(np.int64)
+            rows_sorted = (lo + order).astype(np.int32)
+            absmax = np.max(np.abs(v), axis=1)
+            scale = np.maximum(absmax, 1e-12) / 127.0
+            q8 = np.clip(
+                np.round(v / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            part_rows[a_sorted, pos] = rows_sorted
+            part_int8[a_sorted, pos] = q8[order]
+            part_scale[a_sorted, pos] = scale[order].astype(np.float32)
+            cursor += c_slab
+
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.part_rows = jnp.asarray(part_rows)
+        self.part_int8 = jnp.asarray(part_int8)
+        self.part_scale = jnp.asarray(part_scale)
+        self.corpus_bf16 = jnp.asarray(bf16)
+        self.num_vectors = n
+        self._search_fn = None
+        self._brute_fn = None
+
     # -- search -------------------------------------------------------------
 
     @property

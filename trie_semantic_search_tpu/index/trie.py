@@ -702,6 +702,9 @@ class TrieIndex:
         #: content. Inserts rehydrate the builders first; freeze() without
         #: any insert keeps the loaded frozen state (never wipes it).
         self._builders_stale = False
+        #: set by set_content_frozen: the content trie came from the spill
+        #: build and has no resident builder.
+        self._content_external = False
         #: sliding-window width for content phrase indexing
         self.content_window = self.config.content_window
         #: cap on windows per paragraph (bounds index size)
@@ -736,6 +739,12 @@ class TrieIndex:
         if not toks:
             return
         self._ensure_builders()
+        if self._content_external:
+            # spill-built content trie: rehydrate its builder before the
+            # first incremental insert (correct, but at scale prefer
+            # re-running the spill build)
+            self._content_builder.load_frozen(self._content)
+            self._content_external = False
         mode = getattr(self.config, "content_windowing", "all")
         if mode == "all":
             self._content_builder.insert_windows(
@@ -773,8 +782,19 @@ class TrieIndex:
         if self._builders_stale:
             return
         self._name = self._name_builder.freeze()
-        self._content = self._content_builder.freeze()
+        if not self._content_external:
+            self._content = self._content_builder.freeze()
         self._citation = self._citation_builder.freeze()
+
+    def set_content_frozen(self, frozen: FrozenTrie) -> None:
+        """Install an externally built content trie (the spill-build scale
+        path, :mod:`.spill`): ``freeze()`` keeps it instead of compiling
+        the (empty) in-RAM content builder. A later ``insert_content``
+        rehydrates the builder from it first — correctness preserved, but
+        at scale incremental content updates should re-run the spill
+        build."""
+        self._content = frozen
+        self._content_external = True
 
     @property
     def name_trie(self) -> FrozenTrie:

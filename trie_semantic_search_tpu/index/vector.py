@@ -252,7 +252,12 @@ class VectorIndex:
         path.mkdir(parents=True, exist_ok=True)
         if self.ann.num_vectors and hasattr(self.ann, "save"):
             self.ann.save(path / "ann.npz")
-        refs = np.asarray(self._refs or np.zeros((0, 2)), np.int32)
+        # _refs may be a list of tuples or (at scale) an [N, 2] np array
+        refs = (
+            np.asarray(self._refs, np.int32)
+            if len(self._refs)
+            else np.zeros((0, 2), np.int32)
+        )
         np.savez_compressed(
             path / "refs.npz",
             refs=refs,

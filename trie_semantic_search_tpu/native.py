@@ -95,6 +95,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.tss_tb_sizes.argtypes = [ctypes.c_void_p, _i64p]
         lib.tss_tb_freeze.argtypes = [ctypes.c_void_p] + [_i32p] * 6 + [_i32p, _i8p, _i32p]
+        lib.tss_csr_count.restype = ctypes.c_int64
+        lib.tss_csr_count.argtypes = [_i32p, ctypes.c_int64, ctypes.c_int64]
+        lib.tss_csr_fill.argtypes = (
+            [_i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int64,
+             ctypes.c_int64] + [_i32p] * 6 + [_i32p, _i8p, _i32p]
+        )
         _lib = lib
         _log.info("native library loaded: %s", _LIB_PATH)
         return _lib
@@ -235,3 +241,53 @@ class NativeTrieBuilder:
             self._lib.tss_tb_free(self._h)
         except Exception:
             pass
+
+
+def csr_from_sorted_windows(
+    windows: np.ndarray,  # [n, L] int32, lexicographically sorted, -1 pad
+    rows: np.ndarray,  # [n] int32
+    paras: np.ndarray,  # [n] int32
+) -> Optional[dict[str, np.ndarray]]:
+    """Build the frozen CSR trie arrays from a SORTED window matrix in one
+    native pass (round-3 scale path; bit-identical to the pooled builders'
+    freeze — the sorted order is the DFS pre-order). Returns None when the
+    native library is unavailable (callers fall back to the Python
+    equivalent in index.spill)."""
+    lib = _load()
+    if lib is None:
+        return None
+    W = np.ascontiguousarray(windows, np.int32)
+    r = np.ascontiguousarray(rows, np.int32)
+    p = np.ascontiguousarray(paras, np.int32)
+    n, L = W.shape
+    num_nodes = int(lib.tss_csr_count(_as_i32p(W), n, L))
+    n_edges = num_nodes - 1
+    arrays = {
+        "edge_offsets": np.zeros(num_nodes + 1, np.int32),
+        "edge_tokens": np.zeros(max(n_edges, 1), np.int32),
+        "edge_targets": np.zeros(max(n_edges, 1), np.int32),
+        "post_offsets": np.zeros(num_nodes + 1, np.int32),
+        "post_case": np.zeros(max(n, 1), np.int32),
+        "post_para": np.zeros(max(n, 1), np.int32),
+        "subtree_post_end": np.zeros(num_nodes, np.int32),
+        "is_end": np.zeros(num_nodes, np.uint8),
+        "frequency": np.zeros(num_nodes, np.int32),
+    }
+    lib.tss_csr_fill(
+        _as_i32p(W), _as_i32p(r), _as_i32p(p), n, L, num_nodes,
+        _as_i32p(arrays["edge_offsets"]),
+        _as_i32p(arrays["edge_tokens"]),
+        _as_i32p(arrays["edge_targets"]),
+        _as_i32p(arrays["post_offsets"]),
+        _as_i32p(arrays["post_case"]),
+        _as_i32p(arrays["post_para"]),
+        _as_i32p(arrays["subtree_post_end"]),
+        arrays["is_end"].ctypes.data_as(_i8p),
+        _as_i32p(arrays["frequency"]),
+    )
+    arrays["edge_tokens"] = arrays["edge_tokens"][:n_edges]
+    arrays["edge_targets"] = arrays["edge_targets"][:n_edges]
+    arrays["post_case"] = arrays["post_case"][:n]
+    arrays["post_para"] = arrays["post_para"][:n]
+    arrays["is_end"] = arrays["is_end"].astype(bool)
+    return arrays

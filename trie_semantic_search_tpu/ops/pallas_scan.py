@@ -33,8 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: corpus rows per tile (int8 tile of 2048×384 = 768 KB VMEM)
 TILE_N = 2048
-#: query rows per tile
-TILE_B = 128
+#: query rows per tile. 256 keeps the serving batch in ONE query tile, so
+#: the corpus streams ONCE per batch — measured on v5e at 8.4M×384:
+#: 9.03 ms/batch (2.30x HBM floor) vs 10.98 ms (2.79x) with two 128-row
+#: tiles (bench_results/capscale_r03: tb256 vs base_tb128). VMEM holds:
+#: the [256, 2048] int32 accumulator is 2 MB and per-slice work stays
+#: stride-lanes wide.
+TILE_B = 256
 
 
 def _scan_kernel(
