@@ -350,3 +350,26 @@ def test_pack_court_words():
     assert w[0, 0] == (1 | (1 << 31)) % 2**32
     assert w[0, 1] == (1 | (1 << 7))
     assert w[1, 0] == 1 << 5 and w[1, 1] == 0
+
+
+def test_pallas_gather_rescore_matches_xla():
+    """Scalar-prefetch gather rescore (interpret mode) == the XLA
+    take+einsum path."""
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.ops.pallas_scan import (
+        pallas_gather_rescore,
+    )
+    from trie_semantic_search_tpu.ops.scoring import gather_rescore
+
+    rng = np.random.default_rng(9)
+    N, D, B, C = 4096, 64, 4, 24
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    idx = rng.integers(0, N, (B, C)).astype(np.int32)
+    a = pallas_gather_rescore(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(idx),
+        interpret=True,
+    )
+    b = gather_rescore(jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

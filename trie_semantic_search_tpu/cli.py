@@ -291,6 +291,58 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval_retrieval(args: argparse.Namespace) -> int:
+    """Held-out retrieval-quality eval of the semantic encoder through the
+    full engine (models/quality.py): half-sentence + paraphrase probes →
+    MRR / recall@k of the source case, plus a random-init-encoder control
+    when requested. One JSON object to stdout."""
+    cfg = _load_config(args)
+    init_logging(cfg.logging)
+    storage, engine = _build_components(cfg)
+    from .models.quality import (
+        build_probes,
+        evaluate_embedder_direct,
+        evaluate_engine,
+    )
+
+    docs: list[tuple[int, list[str]]] = []
+    tp = engine._text_processor
+    for row, _meta, text in storage.iter_cases_rowid():
+        if len(docs) >= args.max_cases:
+            break
+        if text:
+            docs.append(
+                (row, tp.extract_sentences(tp.normalize_text(text)))
+            )
+    probes = build_probes(docs, max_probes=args.probes)
+    out = {
+        "probes": len(probes),
+        "trained": evaluate_engine(engine, engine.columns, probes),
+    }
+    if args.control:
+        # random-init control over the SAME probes + a bounded chunk
+        # sample: the trained encoder must clearly beat this for the
+        # semantic half to mean anything
+        from .models.embedder import Embedder
+
+        rnd = Embedder(
+            cfg.vector.model,
+            tokenizer=engine.vector_index.embedder.tokenizer,
+            model_config=engine.vector_index.embedder.model_config,
+            seed=1234,
+        )
+        texts, cases = [], []
+        for row, sents in docs[: args.max_cases]:
+            for s in sents[:8]:
+                texts.append(s)
+                cases.append(row)
+        out["random_control"] = evaluate_embedder_direct(
+            rnd, texts, cases, probes
+        )
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_completions(args: argparse.Namespace) -> int:
     cfg = _load_config(args)
     init_logging(cfg.logging)
@@ -430,6 +482,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("query")
     s.add_argument("--limit", type=int, default=10)
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser(
+        "eval-retrieval",
+        help="held-out retrieval-quality eval of the semantic encoder",
+    )
+    s.add_argument("--probes", type=int, default=256)
+    s.add_argument("--max-cases", type=int, default=2000)
+    s.add_argument("--control", action="store_true",
+                   help="also score a random-init encoder control")
+    s.set_defaults(fn=cmd_eval_retrieval)
 
     s = sub.add_parser("completions", help="trie prefix completions")
     s.add_argument("prefix")

@@ -243,11 +243,18 @@ def save_artifacts(built: BuiltIndexes, config: Config) -> None:
     built.trie.save_to_disk(config.trie.index_path)
     built.vector.save(config.vector.hnsw.index_path)
     built.columns.save(Path(config.trie.index_path) / "columns.npz")
-    emb = built.vector.embedder
-    enc_dir = Path(config.vector.hnsw.index_path)
-    emb.tokenizer.save(enc_dir / "tokenizer.json")
+    save_encoder(
+        built.vector.embedder, Path(config.vector.hnsw.index_path)
+    )
+
+
+def save_encoder(emb: Embedder, enc_dir: Path) -> None:
+    """Persist the encoder (tokenizer vocab + params) so future loads —
+    and SIGKILL-resumed streaming builds — embed with the SAME weights."""
     from ..models.checkpoint import save_checkpoint
 
+    enc_dir.mkdir(parents=True, exist_ok=True)
+    emb.tokenizer.save(enc_dir / "tokenizer.json")
     save_checkpoint(
         enc_dir / "encoder", 0, emb.params,
         metadata={

@@ -606,7 +606,17 @@ def partitioned_semantic_topk(
     # for int8 data)
     safe_rows = jnp.maximum(cand_rows, 0)
     if corpus_bf16 is not None:
-        re = gather_rescore(qn, corpus_bf16, safe_rows)
+        if use_probe_kernel:
+            # scalar-prefetch gather rescore: DMA exactly the B·C rows
+            # (XLA's take lowers to a full-corpus pass — ~124 ms at 8.4M
+            # rows, the round-2 latency-regime ceiling)
+            from .pallas_scan import pallas_gather_rescore
+
+            re = pallas_gather_rescore(
+                qn, corpus_bf16, safe_rows, interpret=probe_interpret
+            )
+        else:
+            re = gather_rescore(qn, corpus_bf16, safe_rows)
         # rescored values keep the int8-pass masks (filters/threshold/pads)
         # and re-check the similarity threshold at full precision (parity
         # with the staged path, which thresholds the rescored ANN output)

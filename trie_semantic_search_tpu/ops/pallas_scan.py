@@ -594,6 +594,68 @@ def pallas_probe_candidates(
     return out_v.reshape(B, NP * 2 * lanes), out_s.reshape(B, NP * 2 * lanes)
 
 
+def _gather_dot_kernel(
+    ids_ref,  # [B, C] int32 candidate rows (scalar prefetch, SMEM)
+    q_ref,  # [1, 1, D] — query b's row (block by grid index)
+    row_ref,  # [1, 1, D] — THE candidate corpus row (DMA'd by prefetched id)
+    out_ref,  # [1, 1, 1, 1] f32
+):
+    s = jnp.sum(
+        q_ref[0, 0].astype(jnp.float32) * row_ref[0, 0].astype(jnp.float32)
+    )
+    # array store, not scalar (Mosaic: "Cannot store scalars to VMEM")
+    out_ref[0, 0] = s.reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_gather_rescore(
+    queries: jax.Array,  # [B, D] f32 (L2-normalised)
+    corpus: jax.Array,  # [N, D] bf16/f32 full-precision corpus
+    candidate_idx: jax.Array,  # [B, C] int32 candidate rows (clipped >= 0)
+    interpret: bool = False,
+) -> jax.Array:
+    """ANN rescore stage as a scalar-prefetch gather: DMA exactly the
+    ``B·C`` candidate rows and dot them against their query — ``[B, C]``
+    f32 scores.
+
+    The XLA equivalent (``jnp.take`` + einsum, ops/scoring.gather_rescore)
+    lowers the dynamic row gather to a full-corpus pass on TPU — measured
+    ~124 ms at 8.4M×384 bf16 for ANY candidate count (the whole round-2
+    "latency-regime saturates at 6.4k QPS" ceiling was this constant;
+    probetune_r03.jsonl: every (P, m, nprobe) config ≈124 ms). Here the
+    pipeline reads ``B·C`` rows (~4 MB at B=32, C=160) instead of the
+    6.4 GB corpus.
+
+    Mosaic layout: singleton middle/trailing dims so every block's last
+    two dims EQUAL the array's ([N, 1, D] blocks (1, 1, D); [B, C, 1, 1]
+    outputs (1, 1, 1, 1)) — the (1, D) form fails the divisible-by-(8,
+    128)-or-equal rule."""
+    B, D = queries.shape
+    C = candidate_idx.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, c, ids: (b, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda b, c, ids: (ids[b, c], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, 1), lambda b, c, ids: (b, c, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        _gather_dot_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, 1, 1), jnp.float32),
+        interpret=interpret,
+    )(
+        candidate_idx.astype(jnp.int32),
+        queries.astype(jnp.float32).reshape(B, 1, D),
+        corpus.reshape(corpus.shape[0], 1, D),
+    )
+    return out.reshape(B, C)
+
+
 def partition_filter_columns(
     part_rows: jax.Array | "np.ndarray",  # [P, m] int32 (-1 pad)
     chunk_court: jax.Array | "np.ndarray",  # [N] int32

@@ -78,20 +78,29 @@ class FusedHybridSearch:
         self.columns = columns
         self.mesh = None
 
-        v = np.asarray(vector_index.vectors, np.float32)
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        self.num_vectors = len(v)
+        self.num_vectors = len(vector_index.vectors)
+
+        def _norm_corpus() -> np.ndarray:
+            # materialise + L2-normalise only where a path needs the raw
+            # corpus (brute / sharded); the partitioned mode serves from
+            # the ANN's frozen device blocks and must NOT pay an O(corpus)
+            # host copy at init (7.7 GB f32 at 5M chunks)
+            v = np.asarray(vector_index.vectors, np.float32)
+            return v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
 
         refs = np.asarray(vector_index.refs, np.int32)  # [N, 2]
         chunk_case = refs[:, 0]
         self.chunk_para = refs[:, 1]  # host-side: snippet anchoring
 
-        # representative chunk per case (first chunk in ref order; the boost
-        # only needs one slot per case — dedup keeps the max anyway)
+        # representative chunk per case: FIRST chunk in ref order (the
+        # boost only needs one slot per case — dedup keeps the max anyway)
         C = len(columns)
         rep = np.full(C, -1, np.int32)
-        for i in range(len(chunk_case) - 1, -1, -1):
-            rep[chunk_case[i]] = i
+        # reversed unique: last write per case wins → first chunk
+        rev = chunk_case[::-1]
+        rep[rev] = np.arange(len(chunk_case) - 1, -1, -1, dtype=np.int32)
         self._rep_np = rep
         self.trie_chunk_of_case = jnp.asarray(rep)
         self.num_courts = max(len(columns.court_vocab), 1)
@@ -99,7 +108,7 @@ class FusedHybridSearch:
         from ..parallel.mesh import DATA_AXIS
 
         if mesh is not None and int(mesh.shape.get(DATA_AXIS, 1)) > 1:
-            self._init_sharded(mesh, v, chunk_case, ann_mode)
+            self._init_sharded(mesh, _norm_corpus(), chunk_case, ann_mode)
             return
 
         ann = vector_index.ann
@@ -138,6 +147,7 @@ class FusedHybridSearch:
             self.ann = None
             from ..ops.pallas_scan import TILE_N
 
+            v = _norm_corpus()
             n = v.shape[0]
             npad = -(-n // TILE_N) * TILE_N
             if npad != n:
