@@ -191,3 +191,38 @@ def test_search_probe_kernel_matches_xla_path(monkeypatch):
         overlap = len(set(ix[b].tolist()) & set(ik[b].tolist())) / 10
         assert overlap >= 0.9, (b, ix[b], ik[b])
     np.testing.assert_allclose(vx[:, 0], vk[:, 0], atol=1e-2)
+
+
+def test_ann_segmented_rescore_store_matches_single(corpus, queries, tmp_path):
+    """With the rescore corpus forced into multiple segments (the CAP-scale
+    store under Mosaic's per-input addressing cap), search, brute search
+    and save/load all agree with the unsegmented index."""
+    from trie_semantic_search_tpu.ops import pallas_scan as psm
+
+    cfg = AnnConfig(num_partitions=16, kmeans_iters=4)
+    a = PartitionedANN(cfg)
+    a.build(corpus)
+    assert len(a.corpus_bf16) == 1
+    v1, i1 = a.search(queries, 10, nprobe=16)
+    bv1, bi1 = a.search_brute(queries, 10)
+
+    old = psm.GATHER_SEG_BYTES
+    try:
+        psm.GATHER_SEG_BYTES = corpus.shape[0] // 3 * corpus.shape[1] * 2
+        b = PartitionedANN(AnnConfig(num_partitions=16, kmeans_iters=4))
+        b.build(corpus)
+        assert len(b.corpus_bf16) > 1
+        v2, i2 = b.search(queries, 10, nprobe=16)
+        bv2, bi2 = b.search_brute(queries, 10)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, atol=1e-3)
+        np.testing.assert_array_equal(bi1, bi2)
+        np.testing.assert_allclose(bv1, bv2, atol=1e-3)
+        p = tmp_path / "seg_ann.npz"
+        b.save(p)
+        c = PartitionedANN.load(p, AnnConfig(num_partitions=16))
+        assert len(c.corpus_bf16) > 1  # re-segmented on load
+        v3, i3 = c.search(queries, 10, nprobe=16)
+        np.testing.assert_array_equal(i2, i3)
+    finally:
+        psm.GATHER_SEG_BYTES = old

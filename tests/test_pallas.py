@@ -373,3 +373,80 @@ def test_pallas_gather_rescore_matches_xla():
     )
     b = gather_rescore(jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_auto_tile_n_and_pad_align():
+    """Big corpora get the 8192-row tile; everything else keeps TILE_N.
+    pad_align_for targets always satisfy the chosen tile's divisibility."""
+    assert ps.auto_tile_n(ps.TILE_N * 4) == ps.TILE_N
+    assert ps.auto_tile_n(ps._BIG_N) == ps.TILE_N_BIG
+    assert ps.auto_tile_n(ps._BIG_N + ps.TILE_N) == ps.TILE_N  # not divisible
+    assert ps.auto_tile_n(8 * 1024 * 1024) == ps.TILE_N_BIG
+    for n in (100, ps.TILE_N, ps._BIG_N - 5, ps._BIG_N + 5):
+        align = ps.pad_align_for(n)
+        npad = -(-n // align) * align
+        assert npad % ps.auto_tile_n(npad) == 0
+        assert npad % ps.TILE_N == 0  # every existing gate still holds
+
+
+def test_fused_kernel_identical_across_tile_n():
+    """The lane family is row % lanes under ANY tile size, so the fused
+    scan's output is bit-identical across tile_n (the auto_tile_n switch
+    can never change results, only grid-step overhead)."""
+    B, D, N, V, K = 8, 64, 512, 16, 7
+    q8, qs, cq, cs, court, date, table, lo, hi, ms = make_filtered_data(
+        B, D, N, V, seed=11
+    )
+    outs = [
+        ps.pallas_fused_topk(
+            q8, qs, cq, cs, court, date, table, lo, hi, ms, k=K,
+            tile_b=8, tile_n=tn, lanes=32, interpret=True,
+        )
+        for tn in (64, 128, 256)
+    ]
+    for v, i in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(outs[0][0]))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(outs[0][1]))
+
+
+def test_gather_rescore_segmented_matches_single():
+    """Segmented rescore stores (Mosaic's ~4 GiB per-input cap) produce
+    identical scores through BOTH the Pallas gather kernel (interpret)
+    and the XLA fallback."""
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.ops.pallas_scan import (
+        pallas_gather_rescore,
+    )
+    from trie_semantic_search_tpu.ops.scoring import gather_rescore
+
+    rng = np.random.default_rng(13)
+    N, D, B, C = 1536, 64, 4, 24
+    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, (B, C)).astype(np.int32))
+    segs = tuple(jnp.asarray(corpus[lo : lo + 512]) for lo in (0, 512, 1024))
+    single = jnp.asarray(corpus)
+
+    a1 = pallas_gather_rescore(q, single, idx, interpret=True)
+    a2 = pallas_gather_rescore(q, segs, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    b1 = gather_rescore(q, single, idx)
+    b2 = gather_rescore(q, segs, idx)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-4)
+
+
+def test_split_rescore_corpus():
+    from trie_semantic_search_tpu.ops import pallas_scan as psm
+
+    v = np.zeros((100, 8), np.float32)  # 3.2 KB — fits in one segment
+    assert len(psm.split_rescore_corpus(v)) == 1
+    old = psm.GATHER_SEG_BYTES
+    try:
+        psm.GATHER_SEG_BYTES = 8 * 4 * 16  # 16 rows per segment
+        segs = psm.split_rescore_corpus(v)
+        assert [s.shape[0] for s in segs] == [16] * 6 + [4]
+        np.testing.assert_array_equal(np.concatenate(segs), v)
+    finally:
+        psm.GATHER_SEG_BYTES = old

@@ -48,6 +48,28 @@ from ..ops.topk import exact_topk
 from .kmeans import assign_clusters, train_kmeans
 
 
+def _rescore_store(v: "np.ndarray") -> tuple[jnp.ndarray, ...]:
+    """Device bf16 rescore corpus as a tuple of row segments, each under
+    the Mosaic gather-kernel's ~4 GiB per-input addressing cap (see
+    ops.pallas_scan.split_rescore_corpus). Always a tuple — consumers
+    (the probe/rescore programs) treat the store uniformly."""
+    from ..ops.pallas_scan import split_rescore_corpus
+
+    bf = v if v.dtype == np.dtype(jnp.bfloat16) else None
+    if bf is None:
+        # split BEFORE converting: one segment of f32→bf16 host copy at
+        # a time, never a second whole-corpus array
+        return split_rescore_corpus(
+            np.asarray(v, np.float32),
+            to_device=lambda seg: jnp.asarray(seg, jnp.bfloat16),
+        )
+    return split_rescore_corpus(bf, to_device=jnp.asarray)
+
+
+def _rescore_rows(store) -> int:
+    return sum(int(s.shape[0]) for s in store)
+
+
 def _aligned_capacity(fill_max: int, quantize: bool) -> int:
     """Partition slot capacity: 128-lane aligned (the probe kernel's block
     requirement) whenever the extra padding is ≤15%% over the tight 8-row
@@ -86,7 +108,9 @@ class PartitionedANN:
         self.part_rows: Optional[jnp.ndarray] = None  # [P, m] int32, -1 pad
         self.part_int8: Optional[jnp.ndarray] = None  # [P, m, D] int8
         self.part_scale: Optional[jnp.ndarray] = None  # [P, m] f32
-        self.corpus_bf16: Optional[jnp.ndarray] = None  # [N, D] bf16 (rescore)
+        #: bf16 rescore corpus as a tuple of row segments, each under the
+        #: Mosaic gather kernel's per-input addressing cap (_rescore_store)
+        self.corpus_bf16: Optional[tuple[jnp.ndarray, ...]] = None
         self.num_vectors = 0
         self._search_fn = None
         self._brute_fn = None
@@ -167,7 +191,7 @@ class PartitionedANN:
             jnp.int8 if self.config.quantize_int8 else jnp.bfloat16,
         )
         self.part_scale = jnp.asarray(part_scale)
-        self.corpus_bf16 = jnp.asarray(v, jnp.bfloat16)
+        self.corpus_bf16 = _rescore_store(v)
         self.num_vectors = n
         self._search_fn = None
         self._brute_fn = None
@@ -270,7 +294,7 @@ class PartitionedANN:
         self.part_rows = jnp.asarray(part_rows)
         self.part_int8 = jnp.asarray(part_int8)
         self.part_scale = jnp.asarray(part_scale)
-        self.corpus_bf16 = jnp.asarray(bf16)
+        self.corpus_bf16 = _rescore_store(bf16)
         self.num_vectors = n
         self._search_fn = None
         self._brute_fn = None
@@ -427,15 +451,38 @@ class PartitionedANN:
         if self._brute_fn is None or self._brute_fn[0] != kk:
 
             # corpus as an explicit argument (not a captured HLO constant —
-            # see _make_search_fn)
+            # see _make_search_fn); the segmented store scans segment-wise
+            # with a running top-k merge (scores never materialise [B, N])
             @jax.jit
-            def _brute(q, corpus_bf16) -> tuple[jax.Array, jax.Array]:
+            def _brute(q, segs) -> tuple[jax.Array, jax.Array]:
+                from ..ops.topk import merge_topk
+
                 qn = l2_normalize(q.astype(jnp.float32))
-                scores = jnp.einsum(
-                    "bd,nd->bn", qn.astype(jnp.bfloat16), corpus_bf16,
-                    preferred_element_type=jnp.float32,
-                )
-                return exact_topk(scores, kk)
+                best_v = best_i = None
+                base = 0
+                for seg in segs:
+                    scores = jnp.einsum(
+                        "bd,nd->bn", qn.astype(jnp.bfloat16), seg,
+                        preferred_element_type=jnp.float32,
+                    )
+                    v, i = exact_topk(scores, min(kk, seg.shape[0]))
+                    i = i.astype(jnp.int32) + base
+                    if v.shape[1] < kk:  # short tail segment: pad to width
+                        pad = kk - v.shape[1]
+                        v = jnp.pad(
+                            v, ((0, 0), (0, pad)), constant_values=-jnp.inf
+                        )
+                        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+                    if best_v is None:
+                        best_v, best_i = v, i
+                    else:
+                        best_v, best_i = merge_topk(
+                            jnp.stack([best_v, v], axis=1),
+                            jnp.stack([best_i, i], axis=1),
+                            kk,
+                        )
+                    base += seg.shape[0]
+                return best_v, best_i
 
             self._brute_fn = (kk, _brute)
         v, i = self._brute_fn[1](jnp.asarray(queries), self.corpus_bf16)
@@ -494,7 +541,7 @@ class PartitionedANN:
         if self.centroids is None:
             return AnnStats()
         int8_b = int(self.part_int8.nbytes) + 4 * int(self.part_scale.size)
-        res_b = 2 * int(self.corpus_bf16.size)
+        res_b = 2 * sum(int(s.size) for s in self.corpus_bf16)
         total = int8_b + res_b + 4 * int(self.part_rows.size) + 4 * int(
             self.centroids.size
         )
@@ -524,9 +571,10 @@ class PartitionedANN:
             part_rows=np.asarray(self.part_rows),
             part_int8=blocks,
             part_scale=np.asarray(self.part_scale),
-            corpus_f16=np.asarray(self.corpus_bf16.astype(jnp.float32)).astype(
-                np.float16
-            ),
+            corpus_f16=np.concatenate([
+                np.asarray(s.astype(jnp.float32)).astype(np.float16)
+                for s in self.corpus_bf16
+            ]),
             meta=np.array(json.dumps({
                 "num_vectors": self.num_vectors,
                 "int8_blocks": bool(int8_blocks),
@@ -546,7 +594,9 @@ class PartitionedANN:
                     jnp.int8 if meta.get("int8_blocks", True) else jnp.bfloat16,
                 )
                 idx.part_scale = jnp.asarray(z["part_scale"])
-                idx.corpus_bf16 = jnp.asarray(z["corpus_f16"], jnp.bfloat16)
+                idx.corpus_bf16 = _rescore_store(
+                    np.asarray(z["corpus_f16"], np.float32)
+                )
                 idx.num_vectors = int(meta["num_vectors"])
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             raise IndexCorrupted(index_type="ann", details=str(e)) from e

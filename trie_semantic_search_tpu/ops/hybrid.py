@@ -402,7 +402,7 @@ def fused_partitioned_topk(
     part_rows: jax.Array,  # [P, m] int32 chunk row per slot (-1 pad)
     part_int8: jax.Array,  # [P, m, D] int8 partitioned chunk embeddings
     part_scale: jax.Array,  # [P, m] f32 per-row scales (0 on pads)
-    corpus_bf16: Optional[jax.Array],  # [N, D] bf16 rescore copy (None: skip rescore)
+    corpus_bf16,  # [N, D] bf16 rescore copy or tuple of row segments (None: skip)
     chunk_case: jax.Array,  # [N] int32
     chunk_court: jax.Array,  # [N] int32
     chunk_date: jax.Array,  # [N] int32
@@ -485,7 +485,7 @@ def partitioned_semantic_topk(
     part_rows: jax.Array,  # [P, m] int32 chunk row per slot (-1 pad)
     part_int8: jax.Array,  # [P, m, D] int8
     part_scale: jax.Array,  # [P, m] f32 (0 on pads)
-    corpus_bf16: Optional[jax.Array],  # [N, D] bf16 rescore copy (None: skip)
+    corpus_bf16,  # [N, D] bf16 rescore copy or tuple of row segments (None: skip)
     chunk_court: Optional[jax.Array],  # [N] int32 (only to derive part cols)
     chunk_date: Optional[jax.Array],  # [N] int32
     court_table: jax.Array,  # [B, V] bool

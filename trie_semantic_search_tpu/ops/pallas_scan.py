@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -33,6 +35,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: corpus rows per tile (int8 tile of 2048×384 = 768 KB VMEM)
 TILE_N = 2048
+#: corpus rows per tile at CAP scale (int8 tile of 8192×384 = 3 MB VMEM).
+#: Fewer grid steps amortise the per-tile filter-column loads: measured on
+#: v5e at 8.4M×384, 8.42 ms/256-query batch (2.14x HBM floor) vs 9.03 ms
+#: (2.30x) at TILE_N (bench_results/scantune_r03: tb256_tn8192 vs tb256).
+TILE_N_BIG = 8192
+#: corpus size above which the big tile pays for itself
+_BIG_N = 1 << 22  # 4.2M rows
+
+
+def auto_tile_n(n: int) -> int:
+    """Serving tile size for an ``n``-row corpus: ``TILE_N_BIG`` when the
+    corpus is big enough to amortise the larger tile AND divisible by it
+    (the engine pads with :func:`pad_align_for`), else ``TILE_N``. The
+    lane family of a row is ``row % lanes`` under EITHER tile size (the
+    lane-major column layout fixes it globally), so results are
+    bit-identical across tile sizes — only grid-step overhead changes."""
+    if n >= _BIG_N and n % TILE_N_BIG == 0:
+        return TILE_N_BIG
+    return TILE_N
+
+
+def pad_align_for(n: int) -> int:
+    """Row alignment the engine should pad an ``n``-row corpus to so the
+    fused scan gets its preferred tile (multiples of TILE_N_BIG are also
+    TILE_N multiples, so every existing divisibility gate still holds)."""
+    return TILE_N_BIG if n >= _BIG_N else TILE_N
 #: query rows per tile. 256 keeps the serving batch in ONE query tile, so
 #: the corpus streams ONCE per batch — measured on v5e at 8.4M×384:
 #: 9.03 ms/batch (2.30x HBM floor) vs 10.98 ms (2.79x) with two 128-row
@@ -116,10 +144,12 @@ def pallas_int8_topk(
     corpus_scale: jax.Array,  # [N, 1] f32
     k: int = 10,
     tile_b: int = TILE_B,
-    tile_n: int = TILE_N,
+    tile_n: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array]:
     B, D = q8.shape
     N = corpus_q.shape[0]
+    if tile_n is None:
+        tile_n = auto_tile_n(N)
     if B % tile_b != 0:
         tile_b = B  # small batches: single query tile
     if N % tile_n != 0:
@@ -302,7 +332,7 @@ def pallas_fused_topk(
     min_sim: jax.Array,  # [B] f32
     k: int,
     tile_b: int = TILE_B,
-    tile_n: int = TILE_N,
+    tile_n: Optional[int] = None,
     lanes: int = 128,
     interpret: bool = False,
     use_court: bool = True,
@@ -327,6 +357,8 @@ def pallas_fused_topk(
     """
     B, D = q8.shape
     N = corpus_q.shape[0]
+    if tile_n is None:
+        tile_n = auto_tile_n(N)
     if B % tile_b != 0:
         tile_b = B  # small batches: single query tile
     if N % tile_n != 0 or tile_n % lanes != 0:
@@ -629,7 +661,37 @@ def pallas_gather_rescore(
     Mosaic layout: singleton middle/trailing dims so every block's last
     two dims EQUAL the array's ([N, 1, D] blocks (1, 1, D); [B, C, 1, 1]
     outputs (1, 1, 1, 1)) — the (1, D) form fails the divisible-by-(8,
-    128)-or-equal rule."""
+    128)-or-equal rule.
+
+    ``corpus`` may be a tuple of row segments (see
+    :func:`split_rescore_corpus`): Mosaic's block-offset addressing caps
+    a single input at ~4 GiB (measured: a 3.2 GB corpus compiles, 6.4 GB
+    crashes the compiler), so CAP-scale rescore corpora store split. Each
+    segment call re-DMAs the full B·C candidate set (~4 MB) and the
+    results merge by segment membership — still nowhere near the
+    full-corpus pass this kernel replaces."""
+    segs = corpus if isinstance(corpus, (tuple, list)) else (corpus,)
+    idx = candidate_idx.astype(jnp.int32)
+    out = None
+    base = 0
+    for seg in segs:
+        n = seg.shape[0]
+        local = idx - base
+        safe = jnp.clip(local, 0, n - 1)
+        re = _gather_one(queries, seg, safe, interpret)
+        if out is None:
+            out = re
+        else:
+            inseg = (local >= 0) & (local < n)
+            out = jnp.where(inseg, re, out)
+        base += n
+    return out
+
+
+def _gather_one(
+    queries: jax.Array, corpus: jax.Array, candidate_idx: jax.Array,
+    interpret: bool,
+) -> jax.Array:
     B, D = queries.shape
     C = candidate_idx.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -649,11 +711,36 @@ def pallas_gather_rescore(
         out_shape=jax.ShapeDtypeStruct((B, C, 1, 1), jnp.float32),
         interpret=interpret,
     )(
-        candidate_idx.astype(jnp.int32),
+        candidate_idx,
         queries.astype(jnp.float32).reshape(B, 1, D),
         corpus.reshape(corpus.shape[0], 1, D),
     )
     return out.reshape(B, C)
+
+
+#: Mosaic addresses block offsets within one input at most ~4 GiB deep
+#: (measured on v5e: 3.2 GB rescore corpus compiles, 6.4 GB crashes the
+#: remote compiler). 2 GiB segments sit comfortably inside the proven
+#: region for any D.
+GATHER_SEG_BYTES = 1 << 31
+
+
+def split_rescore_corpus(v, to_device=None) -> tuple:
+    """Split an ``[N, D]`` rescore corpus (numpy or jax) into row segments
+    each under :data:`GATHER_SEG_BYTES`, as a tuple. Returns a 1-tuple
+    when it already fits. ``to_device`` (optional callable) maps each
+    numpy segment onto the device — splitting BEFORE the transfer keeps
+    host copies at one segment."""
+    n, d = v.shape
+    itemsize = int(np.dtype(v.dtype).itemsize)
+    rows = max(8, (GATHER_SEG_BYTES // max(d * itemsize, 1)) // 8 * 8)
+    if to_device is None:
+        to_device = lambda x: x  # noqa: E731
+    if n <= rows:
+        return (to_device(v),)
+    return tuple(
+        to_device(v[lo : min(lo + rows, n)]) for lo in range(0, n, rows)
+    )
 
 
 def partition_filter_columns(

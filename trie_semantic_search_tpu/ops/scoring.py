@@ -101,9 +101,30 @@ def gather_rescore(
     """Re-score candidate rows in full precision (ANN rescoring stage).
 
     Gather keeps ``[B, C, D]`` in VMEM-sized tiles; returns ``[B, C]``.
+    ``corpus_f32`` may be a tuple of row segments (the CAP-scale store —
+    see ops.pallas_scan.split_rescore_corpus); results merge by segment
+    membership.
     """
-    cand = jnp.take(corpus_f32, candidate_idx, axis=0)  # [B, C, D]
-    return jnp.einsum(
-        "bd,bcd->bc", queries.astype(cand.dtype), cand,
-        preferred_element_type=jnp.float32,
+    segs = (
+        corpus_f32
+        if isinstance(corpus_f32, (tuple, list))
+        else (corpus_f32,)
     )
+    out = None
+    base = 0
+    for seg in segs:
+        n = seg.shape[0]
+        local = candidate_idx - base
+        safe = jnp.clip(local, 0, n - 1)
+        cand = jnp.take(seg, safe, axis=0)  # [B, C, D]
+        re = jnp.einsum(
+            "bd,bcd->bc", queries.astype(cand.dtype), cand,
+            preferred_element_type=jnp.float32,
+        )
+        if out is None:
+            out = re
+        else:
+            inseg = (local >= 0) & (local < n)
+            out = jnp.where(inseg, re, out)
+        base += n
+    return out

@@ -145,11 +145,15 @@ class FusedHybridSearch:
             # carry zero scale (score exactly 0) and case -1, and the
             # engine drops case_row < 0 results (VERDICT r2 item 5).
             self.ann = None
-            from ..ops.pallas_scan import TILE_N
+            from ..ops.pallas_scan import pad_align_for
 
             v = _norm_corpus()
             n = v.shape[0]
-            npad = -(-n // TILE_N) * TILE_N
+            # align to the fused scan's preferred tile (TILE_N_BIG above
+            # ~4M rows — the big tile is 7% faster at CAP scale and a
+            # TILE_N_BIG multiple satisfies every TILE_N divisibility gate)
+            align = pad_align_for(n)
+            npad = -(-n // align) * align
             if npad != n:
                 v = np.concatenate(
                     [v, np.zeros((npad - n, v.shape[1]), v.dtype)]
