@@ -1,7 +1,8 @@
 """Round-3 probe-path validation AFTER the gather-rescore fix.
 
 Measures the full fused partitioned program (probe kernel + Pallas
-scalar-prefetch rescore) at the re-tuned (P, m) shapes, with recall@10
+scalar-prefetch rescore over the SEGMENTED bf16 store — Mosaic caps one
+kernel input at ~4 GiB) at the re-tuned (P, m) shapes, with recall@10
 against the exact bf16 oracle computed on the SAME query sets. One JSON
 line per config:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/r3_probe_tune2.py
@@ -32,37 +33,58 @@ N = C * mc
 K = 10
 TRIALS = 3
 R_LO, R_HI = 2, 6
-HBM_GBS = 819e9
+SEGS = 4  # bf16 rescore store: 4 × 1.6 GB segments (cap is ~4 GiB)
 
 print(f"device: {jax.devices()[0]}", file=sys.stderr)
 SLAB = 128
 
 
+def _slab_vectors(key):
+    """One slab's centroid + normalised vectors (shared by both passes)."""
+    kc, kn = jax.random.split(key)
+    cent = jax.random.normal(kc, (SLAB, D), jnp.float32)
+    cent /= jnp.linalg.norm(cent, axis=-1, keepdims=True)
+    noise = jax.random.normal(kn, (SLAB, mc, D), jnp.float32)
+    v = cent[:, None, :] + 0.35 * noise / np.sqrt(D)
+    v /= jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return cent, v
+
+
 @jax.jit
-def gen(keys):
+def gen_int8(keys):
     def one(key):
-        kc, kn = jax.random.split(key)
-        cent = jax.random.normal(kc, (SLAB, D), jnp.float32)
-        cent /= jnp.linalg.norm(cent, axis=-1, keepdims=True)
-        noise = jax.random.normal(kn, (SLAB, mc, D), jnp.float32)
-        v = cent[:, None, :] + 0.35 * noise / np.sqrt(D)
-        v /= jnp.linalg.norm(v, axis=-1, keepdims=True)
+        cent, v = _slab_vectors(key)
         scale = jnp.max(jnp.abs(v), axis=-1) / 127.0
         q = jnp.clip(jnp.round(v / scale[..., None]), -127, 127)
-        return cent, q.astype(jnp.int8), scale, v.astype(jnp.bfloat16)
+        return cent, q.astype(jnp.int8), scale
+
+    return jax.lax.map(one, keys)
+
+
+@jax.jit
+def gen_bf16(keys):
+    def one(key):
+        _, v = _slab_vectors(key)
+        return v.astype(jnp.bfloat16)
 
     return jax.lax.map(one, keys)
 
 
 keys = jax.random.split(jax.random.PRNGKey(0), C // SLAB)
-cents, blocks, scales, vbf = jax.block_until_ready(gen(keys))
+cents, blocks, scales = jax.block_until_ready(gen_int8(keys))
 ccent = cents.reshape(C, D)
-corpus_bf16 = vbf.reshape(N, D)
-del vbf
+kps = len(keys) // SEGS
+corpus_segs = tuple(
+    jax.block_until_ready(
+        gen_bf16(keys[i * kps : (i + 1) * kps]).reshape(-1, D)
+    )
+    for i in range(SEGS)
+)
+SEG_ROWS = N // SEGS
 chunk_case = jnp.arange(N, dtype=jnp.int32)
 chunk_court = (chunk_case % 16).astype(jnp.int32)
 chunk_date = (chunk_case % 20000).astype(jnp.int32)
-print("corpus generated", file=sys.stderr)
+print("corpus generated (segmented bf16 store)", file=sys.stderr)
 
 
 def make_q(key, r, b):
@@ -74,33 +96,37 @@ def make_q(key, r, b):
     return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
 
 
-NSLAB = 64
+NSLAB = 16  # per segment
 
 
 @jax.jit
-def oracle(qs, corpus):
+def oracle_seg(qs, seg, base, carry_v, carry_i):
     def body(carry, slab):
         bv, bi = carry
-        s, base = slab
+        s, sbase = slab
         sc = jnp.einsum(
             "bd,nd->bn", qs.astype(jnp.bfloat16), s,
             preferred_element_type=jnp.float32,
         )
         v, i = jax.lax.top_k(sc, K)
         mv = jnp.concatenate([bv, v], axis=1)
-        mi = jnp.concatenate([bi, i + base], axis=1)
+        mi = jnp.concatenate([bi, i + sbase], axis=1)
         v2, pos = jax.lax.top_k(mv, K)
         return (v2, jnp.take_along_axis(mi, pos, axis=1)), None
 
-    init = (
-        jnp.full((qs.shape[0], K), -jnp.inf, jnp.float32),
-        jnp.full((qs.shape[0], K), -1, jnp.int32),
-    )
     slabs = (
-        corpus.reshape(NSLAB, N // NSLAB, D),
-        (jnp.arange(NSLAB, dtype=jnp.int32) * (N // NSLAB)),
+        seg.reshape(NSLAB, SEG_ROWS // NSLAB, D),
+        base + jnp.arange(NSLAB, dtype=jnp.int32) * (SEG_ROWS // NSLAB),
     )
-    (v, i), _ = jax.lax.scan(body, init, slabs)
+    (v, i), _ = jax.lax.scan(body, (carry_v, carry_i), slabs)
+    return v, i
+
+
+def oracle(qs):
+    v = jnp.full((qs.shape[0], K), -jnp.inf, jnp.float32)
+    i = jnp.full((qs.shape[0], K), -1, jnp.int32)
+    for s, seg in enumerate(corpus_segs):
+        v, i = oracle_seg(qs, seg, jnp.int32(s * SEG_ROWS), v, i)
     return v, i
 
 
@@ -156,7 +182,7 @@ def run_config(name, group, nprobe, B, rescore=True):
 
     def run(rv, t):
         return loop(qpools[rv][t], cent, prows, pint8, pscale,
-                    corpus_bf16, pw, pb, pd, chunk_case, chunk_court,
+                    corpus_segs, pw, pb, pd, chunk_case, chunk_court,
                     chunk_date, K, nprobe, rescore, ct, dlo, dhi, tr, ts,
                     msim, ew)
 
@@ -172,7 +198,7 @@ def run_config(name, group, nprobe, B, rescore=True):
     # recall on the R_HI trial-0 query set, oracle on the SAME flat slice
     _, idxs = run(R_HI, 0)
     got = np.asarray(idxs).reshape(R_HI * B, -1)[:, :K]
-    _, oi = oracle(qpools[R_HI][0].reshape(R_HI * B, D), corpus_bf16)
+    _, oi = oracle(qpools[R_HI][0].reshape(R_HI * B, D))
     osets = np.asarray(oi)
     rec = float(np.mean([
         len(set(got[i].tolist()) & set(osets[i].tolist())) / K
