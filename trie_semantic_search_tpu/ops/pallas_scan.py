@@ -626,17 +626,84 @@ def pallas_probe_candidates(
     return out_v.reshape(B, NP * 2 * lanes), out_s.reshape(B, NP * 2 * lanes)
 
 
-def _gather_dot_kernel(
-    ids_ref,  # [B, C] int32 candidate rows (scalar prefetch, SMEM)
-    q_ref,  # [1, 1, D] — query b's row (block by grid index)
-    row_ref,  # [1, 1, D] — THE candidate corpus row (DMA'd by prefetched id)
-    out_ref,  # [1, 1, 1, 1] f32
+def _gather_row_align(dt) -> int:
+    """Sublane tiling of an ``[N, D]`` HBM array for ``dt``: the minimum
+    row count/alignment Mosaic accepts for a dim-0 DMA slice (f32 8,
+    bf16 16, int8 32)."""
+    return 8 * (4 // max(np.dtype(dt).itemsize, 1)) or 8
+
+
+def _make_gather_gang_kernel(
+    seg_rows: tuple[int, ...], C: int, D: int, A: int
 ):
-    s = jnp.sum(
-        q_ref[0, 0].astype(jnp.float32) * row_ref[0, 0].astype(jnp.float32)
-    )
-    # array store, not scalar (Mosaic: "Cannot store scalars to VMEM")
-    out_ref[0, 0] = s.reshape(1, 1)
+    """Kernel factory: one grid step per QUERY. The step issues all ``C``
+    candidate-group DMAs back-to-back on ONE semaphore (maximum overlap —
+    the previous design ran one row per grid step, paying ~µs of grid +
+    wait latency per row, ×S segments: a flat ~40 ms/batch at B=32 on
+    v5e), drains them, then scores every gathered row in a single bf16
+    MXU dot.
+
+    Each DMA moves an ``[A, D]`` tile-ALIGNED row group (A = sublane
+    tiling: 16 for bf16): Mosaic rejects unaligned dim-0 slices of a
+    tiled HBM array ("slice shape must be aligned to tiling"), and the
+    aligned group is the physical HBM layout unit anyway — a single
+    logical row is interleaved across its (A, 128) tiles, so gathering
+    the whole group is the same memory traffic. ``ids_ref`` holds the
+    GROUP-start row of each candidate (wrapper-computed, clamped inside
+    its segment); the wrapper selects the candidate's row from the
+    group's scores afterwards."""
+    S = len(seg_rows)
+
+    def kernel(ids_ref, q_ref, *rest):
+        seg_refs = rest[:S]
+        out_ref = rest[S]
+        scratch = rest[S + 1]  # VMEM [C*A, D], segment dtype
+        sem = rest[S + 2]  # ONE DMA semaphore for all C copies
+        b = pl.program_id(0)
+
+        def issue(c, carry):
+            gstart = ids_ref[b, c]
+            base = 0
+            for s in range(S):
+                local = gstart - base
+
+                @pl.when((local >= 0) & (local < seg_rows[s]))
+                def _start(s=s, local=local, c=c):
+                    # wrapper guarantees group starts are A-aligned;
+                    # multiple_of carries the proof Mosaic needs for a
+                    # dynamic dim-0 offset into a tiled HBM memref
+                    pltpu.make_async_copy(
+                        seg_refs[s].at[pl.ds(pl.multiple_of(local, A), A), :],
+                        scratch.at[pl.ds(c * A, A), :],
+                        sem,
+                    ).start()
+
+                base += seg_rows[s]
+            return carry
+
+        jax.lax.fori_loop(0, C, issue, 0)
+
+        def drain(c, carry):
+            # every copy is one [A, D] group — identical byte count, so
+            # any segment's descriptor drains any copy on the shared sem
+            pltpu.make_async_copy(
+                seg_refs[0].at[pl.ds(0, A), :],
+                scratch.at[pl.ds(c * A, A), :],
+                sem,
+            ).wait()
+            return carry
+
+        jax.lax.fori_loop(0, C, drain, 0)
+
+        q = q_ref[...].reshape(1, D).astype(scratch.dtype)
+        scores = jax.lax.dot_general(
+            q, scratch[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, C*A]
+        out_ref[...] = scores.reshape(1, 1, C * A)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -646,76 +713,94 @@ def pallas_gather_rescore(
     candidate_idx: jax.Array,  # [B, C] int32 candidate rows (clipped >= 0)
     interpret: bool = False,
 ) -> jax.Array:
-    """ANN rescore stage as a scalar-prefetch gather: DMA exactly the
-    ``B·C`` candidate rows and dot them against their query — ``[B, C]``
-    f32 scores.
+    """ANN rescore stage as a ganged scalar-prefetch gather: DMA exactly
+    the ``B·C`` candidate rows (all ``C`` of a query's rows in flight at
+    once) and score them in one bf16 MXU dot per query — ``[B, C]`` f32.
 
     The XLA equivalent (``jnp.take`` + einsum, ops/scoring.gather_rescore)
     lowers the dynamic row gather to a full-corpus pass on TPU — measured
     ~124 ms at 8.4M×384 bf16 for ANY candidate count (the whole round-2
     "latency-regime saturates at 6.4k QPS" ceiling was this constant;
     probetune_r03.jsonl: every (P, m, nprobe) config ≈124 ms). Here the
-    pipeline reads ``B·C`` rows (~4 MB at B=32, C=160) instead of the
+    pipeline reads ``B·C`` rows (~2 MB at B=32, C=40) instead of the
     6.4 GB corpus.
 
-    Mosaic layout: singleton middle/trailing dims so every block's last
-    two dims EQUAL the array's ([N, 1, D] blocks (1, 1, D); [B, C, 1, 1]
-    outputs (1, 1, 1, 1)) — the (1, D) form fails the divisible-by-(8,
-    128)-or-equal rule.
-
     ``corpus`` may be a tuple of row segments (see
-    :func:`split_rescore_corpus`): Mosaic's block-offset addressing caps
-    a single input at ~4 GiB (measured: a 3.2 GB corpus compiles, 6.4 GB
-    crashes the compiler), so CAP-scale rescore corpora store split. Each
-    segment call re-DMAs the full B·C candidate set (~4 MB) and the
-    results merge by segment membership — still nowhere near the
-    full-corpus pass this kernel replaces."""
-    segs = corpus if isinstance(corpus, (tuple, list)) else (corpus,)
-    idx = candidate_idx.astype(jnp.int32)
-    out = None
-    base = 0
-    for seg in segs:
-        n = seg.shape[0]
-        local = idx - base
-        safe = jnp.clip(local, 0, n - 1)
-        re = _gather_one(queries, seg, safe, interpret)
-        if out is None:
-            out = re
-        else:
-            inseg = (local >= 0) & (local < n)
-            out = jnp.where(inseg, re, out)
-        base += n
-    return out
+    :func:`split_rescore_corpus`): Mosaic block-offset addressing caps a
+    single input at ~4 GiB (measured: 3.2 GB compiles, 6.4 GB crashes the
+    remote compiler), so CAP-scale stores split. Segments stay in HBM
+    (``memory_space=ANY``); the kernel picks each group's segment with a
+    predicated DMA — exactly one fires per candidate, so the shared
+    semaphore sees exactly ``C`` group-sized signals per query.
 
+    The DMA unit is an ``[A, D]`` tile-aligned row group (A = sublane
+    tiling, 16 for bf16 — both a Mosaic alignment requirement and the
+    physical HBM layout unit); the wrapper computes each candidate's
+    group start (clamped inside its segment, so ragged final segments
+    need no padding) and picks the candidate's own score out of the
+    group afterwards.
 
-def _gather_one(
-    queries: jax.Array, corpus: jax.Array, candidate_idx: jax.Array,
-    interpret: bool,
-) -> jax.Array:
+    Matches the XLA path's numerics exactly: query cast to the corpus
+    dtype, f32 MXU accumulation."""
+    segs = tuple(corpus) if isinstance(corpus, (tuple, list)) else (corpus,)
     B, D = queries.shape
     C = candidate_idx.shape[1]
+    seg_rows = tuple(int(s.shape[0]) for s in segs)
+    total = sum(seg_rows)
+    dt = segs[0].dtype
+    A = _gather_row_align(dt)
+    if min(seg_rows) < A:
+        # a segment smaller than one tile group can't be group-gathered;
+        # only reachable for toy corpora — the XLA path is exact there
+        from .scoring import gather_rescore as _xla_gather
+
+        return _xla_gather(queries, segs, candidate_idx)
+    # clamp into [0, total): guarantees exactly one predicated DMA fires
+    # per candidate (an out-of-range id would leave the semaphore short
+    # and hang the drain loop)
+    idx = jnp.clip(candidate_idx.astype(jnp.int32), 0, total - 1)
+    # per-candidate aligned group start + in-group offset, segment-aware:
+    # the group is clamped to end inside its segment, so `off` ∈ [0, A)
+    gstart = jnp.zeros_like(idx)
+    off = jnp.zeros_like(idx)
+    base = 0
+    for s, n in enumerate(seg_rows):
+        local = idx - base
+        blk = jnp.clip((local // A) * A, 0, n - A)
+        inseg = (local >= 0) & (local < n)
+        gstart = jnp.where(inseg, base + blk, gstart)
+        off = jnp.where(inseg, local - blk, off)
+        base += n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, C),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, D), lambda b, c, ids: (b, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda b, c, ids: (ids[b, c], 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda b, ids: (b, 0, 0)),
+            *[
+                pl.BlockSpec(memory_space=pltpu.ANY)
+                for _ in segs
+            ],
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, 1), lambda b, c, ids: (b, c, 0, 0)
-        ),
+        out_specs=pl.BlockSpec((1, 1, C * A), lambda b, ids: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((C * A, D), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
-        _gather_dot_kernel,
+        _make_gather_gang_kernel(seg_rows, C, D, A),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, 1, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, C * A), jnp.float32),
         interpret=interpret,
     )(
-        candidate_idx,
-        queries.astype(jnp.float32).reshape(B, 1, D),
-        corpus.reshape(corpus.shape[0], 1, D),
+        gstart,
+        queries.astype(dt).reshape(B, 1, D),
+        *segs,
     )
-    return out.reshape(B, C)
+    group_scores = out.reshape(B, C, A)
+    return jnp.take_along_axis(
+        group_scores, off[..., None], axis=2
+    )[..., 0]
 
 
 #: Mosaic addresses block offsets within one input at most ~4 GiB deep
