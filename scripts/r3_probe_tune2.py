@@ -216,9 +216,15 @@ def run_config(name, group, nprobe, B, rescore=True):
     sys.stdout.flush()
 
 
-run_config("P8192_np16_B32", 2, 16, 32)
-run_config("P8192_np32_B32", 2, 32, 32)
-run_config("P8192_np16_B16", 2, 16, 16)
-run_config("P8192_np16_B32_norescore", 2, 16, 32, rescore=False)
-run_config("P2048_np32_B32_baselineshape", 8, 32, 32)
+import os  # noqa: E402
+
+DEFAULT = (
+    "P8192_np16_B32:2:16:32 P8192_np32_B32:2:32:32 P8192_np16_B16:2:16:16 "
+    "P8192_np16_B32_norescore:2:16:32:norescore "
+    "P2048_np32_B32_baselineshape:8:32:32"
+)
+for spec in os.environ.get("TSS_CONFIGS", DEFAULT).split():
+    parts = spec.split(":")
+    name, group, nprobe, B = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    run_config(name, group, nprobe, B, rescore="norescore" not in parts[4:])
 print("done", file=sys.stderr)

@@ -61,6 +61,10 @@ def test_auto_partitions():
     assert _auto_partitions(1_000_000) == 1000
     assert _auto_partitions(100) % 8 == 0
     assert _auto_partitions(1) == 8
+    # past 1M rows: fixed ~1k-row partitions (fine partitioning probes
+    # less data per query at equal recall — round-3 8.4M-row sweep)
+    assert _auto_partitions(8_388_608) == 8192
+    assert _auto_partitions(4_000_000) == 3912  # ceil(N/1024) to mult of 8
 
 
 def test_brute_matches_oracle(built, corpus, queries):

@@ -83,8 +83,17 @@ def _aligned_capacity(fill_max: int, quantize: bool) -> int:
 
 
 def _auto_partitions(n: int) -> int:
-    """~sqrt(N), rounded up to a multiple of 8, min 8."""
-    p = max(8, int(np.sqrt(max(n, 1))))
+    """Partition count targeting ~sqrt(N) rows per partition for small
+    corpora and a fixed ~1k-row partition at scale, rounded up to a
+    multiple of 8, min 8.
+
+    ``P = max(sqrt(N), N/1024)``: past N = 1M the probe path wants FINE
+    partitions — the per-query cost is ``nprobe·m·D`` DMA bytes, and the
+    round-3 sweep at 8.4M rows measured m=1024 (P=8192) reaching the same
+    recall as m=4096 (P=2048) while probing 8x less data
+    (bench_results/capscale_r03: np16@m1024 recall 0.999 vs np32@m4096
+    0.9995 at 4x the bytes)."""
+    p = max(8, int(np.sqrt(max(n, 1))), n // 1024)
     return -(-p // 8) * 8
 
 

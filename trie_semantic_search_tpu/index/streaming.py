@@ -336,6 +336,27 @@ class StreamingIndexBuilder:
                     vector.ann.build_streaming(vector._vectors)
                 else:  # sharded index class: logical build API
                     vector.freeze()
+                if (
+                    hasattr(vector.ann, "tune_nprobe")
+                    and vector.ann.num_vectors >= 100
+                ):
+                    # pick the smallest nprobe hitting the recall target on
+                    # a held-out sample and persist it in the saved config
+                    # (parity with index/builder.py:140; an untuned index
+                    # falls back to default_nprobe, which over-probes badly
+                    # at fine CAP-scale partitionings)
+                    rng = np.random.default_rng(0)
+                    sample = np.asarray(vector._vectors[
+                        np.sort(rng.choice(
+                            vector.ann.num_vectors,
+                            min(64, vector.ann.num_vectors),
+                            replace=False,
+                        ))
+                    ])
+                    nprobe = vector.ann.tune_nprobe(
+                        sample, k=10, target_recall=0.95
+                    )
+                    _log.info("tuned nprobe=%d for recall>=0.95", nprobe)
 
         rate = (manifest.chunks - chunks_at_start) / max(
             time.perf_counter() - t_stream, 1e-9
