@@ -203,3 +203,59 @@ def test_embed_pending_streaming(embedder):
     assert idx.size == len(DOCS) + 1
     hits = idx.search(DOCS[1], top_k=1)
     assert hits[0].row == 1
+
+
+def test_save_load_scale_format(vindex, embedder, tmp_path):
+    """At-scale artifact format: vectors persist as an uncompressed .npy
+    that loads back MEMMAPPED (never a host-RAM copy of the store), refs
+    load as an [N, 2] int32 array, and a re-save of a loaded index is a
+    no-op for the vector store (already on disk in place)."""
+    vindex.save(tmp_path / "vec")
+    assert (tmp_path / "vec" / "vectors.npy").exists()
+    idx2 = VectorIndex(vindex.config, embedder=embedder)
+    idx2.load(tmp_path / "vec")
+    assert isinstance(idx2._vectors, np.memmap)
+    assert isinstance(idx2._refs, np.ndarray)
+    assert idx2._refs.shape == (len(DOCS), 2)
+    np.testing.assert_allclose(
+        np.asarray(idx2._vectors), np.asarray(vindex._vectors), rtol=1e-6
+    )
+    hits = idx2.search(DOCS[3], top_k=1)
+    assert hits[0].row == 3 and hits[0].paragraph_index == 3 % 3
+    # re-save in place: must not rewrite (or truncate!) the backing file
+    mtime = (tmp_path / "vec" / "vectors.npy").stat().st_mtime_ns
+    idx2.save(tmp_path / "vec")
+    idx3 = VectorIndex(vindex.config, embedder=embedder)
+    idx3.load(tmp_path / "vec")
+    assert idx3.search(DOCS[3], top_k=1)[0].row == 3
+    assert (tmp_path / "vec" / "vectors.npy").stat().st_mtime_ns == mtime
+
+
+def test_load_legacy_format(vindex, embedder, tmp_path):
+    """Round-2 artifacts (vectors embedded in refs.npz) still load."""
+    d = tmp_path / "vec"
+    vindex.save(d)
+    (d / "vectors.npy").unlink()
+    np.savez_compressed(
+        d / "refs.npz",
+        refs=np.asarray(vindex._refs, np.int32),
+        vectors=np.asarray(vindex._vectors, np.float32),
+    )
+    idx2 = VectorIndex(vindex.config, embedder=embedder)
+    idx2.load(d)
+    assert idx2.size == vindex.size
+    assert idx2.search(DOCS[3], top_k=1)[0].row == 3
+
+
+def test_embed_pending_after_scale_load(vindex, embedder, tmp_path):
+    """Incremental adds onto a loaded-at-scale index (ndarray refs +
+    read-only memmap vectors) still work: refs concatenate, vectors
+    copy-on-grow, new doc retrievable after freeze."""
+    vindex.save(tmp_path / "vec")
+    idx2 = VectorIndex(vindex.config, embedder=embedder)
+    idx2.load(tmp_path / "vec")
+    idx2.add_document(99, DOCS[0], 7)
+    idx2.freeze()
+    assert idx2.size == len(DOCS) + 1
+    hits = idx2.search(DOCS[0], top_k=2)
+    assert {h.row for h in hits} <= {0, 99}

@@ -141,7 +141,13 @@ class VectorIndex:
             self._vectors = np.concatenate([self._vectors, embs])
         else:
             self._vectors = embs
-        self._refs.extend(self._pending_refs)
+        if isinstance(self._refs, np.ndarray):  # loaded-at-scale form
+            self._refs = np.concatenate([
+                self._refs,
+                np.asarray(self._pending_refs, np.int32).reshape(-1, 2),
+            ])
+        else:
+            self._refs.extend(self._pending_refs)
         self._pending_texts = []
         self._pending_refs = []
         return n
@@ -157,7 +163,9 @@ class VectorIndex:
         return len(self._refs)
 
     @property
-    def refs(self) -> list[tuple[int, int]]:
+    def refs(self) -> "list[tuple[int, int]] | np.ndarray":
+        """(case_row, paragraph) per chunk — a list while building
+        incrementally, an [N, 2] int32 array when loaded at scale."""
         return self._refs
 
     @property
@@ -224,11 +232,11 @@ class VectorIndex:
             for v, r in zip(vals[b], rows[b]):
                 if r < 0:
                     continue
-                case_row, para = self._refs[int(r)]
+                ref = self._refs[int(r)]
                 hits.append(
                     VectorSearchResult(
-                        row=case_row,
-                        paragraph_index=para,
+                        row=int(ref[0]),
+                        paragraph_index=int(ref[1]),
                         similarity_score=float(v),
                     )
                 )
@@ -248,6 +256,12 @@ class VectorIndex:
         )
 
     def save(self, path: str | Path) -> None:
+        """Persist refs + vectors + ANN. The raw vector store writes as an
+        UNCOMPRESSED ``vectors.npy`` copied slab-wise — at CAP scale the
+        store is a multi-GB read-only memmap (index/streaming.py finalize)
+        and the old format (vectors embedded in ``refs.npz`` via
+        ``savez_compressed``) both materialised it in host RAM and paid a
+        full zlib pass; ``load`` memmaps the .npy back instead."""
         path = Path(path)
         path.mkdir(parents=True, exist_ok=True)
         if self.ann.num_vectors and hasattr(self.ann, "save"):
@@ -258,20 +272,38 @@ class VectorIndex:
             if len(self._refs)
             else np.zeros((0, 2), np.int32)
         )
-        np.savez_compressed(
-            path / "refs.npz",
-            refs=refs,
-            vectors=self._vectors
-            if self._vectors is not None
-            else np.zeros((0, self.embedder.dimension), np.float32),
-        )
+        np.savez_compressed(path / "refs.npz", refs=refs)
+        vec_path = path / "vectors.npy"
+        if self._vectors is not None and len(self._vectors):
+            src = self._vectors
+            if (
+                isinstance(src, np.memmap)
+                and getattr(src, "filename", None) is not None
+                and Path(src.filename).resolve() == vec_path.resolve()
+            ):
+                return  # already saved in place (re-save after load)
+            out = np.lib.format.open_memmap(
+                vec_path, mode="w+", dtype=np.float32,
+                shape=(len(src), src.shape[1]),
+            )
+            step = 1 << 18
+            for lo in range(0, len(src), step):
+                out[lo : lo + step] = src[lo : lo + step]
+            out.flush()
+            del out
+        elif vec_path.exists():
+            vec_path.unlink()
 
     def load(self, path: str | Path) -> None:
         path = Path(path)
         with np.load(path / "refs.npz", allow_pickle=False) as z:
-            self._refs = [tuple(r) for r in z["refs"].tolist()]
-            v = z["vectors"]
-            self._vectors = v if len(v) else None
+            self._refs = z["refs"].astype(np.int32)
+            # legacy format: vectors embedded in refs.npz (in-RAM)
+            v = z["vectors"] if "vectors" in z.files else None
+        vec_path = path / "vectors.npy"
+        if v is None and vec_path.exists():
+            v = np.load(vec_path, mmap_mode="r")
+        self._vectors = v if (v is not None and len(v)) else None
         ann_path = path / "ann.npz"
         from .sharded import ShardedCorpusIndex
 
