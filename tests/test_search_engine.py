@@ -366,3 +366,29 @@ def test_batch_path_uses_query_cache(engine):
         engine._execute_batch = orig
     for a, b in zip(first, second):
         assert [r.case_metadata.id for r in a] == [r.case_metadata.id for r in b]
+
+
+def test_evaluate_engine_runs_through_full_engine(engine):
+    """models/quality.evaluate_engine must drive the REAL engine (it
+    builds engine-shaped SearchQuery objects): rank metrics come back for
+    each probe kind and a probe built from a case's own sentence finds
+    that case. Guards the eval harness the retrieval-quality record
+    (bench_results/retrieval_r03.json) is produced with."""
+    from trie_semantic_search_tpu.models.quality import (
+        build_probes,
+        evaluate_engine,
+    )
+
+    tp = engine._text_processor
+    docs = []
+    for row, (_n, _c, _co, _d, text) in enumerate(CASES):
+        docs.append((row, tp.extract_sentences(tp.normalize_text(text))))
+    probes = build_probes(docs, max_probes=8)
+    assert probes
+    out = evaluate_engine(engine, engine.columns, probes, k=5)
+    assert "all" in out
+    assert out["all"]["n"] == len(probes)
+    assert 0.0 <= out["all"]["mrr"] <= 1.0
+    # the corpus is 5 tiny well-separated cases: half-sentence probes
+    # must rank their source case near the top
+    assert out["all"]["recall_at_5"] >= 0.5

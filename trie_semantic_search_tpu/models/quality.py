@@ -133,7 +133,8 @@ def evaluate_engine(
 ) -> dict:
     """MRR / recall@{1,5,10} of each probe's source case through the full
     engine (semantic-only queries — no lexical boost, no filters)."""
-    from ..core.types import SearchConfig, SearchQuery
+    from ..core.types import SearchConfig
+    from ..search.engine import SearchQuery
 
     id_to_row = {cid: i for i, cid in enumerate(columns.case_ids)}
     ranks: dict[str, list[float]] = {}
