@@ -230,3 +230,92 @@ def test_ann_segmented_rescore_store_matches_single(corpus, queries, tmp_path):
         np.testing.assert_array_equal(i2, i3)
     finally:
         psm.GATHER_SEG_BYTES = old
+
+
+def test_build_streaming_parity_with_build(corpus):
+    """build_streaming over a memmap must freeze bit-identical arrays to
+    build() — including when the overflow-rebalance engages (same helper
+    drives both)."""
+    import tempfile
+    from pathlib import Path
+
+    cfg = AnnConfig(num_partitions=64, num_probes=8)
+    a = PartitionedANN(cfg)
+    a.build(corpus, seed=0)
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "v.npy"
+        np.save(p, corpus)
+        mm = np.load(p, mmap_mode="r")
+        b = PartitionedANN(AnnConfig(num_partitions=64, num_probes=8))
+        # same centroids -> layout must be bit-identical (k-means itself
+        # samples differently in the two entry points)
+        b.build_streaming(mm, seed=0, slab_rows=777,  # uneven slabs
+                          reuse_centroids=np.asarray(a.centroids))
+    np.testing.assert_array_equal(
+        np.asarray(a.part_rows), np.asarray(b.part_rows))
+    np.testing.assert_array_equal(
+        np.asarray(a.part_int8), np.asarray(b.part_int8))
+    np.testing.assert_array_equal(
+        np.asarray(a.part_scale), np.asarray(b.part_scale))
+
+
+def _dup_heavy_corpus(n=4096, dups=2048, d=64, seed=9):
+    """Half the corpus is ONE repeated vector (the CAP-scale failure mode:
+    boilerplate sentences embed identically, so one k-means cluster holds
+    a huge duplicate group)."""
+    rng = np.random.default_rng(seed)
+    uniq = normed(rng.standard_normal((n - dups, d)).astype(np.float32))
+    dup = normed(rng.standard_normal((1, d)).astype(np.float32))
+    return np.concatenate([np.repeat(dup, dups, axis=0), uniq])
+
+
+def test_overflow_cap_bounds_capacity_and_memory():
+    """A giant duplicate cluster must NOT size every partition's capacity:
+    total slots stay <= ~overalloc*N (aligned), vs the uncapped layout
+    where m == dup-group size would give P*m ~ 16x N here."""
+    c = _dup_heavy_corpus()
+    n = len(c)
+    cfg = AnnConfig(num_partitions=32, num_probes=8, partition_overalloc=2.0)
+    ann = PartitionedANN(cfg)
+    ann.build(c, seed=0)
+    P, m = np.asarray(ann.part_rows).shape
+    from trie_semantic_search_tpu.index.ann import _capacity_cap
+
+    cap = _capacity_cap(n, 32, 2.0)
+    assert cap < 2048, cap  # far below the 2048-row duplicate group
+    assert m <= -(-cap // 128) * 128, (m, cap)
+    # every row landed exactly once
+    rows = np.asarray(ann.part_rows)
+    got = np.sort(rows[rows >= 0])
+    np.testing.assert_array_equal(got, np.arange(n))
+
+
+def test_overflow_cap_recall_on_unique_rows():
+    """Reassigned duplicate rows must not break retrieval of the unique
+    rows (they stay in their own partitions), and the duplicate vector
+    itself must still be findable."""
+    c = _dup_heavy_corpus()
+    cfg = AnnConfig(num_partitions=32, num_probes=8, partition_overalloc=2.0)
+    ann = PartitionedANN(cfg)
+    ann.build(c, seed=0)
+    rng = np.random.default_rng(11)
+    qidx = rng.integers(2048, len(c), 16)  # unique-row queries
+    q = normed(c[qidx] + 0.03 * rng.standard_normal((16, 64)).astype(np.float32))
+    nprobe = ann.tune_nprobe(q, k=10, target_recall=0.95)
+    _, oi = oracle_topk(q, c, 10)
+    _, i = ann.search(q, 10, nprobe=nprobe)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
+    assert recall >= 0.9, recall
+    # duplicate-vector query: at least half the top-10 are duplicate rows
+    _, di = ann.search(c[:1], 10, nprobe=nprobe)
+    assert (di[0] < 2048).sum() >= 5
+
+
+def test_overflow_rebalance_deterministic():
+    c = _dup_heavy_corpus()
+    cfg = AnnConfig(num_partitions=32, num_probes=8, partition_overalloc=2.0)
+    a, b = PartitionedANN(cfg), PartitionedANN(cfg)
+    a.build(c, seed=0)
+    b.build(c, seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.part_rows), np.asarray(b.part_rows))

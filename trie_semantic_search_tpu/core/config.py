@@ -207,6 +207,13 @@ class AnnConfig:
     rescore_factor: int = 4  # rescore top (k * factor) candidates in f32
     kmeans_iters: int = 20
     kmeans_sample: int = 200_000  # max points used to train partitions
+    #: Bound on total partition slots as a multiple of N: the dense
+    #: [P, m, D] device layout sizes m by the LARGEST partition, so one
+    #: giant k-means cluster (e.g. a big duplicate-text group) would blow
+    #: host+HBM memory quadratically. Capacity caps at
+    #: ceil(partition_overalloc * N / P) and overflow rows reassign to
+    #: their next-best centroid with free space (balanced IVF).
+    partition_overalloc: float = 2.0
 
 
 # Alias for reference-name parity.

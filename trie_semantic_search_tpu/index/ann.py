@@ -42,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import AnnConfig
+
+_log = logging.getLogger("tss_tpu.ann")
 from ..core.errors import IndexCorrupted, VectorIndexConstructionFailed
 from ..ops.scoring import gather_rescore, l2_normalize
 from ..ops.topk import exact_topk
@@ -80,6 +82,90 @@ def _aligned_capacity(fill_max: int, quantize: bool) -> int:
     if quantize and m128 <= 1.15 * m8:
         return m128
     return m8
+
+
+def _capacity_cap(n: int, P: int, overalloc: float) -> int:
+    """Per-partition slot cap bounding the dense [P, m, D] layout's host
+    AND device memory regardless of k-means imbalance — without a cap,
+    one giant cluster (e.g. a large duplicate-text group: every case in
+    the CAP-scale corpus ends in one of a handful of boilerplate outcome
+    sentences) sizes EVERY partition's capacity, which OOM'd the 5M-chunk
+    build at a 77 GB nominal int8 block array.
+
+    ``overalloc * mean`` plus an ``8 * sqrt(mean)`` slack term: natural
+    k-means imbalance on small/coarse partitionings routinely exceeds
+    2x the mean in RELATIVE terms while staying tiny in absolute slots,
+    so the slack keeps ordinary corpora untouched; at scale it vanishes
+    relative to N (total slots ≤ (overalloc + 8/sqrt(mean)) * N)."""
+    mean = -(-n // max(P, 1))
+    return max(8, int(overalloc * mean) + 8 * int(np.sqrt(mean)))
+
+
+def _rebalance_overflow(
+    assign: np.ndarray,  # [N] int32 partition per row (mutated copy returned)
+    cap: int,
+    centroids: np.ndarray,  # [P, D] f32
+    norm_rows,  # (rows: np.ndarray) -> [len(rows), D] f32 L2-normalised
+    choices: int = 16,
+    slab: int = 16_384,
+) -> np.ndarray:
+    """Balanced-IVF overflow reassignment: each overfull partition keeps
+    its ``cap`` CLOSEST members (ties: lower row id) and spills the rest
+    to their best-scoring centroid with free space, walking up to
+    ``choices`` candidates in score order (ties: lower partition id),
+    else the least-filled partition. Spilling the farthest members (not
+    arbitrary ones) minimises the recall cost: they are exactly the rows
+    most likely to sit near another centroid. Same code drives build()
+    and build_streaming(), so their layouts stay bit-identical."""
+    n = len(assign)
+    P = centroids.shape[0]
+    counts = np.bincount(assign, minlength=P)
+    if not len(counts) or int(counts.max()) <= cap:
+        return assign
+    order = np.argsort(assign, kind="stable")  # partition-major, row asc
+    offs = np.zeros(P + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    spilled: list[np.ndarray] = []
+    for p in np.nonzero(counts > cap)[0]:
+        rows_p = order[offs[p] : offs[p] + counts[p]]  # ascending row id
+        s = np.empty(len(rows_p), np.float32)
+        for lo in range(0, len(rows_p), slab):
+            s[lo : lo + slab] = norm_rows(rows_p[lo : lo + slab]) @ centroids[p]
+        keep = np.argsort(-s, kind="stable")[:cap]  # stable → lower row id
+        mask = np.ones(len(rows_p), bool)
+        mask[keep] = False
+        spilled.append(rows_p[mask])
+    overflow_rows = np.sort(np.concatenate(spilled))
+    new_counts = np.minimum(counts, cap)
+    assign = assign.copy()
+    _log.info(
+        "partition overflow: %d/%d rows beyond cap %d (max fill %d); "
+        "reassigning to next-best centroids",
+        len(overflow_rows), n, cap, int(counts.max()),
+    )
+    least_heap_dirty = True
+    for lo in range(0, len(overflow_rows), slab):
+        rows = overflow_rows[lo : lo + slab]
+        s = norm_rows(rows) @ centroids.T  # [r, P]
+        k = min(choices, P)
+        idx = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        idx.sort(axis=1)  # ascending partition id → stable tie-break
+        sv = np.take_along_axis(s, idx, 1)
+        ord2 = np.argsort(-sv, axis=1, kind="stable")
+        cand = np.take_along_axis(idx, ord2, 1)
+        for i, row in enumerate(rows):
+            placed = False
+            for c in cand[i]:
+                if new_counts[c] < cap:
+                    assign[row] = c
+                    new_counts[c] += 1
+                    placed = True
+                    break
+            if not placed:  # all `choices` candidates full: least-filled
+                c = int(np.argmin(new_counts))
+                assign[row] = c
+                new_counts[c] += 1
+    return assign
 
 
 def _auto_partitions(n: int) -> int:
@@ -160,7 +246,11 @@ class PartitionedANN:
                 v, P, iters=self.config.kmeans_iters,
                 sample=self.config.kmeans_sample, seed=seed,
             )
-        assign = assign_clusters(v, centroids)
+        assign = np.asarray(assign_clusters(v, centroids))
+        cap = _capacity_cap(n, P, self.config.partition_overalloc)
+        assign = _rebalance_overflow(
+            assign, cap, centroids, lambda rows: v[rows]
+        )
 
         # Dense padded partition layout. int8 capacity aligns to 128
         # lanes — the probe kernel's block requirement — once partitions
@@ -263,6 +353,17 @@ class PartitionedANN:
             assign[lo:hi] = np.asarray(
                 assign_clusters(_norm_slab(lo, hi), centroids)
             )
+
+        def _norm_rows(rows: np.ndarray) -> np.ndarray:
+            v = np.array(vectors[rows], np.float32)
+            if not np.isfinite(v).all():
+                v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+            return v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+
+        cap = _capacity_cap(n, P, self.config.partition_overalloc)
+        assign = _rebalance_overflow(assign, cap, centroids, _norm_rows)
         counts = np.bincount(assign, minlength=P)
         fill_max = int(counts.max()) if counts.size else 1
         m = _aligned_capacity(fill_max, True)
@@ -334,6 +435,9 @@ class PartitionedANN:
         use_kernel = (
             quantize
             and m % 128 == 0
+            # feature axis must be 128-lane aligned for COMPILED Mosaic
+            # DMA slices (D=384 serves); interpret mode is unconstrained
+            and (int(self.part_int8.shape[-1]) % 128 == 0 or probe_interpret)
             and (jax.default_backend() == "tpu" or probe_interpret)
         )
 

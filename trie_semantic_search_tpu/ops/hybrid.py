@@ -370,7 +370,7 @@ def fused_hybrid_topk_chunked(
 
 
 def resolve_probe_kernel(
-    recall_target: float, m: int
+    recall_target: float, m: int, dim: int = 384
 ) -> tuple[bool, bool]:
     """Host-side resolution of the probe-kernel choice for
     :func:`fused_partitioned_topk` — returns ``(use_probe_kernel,
@@ -384,6 +384,12 @@ def resolve_probe_kernel(
     use_probe_kernel = (
         recall_target < 1.0
         and m % 128 == 0
+        # Mosaic DMA slices along the feature axis must be 128-lane
+        # aligned when COMPILED (the gather-rescore kernel slices [A, D]
+        # groups out of the padded bf16 store; D=384 serves). Interpret
+        # mode has no alignment constraint — tests at tiny dims keep
+        # exercising the kernel's logic.
+        and (dim % 128 == 0 or probe_interpret)
         and (jax.default_backend() == "tpu" or probe_interpret)
     )
     return use_probe_kernel, probe_interpret
@@ -456,7 +462,8 @@ def fused_partitioned_topk(
     # None default resolves here for ad-hoc callers, but happens at trace
     # time only, so long-lived callers should pass explicit values.
     if use_probe_kernel is None or probe_interpret is None:
-        _upk, _pi = resolve_probe_kernel(recall_target, m)
+        _upk, _pi = resolve_probe_kernel(
+            recall_target, m, int(part_int8.shape[-1]))
         use_probe_kernel = _upk if use_probe_kernel is None else use_probe_kernel
         probe_interpret = _pi if probe_interpret is None else probe_interpret
 

@@ -386,7 +386,8 @@ class FusedHybridSearch:
             if self.ann_mode == "sharded-partitioned":
                 from ..ops.hybrid import resolve_probe_kernel
 
-                upk, pinterp = resolve_probe_kernel(recall_target, self.sp_m)
+                upk, pinterp = resolve_probe_kernel(
+                    recall_target, self.sp_m, int(self.sp_int8.shape[-1]))
                 v, i, cases, src = sharded_partitioned_topk(
                     self.mesh, q, self.sp_centroids, self.sp_rows,
                     self.sp_int8, self.sp_scale, self.sp_cword,
@@ -434,7 +435,8 @@ class FusedHybridSearch:
             from ..ops.hybrid import resolve_probe_kernel
 
             upk, pinterp = resolve_probe_kernel(
-                recall_target, int(self.ann.part_rows.shape[1])
+                recall_target, int(self.ann.part_rows.shape[1]),
+                int(self.ann.part_int8.shape[-1]),
             )
             v, i, cases, src = fused_partitioned_topk(
                 q,
