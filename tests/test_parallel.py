@@ -405,3 +405,35 @@ def test_sharded_partitioned_matches_sharded_brute(mesh, monkeypatch):
         # lexical boost survives with its provenance
         assert lex_case in c_p[1].tolist()
         assert s_p[1][c_p[1].tolist().index(lex_case)] == 1  # SRC_CASE_NAME
+
+
+def test_sharded_partitions_capacity_capped_under_duplicates():
+    """One giant duplicate cluster must not size every shard-partition
+    block: capacity caps per shard and spilled rows reassign WITHIN their
+    shard (rows never change chips), every valid row placed exactly once."""
+    from trie_semantic_search_tpu.index.ann import _capacity_cap
+    from trie_semantic_search_tpu.index.kmeans import train_kmeans
+    from trie_semantic_search_tpu.index.sharded import (
+        build_sharded_partitions,
+    )
+
+    rng = np.random.default_rng(5)
+    N, D, P, S = 4096, 32, 16, 4
+    dup = rng.standard_normal((1, D)).astype(np.float32)
+    uniq = rng.standard_normal((N // 2, D)).astype(np.float32)
+    v = np.concatenate([np.repeat(dup, N // 2, axis=0), uniq])
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    centroids = train_kmeans(v, P, iters=5, sample=N, seed=0)
+    parts = build_sharded_partitions(
+        v, N, S, centroids,
+        np.zeros(N, np.int32), np.zeros(N, np.int32), overalloc=2.0,
+    )
+    rows = parts["part_rows"]  # [S, P, m]
+    m = rows.shape[2]
+    cap = _capacity_cap(N // S, P, 2.0)
+    assert m <= -(-cap // 128) * 128, (m, cap)
+    assert m < N // 2  # far below the duplicate-group size
+    shard_rows = N // S
+    for s in range(S):
+        got = np.sort(rows[s][rows[s] >= 0])
+        np.testing.assert_array_equal(got, np.arange(shard_rows))

@@ -167,6 +167,7 @@ def build_sharded_partitions(
     chunk_court: np.ndarray,  # [Npad] int32 court id per chunk
     chunk_date: np.ndarray,  # [Npad] int32 date per chunk
     lanes: int = 128,
+    overalloc: float = 2.0,
 ) -> dict:
     """Partition a row-sharded corpus PER SHARD against shared global
     centroids (VERDICT r2 item 1: the sharded-partitioned serving mode).
@@ -199,13 +200,24 @@ def build_sharded_partitions(
     assign = np.asarray(assign_clusters(v, np.asarray(centroids, np.float32)))
     valid = np.arange(Npad) < n_valid
 
-    # per-shard stable partition fill (vectorised; no per-partition loops)
+    # per-shard stable partition fill (vectorised; no per-partition
+    # loops). Rows must stay on their shard (the physical chip), so the
+    # imbalance capacity cap + overflow rebalance apply per shard — the
+    # same giant-duplicate-cluster failure mode as the single-chip layout
+    # (index/ann._rebalance_overflow), [S, P, m, D] scales by the max.
+    from .ann import _capacity_cap, _rebalance_overflow
+
     shard_sorted: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     m = 0
     for s in range(S):
         lo = s * shard_rows
         local = np.nonzero(valid[lo : lo + shard_rows])[0].astype(np.int32)
-        a = assign[lo + local]
+        a = assign[lo + local].astype(np.int32)
+        cap = _capacity_cap(len(local), P, overalloc)
+        a = _rebalance_overflow(
+            a, cap, np.asarray(centroids, np.float32),
+            lambda rows, _lo=lo, _local=local: v[_lo + _local[rows]],
+        )
         order = np.argsort(a, kind="stable")  # ascending row id within p
         counts = np.bincount(a, minlength=P).astype(np.int64)
         shard_sorted.append((local[order], a[order], counts))

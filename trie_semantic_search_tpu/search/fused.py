@@ -258,7 +258,8 @@ class FusedHybridSearch:
             )
         S = int(mesh.shape[DATA_AXIS])
         parts = build_sharded_partitions(
-            padded, n, S, centroids, court_col, date_col
+            padded, n, S, centroids, court_col, date_col,
+            overalloc=acfg.partition_overalloc,
         )
         p3 = NamedSharding(mesh, PS(DATA_AXIS, None, None))
         p4 = NamedSharding(mesh, PS(DATA_AXIS, None, None, None))
