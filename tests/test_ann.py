@@ -77,14 +77,20 @@ def test_brute_matches_oracle(built, corpus, queries):
 
 
 def test_partitioned_recall_at_10_after_tuning(built, corpus, queries):
-    """North-star: recall@10 ≥ 0.95 vs exact oracle (a stricter bar than
-    matching hnsw_rs, which itself is approximate) after nprobe tuning."""
+    """North-star: recall@10 ≥ 0.95 vs exact f32 oracle after nprobe
+    tuning. Recall is TIE-AWARE (a result scoring within eps of the
+    oracle's k-th score is a correct k-NN answer — the index-overlap
+    definition undercounts whenever equal-scoring rows exist, which real
+    corpora guarantee via duplicate text); plain index overlap is asserted
+    as a looser sanity floor."""
     nprobe = built.tune_nprobe(queries, k=10, target_recall=0.95)
     assert 1 <= nprobe <= 64
-    _, oi = oracle_topk(queries, corpus, 10)
-    _, i = built.search(queries, 10, nprobe=nprobe)
-    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
-    assert recall >= 0.95, f"recall@10 = {recall} at nprobe={nprobe}"
+    ov, oi = oracle_topk(queries, corpus, 10)
+    v, i = built.search(queries, 10, nprobe=nprobe)
+    tie_recall = float(np.mean(v >= ov[:, 9:10] - 1e-3))
+    assert tie_recall >= 0.95, f"recall@10 = {tie_recall} at nprobe={nprobe}"
+    overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
+    assert overlap >= 0.9, f"index overlap {overlap} at nprobe={nprobe}"
     # tuned value persisted as the default
     assert built.config.num_probes == nprobe
 
@@ -319,3 +325,29 @@ def test_overflow_rebalance_deterministic():
     b.build(c, seed=0)
     np.testing.assert_array_equal(
         np.asarray(a.part_rows), np.asarray(b.part_rows))
+
+
+def test_tune_nprobe_terminates_on_tie_heavy_corpus():
+    """Index-based recall is ill-defined under duplicate-score ties (the
+    probe path and brute oracle return different equal-scoring rows); the
+    score-based tuner must settle on a small nprobe instead of chasing
+    unreachable index overlap out to nprobe ~ P."""
+    c = _dup_heavy_corpus()
+    ann = PartitionedANN(AnnConfig(num_partitions=64, num_probes=0))
+    ann.build(c, seed=0)
+    q = c[:8]  # duplicate-vector queries: maximal ties
+    nprobe = ann.tune_nprobe(q, k=10, target_recall=0.95)
+    assert nprobe <= 16, nprobe
+
+
+def test_search_full_probe_routes_to_brute():
+    """nprobe covering the whole corpus returns the exact scan's results
+    (and never builds a [B, nprobe] probe program)."""
+    c = _dup_heavy_corpus(n=1024, dups=256)
+    ann = PartitionedANN(AnnConfig(num_partitions=16, num_probes=8))
+    ann.build(c, seed=0)
+    q = normed(np.asarray(c[300:304]))
+    vb, ib = ann.search_brute(q, 10)
+    v, i = ann.search(q, 10, nprobe=16)  # nprobe == P
+    np.testing.assert_array_equal(i, ib)
+    np.testing.assert_allclose(v, vb, rtol=1e-6)

@@ -455,7 +455,10 @@ class PartitionedANN:
             cs = jnp.einsum("bd,pd->bp", qn, centroids,
                             preferred_element_type=jnp.float32)
             _, top_p = jax.lax.top_k(cs, nprobe)  # [B, nprobe]
-            if use_kernel:
+            # the [B, nprobe] probed-id scalar prefetch lives in SMEM
+            # (1 MB); oversized shapes (big tuning sweeps) take the XLA
+            # gather path instead of failing to compile
+            if use_kernel and B * nprobe * 4 <= 768 * 1024:
                 # 2+3) the serving kernel with open filters (the recall
                 # harness must measure the program that serves — round-2
                 # verdict weak item 8)
@@ -548,6 +551,13 @@ class PartitionedANN:
         when fewer than k vectors exist."""
         self._require_built()
         nprobe = nprobe or self.default_nprobe
+        P, m = (int(s) for s in self.part_rows.shape)
+        if nprobe * m >= self.num_vectors or nprobe >= P:
+            # probing (nearly) the whole corpus: the exact segment scan IS
+            # that program, without a [B, nprobe] probe stage that scales
+            # SMEM/VMEM with nprobe (the tuner's doubling sweep reaches
+            # here on hard query sets)
+            return self.search_brute(queries, k)
         key = (int(k), int(nprobe))
         if self._search_fn is None or self._search_fn[0] != key:
             self._search_fn = (key, self._make_search_fn(k, nprobe))
@@ -614,33 +624,50 @@ class PartitionedANN:
         Doubling sweep then midpoint refine — O(log P) search passes.
         """
         self._require_built()
-        _, oracle = self.search_brute(sample_queries, k)
+        ov, _ = self.search_brute(sample_queries, k)
+        # SCORE-based recall: a hit is any result scoring within eps of the
+        # oracle's k-th score. Index-based recall is ill-defined under score
+        # ties — real corpora carry large duplicate-text groups (identical
+        # embeddings), where the probe path and the brute oracle legitimately
+        # return different equal-scoring rows; the tuner would then chase
+        # unreachable recall out to nprobe ~ P (observed: the 5M-chunk build
+        # died compiling a [64, 3904] scalar-prefetch that overflowed SMEM).
+        # eps covers bf16 rescore rounding.
+        thresh = np.asarray(ov)[:, k - 1 : k] - 1e-3
 
         def recall_at(nprobe: int) -> float:
-            _, got = self.search(sample_queries, k, nprobe=nprobe)
-            return float(
-                np.mean(
-                    [len(set(a) & set(b)) / k for a, b in zip(got, oracle)]
-                )
-            )
+            gv, _ = self.search(sample_queries, k, nprobe=nprobe)
+            return float(np.mean(np.asarray(gv) >= thresh))
 
         P = int(self.centroids.shape[0])
-        lo, hi = 1, None
-        n = max(1, self.default_nprobe // 2)
-        while n < P:
-            if recall_at(n) >= target_recall:
-                hi = n
-                break
+        # power-of-two sweep + ONE midpoint refine: every distinct nprobe
+        # is a fresh XLA/Mosaic program (minutes each over a remote-compile
+        # tunnel), so the tuner bounds itself to ~log2(P)+1 compiles and
+        # accepts ≤1.5x over-probe instead of an exact binary search
+        start = max(1, self.default_nprobe // 2)
+        n = 1 << (start - 1).bit_length()  # next pow2 ≥ start
+        if recall_at(n) >= target_recall:
+            hi = n
+            while hi > 1:  # descend while the target still holds
+                half = hi // 2
+                if recall_at(half) < target_recall:
+                    break
+                hi = half
+        else:
             lo = n
-            n *= 2
-        if hi is None:
-            hi = P
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            if recall_at(mid) >= target_recall:
-                hi = mid
-            else:
-                lo = mid
+            while True:
+                n *= 2
+                if n >= P:
+                    hi = P
+                    break
+                if recall_at(n) >= target_recall:
+                    hi = n
+                    break
+                lo = n
+            if hi < P and hi - lo > 1:  # one midpoint refine
+                mid = (lo + hi) // 2
+                if recall_at(mid) >= target_recall:
+                    hi = mid
         self.config.num_probes = hi
         return hi
 
