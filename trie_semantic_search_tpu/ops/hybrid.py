@@ -466,6 +466,12 @@ def fused_partitioned_topk(
             recall_target, m, int(part_int8.shape[-1]))
         use_probe_kernel = _upk if use_probe_kernel is None else use_probe_kernel
         probe_interpret = _pi if probe_interpret is None else probe_interpret
+    # the [B, nprobe] probed-id scalar prefetch lives in SMEM (1 MB on
+    # v5e); oversized (batch x breadth) shapes demote to the XLA gather
+    # path instead of failing to compile. B is a static shape here, so
+    # the demotion is part of the trace cache key.
+    if int(qn.shape[0]) * np_eff * 4 > 768 * 1024:
+        use_probe_kernel = False
 
     sem_v, sem_chunk = partitioned_semantic_topk(
         qn, centroids, part_rows, part_int8, part_scale, corpus_bf16,
