@@ -252,11 +252,29 @@ class SpillContentBuilder:
 
         from .. import native as _native
 
+        # CSR outputs allocate as disk-backed memmaps (multi-GB at CAP
+        # scale — ~21 B/node + 8 B/posting must not join the resident
+        # set; the frozen trie serves memmapped and save_to_disk streams
+        # a sequential copy into the artifact dir)
+        csr_dir = self.work_dir / "csr"
+        csr_dir.mkdir(parents=True, exist_ok=True)
+
+        def _alloc(name: str, shape: tuple, dtype) -> np.ndarray:
+            return np.lib.format.open_memmap(
+                csr_dir / f"{name}.npy", mode="w+", dtype=dtype, shape=shape
+            )
+
         arrays = None
         if len(recs):
-            arrays = _native.csr_from_sorted_windows(W, rows, paras)
+            arrays = _native.csr_from_sorted_windows(
+                W, rows, paras, alloc=_alloc
+            )
         if arrays is None:
             arrays = csr_from_sorted_windows_py(W, rows, paras)
+        else:
+            for a in arrays.values():  # flush dirty pages; reopen lazily
+                if isinstance(a, np.memmap):
+                    a.flush()
         id_to_token = [""] * len(self.vocab)
         for tok, tid in self.vocab.items():
             id_to_token[tid] = tok

@@ -247,15 +247,23 @@ def csr_from_sorted_windows(
     windows: np.ndarray,  # [n, L] int32, lexicographically sorted, -1 pad
     rows: np.ndarray,  # [n] int32
     paras: np.ndarray,  # [n] int32
+    alloc=None,  # (name, shape, dtype) -> zero-filled ndarray-like
 ) -> Optional[dict[str, np.ndarray]]:
     """Build the frozen CSR trie arrays from a SORTED window matrix in one
     native pass (round-3 scale path; bit-identical to the pooled builders'
     freeze — the sorted order is the DFS pre-order). Returns None when the
     native library is unavailable (callers fall back to the Python
-    equivalent in index.spill)."""
+    equivalent in index.spill).
+
+    ``alloc`` overrides output allocation — the scale build passes a
+    disk-backed ``np.lib.format.open_memmap`` allocator so the multi-GB
+    CSR arrays never join the resident set (the native pass fills
+    caller-allocated, zero-initialised buffers either way)."""
     lib = _load()
     if lib is None:
         return None
+    if alloc is None:
+        alloc = lambda name, shape, dtype: np.zeros(shape, dtype)  # noqa: E731
     W = np.ascontiguousarray(windows, np.int32)
     r = np.ascontiguousarray(rows, np.int32)
     p = np.ascontiguousarray(paras, np.int32)
@@ -263,15 +271,15 @@ def csr_from_sorted_windows(
     num_nodes = int(lib.tss_csr_count(_as_i32p(W), n, L))
     n_edges = num_nodes - 1
     arrays = {
-        "edge_offsets": np.zeros(num_nodes + 1, np.int32),
-        "edge_tokens": np.zeros(max(n_edges, 1), np.int32),
-        "edge_targets": np.zeros(max(n_edges, 1), np.int32),
-        "post_offsets": np.zeros(num_nodes + 1, np.int32),
-        "post_case": np.zeros(max(n, 1), np.int32),
-        "post_para": np.zeros(max(n, 1), np.int32),
-        "subtree_post_end": np.zeros(num_nodes, np.int32),
-        "is_end": np.zeros(num_nodes, np.uint8),
-        "frequency": np.zeros(num_nodes, np.int32),
+        "edge_offsets": alloc("edge_offsets", (num_nodes + 1,), np.int32),
+        "edge_tokens": alloc("edge_tokens", (max(n_edges, 1),), np.int32),
+        "edge_targets": alloc("edge_targets", (max(n_edges, 1),), np.int32),
+        "post_offsets": alloc("post_offsets", (num_nodes + 1,), np.int32),
+        "post_case": alloc("post_case", (max(n, 1),), np.int32),
+        "post_para": alloc("post_para", (max(n, 1),), np.int32),
+        "subtree_post_end": alloc("subtree_post_end", (num_nodes,), np.int32),
+        "is_end": alloc("is_end", (num_nodes,), np.uint8),
+        "frequency": alloc("frequency", (num_nodes,), np.int32),
     }
     lib.tss_csr_fill(
         _as_i32p(W), _as_i32p(r), _as_i32p(p), n, L, num_nodes,
@@ -289,5 +297,7 @@ def csr_from_sorted_windows(
     arrays["edge_targets"] = arrays["edge_targets"][:n_edges]
     arrays["post_case"] = arrays["post_case"][:n]
     arrays["post_para"] = arrays["post_para"][:n]
-    arrays["is_end"] = arrays["is_end"].astype(bool)
+    # zero-copy bool reinterpret (values are 0/1) — keeps a memmap-backed
+    # allocation memmap-backed
+    arrays["is_end"] = arrays["is_end"].view(bool)
     return arrays
