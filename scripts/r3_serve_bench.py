@@ -134,6 +134,10 @@ def main() -> None:
     cfg.trie.content_windowing = "phrase_start"
     cfg.vector.hnsw.index_path = str(work / "vec")
 
+    import jax as _jax
+
+    record["backend"] = _jax.default_backend()
+
     t = time.perf_counter()
     storage = StorageManager(cfg.storage)
     artifacts = load_artifacts(cfg)

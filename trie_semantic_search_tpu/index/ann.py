@@ -42,11 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import AnnConfig
-
-_log = logging.getLogger("tss_tpu.ann")
 from ..core.errors import IndexCorrupted, VectorIndexConstructionFailed
 from ..ops.scoring import gather_rescore, l2_normalize
 from ..ops.topk import exact_topk
+
+_log = logging.getLogger("tss_tpu.ann")
 from .kmeans import assign_clusters, train_kmeans
 
 
@@ -143,7 +143,6 @@ def _rebalance_overflow(
         "reassigning to next-best centroids",
         len(overflow_rows), n, cap, int(counts.max()),
     )
-    least_heap_dirty = True
     for lo in range(0, len(overflow_rows), slab):
         rows = overflow_rows[lo : lo + slab]
         s = norm_rows(rows) @ centroids.T  # [r, P]
