@@ -141,6 +141,21 @@ def test_save_load_roundtrip(built, queries, tmp_path):
     assert loaded.num_vectors == built.num_vectors
 
 
+def test_tuned_nprobe_persists_through_save_load(built, queries, tmp_path):
+    """tune_nprobe writes config.num_probes; save must persist it so a
+    fresh-config load doesn't regress to the default_nprobe heuristic
+    (~P/10 — a ~10x over-probe at CAP-scale partitionings)."""
+    nprobe = built.tune_nprobe(queries, k=10, target_recall=0.95)
+    p = tmp_path / "ann.npz"
+    built.save(p)
+    loaded = PartitionedANN.load(p)  # fresh default config
+    assert loaded.config.num_probes == nprobe
+    assert loaded.default_nprobe == min(nprobe, loaded.centroids.shape[0])
+    # an explicit caller override still wins
+    forced = PartitionedANN.load(p, AnnConfig(num_probes=3))
+    assert forced.default_nprobe == 3
+
+
 def test_unbuilt_raises():
     from trie_semantic_search_tpu.core.errors import VectorIndexConstructionFailed
 

@@ -717,6 +717,10 @@ class PartitionedANN:
             meta=np.array(json.dumps({
                 "num_vectors": self.num_vectors,
                 "int8_blocks": bool(int8_blocks),
+                # tuned search breadth (tune_nprobe writes config.num_probes);
+                # without this a loaded CAP-scale index falls back to the
+                # default_nprobe heuristic (~P/10), over-probing ~10x
+                "num_probes": int(self.config.num_probes),
             })),
         )
 
@@ -737,6 +741,10 @@ class PartitionedANN:
                     np.asarray(z["corpus_f16"], np.float32)
                 )
                 idx.num_vectors = int(meta["num_vectors"])
+                # adopt the persisted tuned nprobe unless the caller's
+                # config explicitly overrides it
+                if not idx.config.num_probes and meta.get("num_probes"):
+                    idx.config.num_probes = int(meta["num_probes"])
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             raise IndexCorrupted(index_type="ann", details=str(e)) from e
         return idx
