@@ -155,8 +155,10 @@ def main() -> None:
         "cases": int(len(columns)),
         "ann": type(vector.ann).__name__,
         "ann_mode": fused.ann_mode,
-        "nprobe": getattr(vector.ann, "nprobe", None),
-        "partitions": getattr(vector.ann, "num_partitions", None),
+        "nprobe": getattr(vector.ann, "default_nprobe", None),
+        "partitions": (int(vector.ann.centroids.shape[0])
+                       if getattr(vector.ann, "centroids", None) is not None
+                       else None),
         "artifact_load_s": round(load_s, 1),
         "engine_init_s": round(init_s, 1),
         "vectors_memmapped": isinstance(vector.vectors, np.memmap),
@@ -217,12 +219,21 @@ def main() -> None:
             f"({row['e2e_qps']} QPS), device-path p50 "
             f"{row['device_path_p50_ms']} ms ({row['device_path_qps']} QPS)")
     record["latency"] = lat
-    record["latency_note"] = (
-        "wall-clock through the live engine on the remote-TPU tunnel: "
-        "every device dispatch pays ~20-30 ms round-trip and the host is "
-        "single-core; amortised device-program times for the same corpus "
-        "scale are in capscale_r03.json"
-    )
+    if record["backend"] == "cpu":
+        record["latency_note"] = (
+            "wall-clock through the live engine on the single-core CPU "
+            "backend (dev host; the remote-TPU relay was down): this "
+            "measures serving correctness at corpus scale, not device "
+            "speed. TPU device-program times for the same corpus scale "
+            "are in capscale_r03.json (e.g. B=16 partitioned: 0.99 ms)"
+        )
+    else:
+        record["latency_note"] = (
+            "wall-clock through the live engine on the remote-TPU tunnel: "
+            "every device dispatch pays ~20-30 ms round-trip and the host "
+            "is single-core; amortised device-program times for the same "
+            "corpus scale are in capscale_r03.json"
+        )
 
     # ---- recall vs exact host oracle on the real corpus ------------------
     Q = args.recall_queries

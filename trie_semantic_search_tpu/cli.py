@@ -441,6 +441,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native trie + semantic legal search engine",
     )
     p.add_argument("-c", "--config", default="config.toml", help="config file path")
+    p.add_argument(
+        "--platform", default=None, metavar="NAME",
+        help="force the JAX platform (e.g. 'cpu'). Needed instead of "
+             "JAX_PLATFORMS when an interpreter-start hook (sitecustomize) "
+             "has already pinned a device platform",
+    )
     sub = p.add_subparsers(dest="command")
 
     s = sub.add_parser("serve", help="run the API server")
@@ -518,6 +524,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[list[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.platform:  # must precede any backend initialisation
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if not getattr(args, "fn", None):
         parser.print_help()
         return 2
