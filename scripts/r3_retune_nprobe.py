@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--work", default="/tmp/capbuild3")
     ap.add_argument("--sample", type=int, default=64)
     ap.add_argument("--target-recall", type=float, default=0.95)
+    ap.add_argument("--set", type=int, default=0, dest="set_nprobe",
+                    help="persist this nprobe directly (skip tuning) — "
+                         "e.g. the value picked by r3_nprobe_sweep.py "
+                         "against serving-level recall")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -46,17 +50,22 @@ def main() -> None:
           f"persisted num_probes={ann.config.num_probes} "
           f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
 
-    vectors = np.load(work / "vec" / "vectors.npy", mmap_mode="r")
-    rng = np.random.default_rng(0)
-    rows = np.sort(rng.choice(ann.num_vectors,
-                              min(args.sample, ann.num_vectors),
-                              replace=False))
-    sample = np.asarray(vectors[rows], np.float32)
-    t0 = time.perf_counter()
-    nprobe = ann.tune_nprobe(sample, k=10,
-                             target_recall=args.target_recall)
-    print(f"tuned nprobe={nprobe} in {time.perf_counter() - t0:.0f}s",
-          file=sys.stderr)
+    if args.set_nprobe:
+        nprobe = args.set_nprobe
+        ann.config.num_probes = nprobe
+        print(f"setting nprobe={nprobe} (no tuning)", file=sys.stderr)
+    else:
+        vectors = np.load(work / "vec" / "vectors.npy", mmap_mode="r")
+        rng = np.random.default_rng(0)
+        rows = np.sort(rng.choice(ann.num_vectors,
+                                  min(args.sample, ann.num_vectors),
+                                  replace=False))
+        sample = np.asarray(vectors[rows], np.float32)
+        t0 = time.perf_counter()
+        nprobe = ann.tune_nprobe(sample, k=10,
+                                 target_recall=args.target_recall)
+        print(f"tuned nprobe={nprobe} in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
     t0 = time.perf_counter()
     ann.save(ann_path)
     print(f"re-saved {ann_path} in {time.perf_counter() - t0:.0f}s",

@@ -1,0 +1,111 @@
+"""Serving-grade nprobe tuning (index/tuning.py).
+
+Regression for the round-3 postmortem: corpus-row self-queries with
+tie-aware score recall tuned the 5M-chunk CAP build to nprobe=1 while
+true case-level serving recall was 0.53. The corpus here reproduces the
+degeneracy in miniature: duplicate-text "topic" groups spanning many
+cases, split across partitions by the balanced-capacity cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trie_semantic_search_tpu.index.ann import AnnConfig, PartitionedANN
+from trie_semantic_search_tpu.index.tuning import (
+    case_level_oracle,
+    tune_nprobe_case_recall,
+)
+
+
+def _normed(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@pytest.fixture(scope="module")
+def duplicate_corpus():
+    """[N, D] corpus of T topic groups: chunks of a topic cluster tightly
+    across MANY distinct cases — the near-duplicate structure real legal
+    corpora carry (boilerplate sentences). The per-case jitter (5e-2) is
+    deliberately ABOVE bf16-rescore precision so the oracle's per-topic
+    case ranking is resolvable by the index (a real corpus resolves its
+    winners too); exact sub-precision ties are covered by
+    test_case_level_oracle_tie_break."""
+    rng = np.random.default_rng(0)
+    T, cases_per_topic, chunks_per_case, D = 8, 32, 16, 32
+    topics = _normed(rng.standard_normal((T, D)).astype(np.float32))
+    rows, case_of = [], []
+    case = 0
+    for t in range(T):
+        for _ in range(cases_per_topic):
+            for _ in range(chunks_per_case):
+                jit = 5e-2 * rng.standard_normal(D).astype(np.float32)
+                rows.append(_normed(topics[t] + jit))
+                case_of.append(case)
+            case += 1
+    corpus = np.asarray(rows, np.float32)
+    return corpus, np.asarray(case_of, np.int64), topics
+
+
+def test_case_level_oracle_tie_break():
+    """EXACT duplicate groups: the oracle must resolve equal scores to the
+    lower case row (the serving determinism invariant)."""
+    rng = np.random.default_rng(3)
+    D = 16
+    topics = _normed(rng.standard_normal((2, D)).astype(np.float32))
+    # 20 cases per topic, 4 identical chunks each (zero jitter)
+    corpus = np.repeat(topics, 80, axis=0)  # [160, D]
+    case_of = np.arange(160) // 4
+    oracle = case_level_oracle(corpus, case_of, topics, k=10)
+    # query = topic vector: all 20 cases of that topic tie exactly;
+    # the k winners must be the LOWEST case rows of the topic
+    assert oracle[0] == list(range(0, 10))
+    assert oracle[1] == list(range(20, 30))
+    # rerun → identical (pure function of inputs)
+    assert case_level_oracle(corpus, case_of, topics, k=10) == oracle
+
+
+def test_case_recall_tuner_delivers_promised_recall(duplicate_corpus):
+    corpus, case_of, topics = duplicate_corpus
+    ann = PartitionedANN(AnnConfig(num_partitions=64, rescore_factor=4))
+    ann.build(corpus, seed=0)
+
+    # query-shaped probes: between-topic mixtures (a real query relates
+    # to a topic without being any chunk verbatim)
+    rng = np.random.default_rng(1)
+    w = rng.random((24, 1)).astype(np.float32) * 0.3
+    ti = rng.integers(0, len(topics), 24)
+    tj = (ti + 1) % len(topics)
+    queries = _normed((1 - w) * topics[ti] + w * topics[tj])
+
+    tuned = tune_nprobe_case_recall(
+        ann, case_of, corpus, queries, k=10, target_recall=0.9
+    )
+    assert ann.config.num_probes == tuned
+
+    # the tuned value must actually deliver the recall it promised,
+    # measured exactly as serving reports it (case-level set overlap)
+    from trie_semantic_search_tpu.index.tuning import _served_cases
+
+    oracle = [set(o) for o in case_level_oracle(corpus, case_of, queries, 10)]
+    served = _served_cases(ann, case_of, queries, 10, tuned)
+    recall = float(np.mean(
+        [len(set(s) & o) / 10 for s, o in zip(served, oracle)]
+    ))
+    assert recall >= 0.9, f"case recall {recall} at tuned nprobe={tuned}"
+
+
+def test_case_recall_tuner_caps_instead_of_chasing_P(duplicate_corpus):
+    """An unreachable target settles on the cap, not nprobe → P."""
+    corpus, case_of, _topics = duplicate_corpus
+    ann = PartitionedANN(AnnConfig(num_partitions=64, rescore_factor=4))
+    ann.build(corpus, seed=0)
+    rng = np.random.default_rng(2)
+    # orthogonal garbage queries: no stable oracle overlap achievable
+    queries = _normed(rng.standard_normal((8, corpus.shape[1])))
+    tuned = tune_nprobe_case_recall(
+        ann, case_of, corpus, queries, k=10,
+        target_recall=1.0, max_nprobe=16,
+    )
+    assert tuned <= 16

@@ -133,12 +133,36 @@ def build_indexes(
     vector.freeze()
 
     if tune_recall and vector.ann.num_vectors >= 100 and vector.vectors is not None:
-        rng = np.random.default_rng(0)
-        sample = vector.vectors[
-            rng.choice(vector.ann.num_vectors, min(64, vector.ann.num_vectors), replace=False)
-        ]
-        nprobe = vector.ann.tune_nprobe(sample, k=10, target_recall=tune_recall)
-        _log.info("tuned nprobe=%d for recall>=%.2f", nprobe, tune_recall)
+        # serving-grade tuning: case-level recall with query-shaped probes
+        # (see index/tuning.py module doc for why corpus-row self-queries
+        # are degenerate); falls back to the row-level tuner when the
+        # corpus is too small to generate probes
+        from .tuning import build_probe_embeddings, tune_nprobe_case_recall
+
+        probes = build_probe_embeddings(
+            storage, tp, lambda texts: vector.generate_embeddings(texts)
+        )
+        if probes is not None and len(vector.refs):
+            nprobe = tune_nprobe_case_recall(
+                vector.ann, np.asarray(vector.refs)[:, 0], vector.vectors,
+                probes, k=10, target_recall=tune_recall,
+            )
+            _log.info(
+                "tuned nprobe=%d for case recall>=%.2f", nprobe, tune_recall
+            )
+        else:
+            rng = np.random.default_rng(0)
+            sample = vector.vectors[
+                rng.choice(
+                    vector.ann.num_vectors,
+                    min(64, vector.ann.num_vectors),
+                    replace=False,
+                )
+            ]
+            nprobe = vector.ann.tune_nprobe(
+                sample, k=10, target_recall=tune_recall
+            )
+            _log.info("tuned nprobe=%d for recall>=%.2f", nprobe, tune_recall)
 
     report.seconds = time.perf_counter() - t0
     _log.info(

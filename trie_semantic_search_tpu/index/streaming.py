@@ -340,23 +340,33 @@ class StreamingIndexBuilder:
                     hasattr(vector.ann, "tune_nprobe")
                     and vector.ann.num_vectors >= 100
                 ):
-                    # pick the smallest nprobe hitting the recall target on
-                    # a held-out sample and persist it in the saved config
-                    # (parity with index/builder.py:140; an untuned index
-                    # falls back to default_nprobe, which over-probes badly
-                    # at fine CAP-scale partitionings)
-                    rng = np.random.default_rng(0)
-                    sample = np.asarray(vector._vectors[
-                        np.sort(rng.choice(
-                            vector.ann.num_vectors,
-                            min(64, vector.ann.num_vectors),
-                            replace=False,
-                        ))
-                    ])
-                    nprobe = vector.ann.tune_nprobe(
-                        sample, k=10, target_recall=0.95
+                    # tune nprobe against SERVING recall: case-level set
+                    # overlap vs the exact oracle with query-shaped probe
+                    # texts. Corpus rows as their own queries + tie-aware
+                    # scores (the old criterion) is degenerate under the
+                    # duplicate-text groups every real corpus carries —
+                    # it tuned the 5M-chunk CAP build to nprobe=1 while
+                    # true serving recall@10 was 0.53 (index/tuning.py
+                    # module doc). The tuned value persists in the saved
+                    # artifact meta (ann.save).
+                    from ..text.processor import TextProcessor as _TP
+                    from .tuning import (
+                        build_probe_embeddings,
+                        tune_nprobe_case_recall,
                     )
-                    _log.info("tuned nprobe=%d for recall>=0.95", nprobe)
+
+                    probes = build_probe_embeddings(
+                        self.storage, _TP(self.config.text_processing),
+                        lambda texts: vector.generate_embeddings(texts),
+                    )
+                    if probes is not None:
+                        nprobe = tune_nprobe_case_recall(
+                            vector.ann, ref_arr[:, 0], vector._vectors,
+                            probes, k=10, target_recall=0.95,
+                        )
+                        _log.info(
+                            "tuned nprobe=%d for case recall>=0.95", nprobe
+                        )
 
         rate = (manifest.chunks - chunks_at_start) / max(
             time.perf_counter() - t_stream, 1e-9

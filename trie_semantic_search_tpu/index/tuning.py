@@ -1,0 +1,200 @@
+"""Serving-grade nprobe tuning: case-level recall with query-shaped probes.
+
+Why this exists (round-3 postmortem): ``PartitionedANN.tune_nprobe``
+measures tie-aware *score* recall of corpus rows used as their own
+queries. On a real corpus that criterion is degenerate — duplicate-text
+groups embed identically, every returned duplicate ties the oracle's
+k-th score, and the tuner happily returns ``nprobe=1`` while true
+serving recall (case-level set overlap vs the exact oracle, the metric
+the serving invariant "ties break to the lower row id" makes
+reproducible) collapses: measured on the 5M-chunk CAP build, nprobe=1
+gave 0.53 mean / 0.00 min case overlap vs 0.98 at nprobe=488.
+
+This tuner measures what serving reports:
+
+* **queries**: held-out *query-shaped* probes (half-sentence /
+  paraphrase texts re-embedded by the same encoder — see
+  ``models.quality.build_probes``), not corpus rows;
+* **metric**: top-``k`` *case* set overlap against the exact
+  full-corpus oracle (per-case best chunk score, lower case row on
+  ties) — the exact computation ``scripts/r3_serve_bench.py`` records;
+* **search path**: ``ann.search`` row results deduplicated to cases,
+  the same candidate shape the fused serving program dedups on device.
+
+Cost: one exact oracle pass (slab matmul over the corpus memmap,
+O(Q·N·D)) plus O(log P) probe sweeps — a build-time cost, run once at
+finalize.
+
+Reference parity: the reference's HNSW intent exposes ``ef_search`` as
+the recall/latency knob (src/config.rs vector section); this is the
+TPU-native equivalent of picking ef_search empirically.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+_log = logging.getLogger("tss_tpu.index.tuning")
+
+
+def case_level_oracle(
+    vectors: np.ndarray,  # [N, D] f32 (memmap ok)
+    chunk_case: np.ndarray,  # [N] int case row per chunk
+    query_embs: np.ndarray,  # [Q, D] (need not be normalized)
+    k: int = 10,
+    slab: int = 262_144,
+) -> list[list[int]]:
+    """Exact top-``k`` case rows per query: per-case best chunk score over
+    the FULL corpus, ties to the lower case row (the serving invariant).
+    Streams the corpus in slabs so the memmap never materializes."""
+    q = np.asarray(query_embs, np.float32)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    Q = len(q)
+    C = int(chunk_case.max()) + 1 if len(chunk_case) else 0
+    best = np.full((Q, C), -np.inf, np.float32)
+    cc_all = np.asarray(chunk_case, np.int64)
+    mono = bool(np.all(np.diff(cc_all) >= 0))
+    for lo in range(0, len(vectors), slab):
+        v = np.array(vectors[lo : lo + slab], np.float32)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        s = q @ v.T  # [Q, slab]
+        cc = cc_all[lo : lo + slab]
+        if mono and len(cc):
+            # chunk→case is nondecreasing in build order: segment-max via
+            # reduceat (np.maximum.at is ~100x slower)
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(cc)) + 1])
+            m = np.maximum.reduceat(s, starts, axis=1)
+            best[:, cc[starts]] = np.maximum(best[:, cc[starts]], m)
+        else:
+            for b in range(Q):
+                np.maximum.at(best[b], cc, s[b])
+    out = []
+    rows = np.arange(C)
+    for b in range(Q):
+        order = np.lexsort((rows, -best[b]))[:k]
+        out.append([int(r) for r in order])
+    return out
+
+
+def _served_cases(
+    ann,
+    chunk_case: np.ndarray,
+    query_embs: np.ndarray,
+    k: int,
+    nprobe: int,
+    row_overfetch: int = 16,
+) -> list[list[int]]:
+    """Top-``k`` distinct cases through ``ann.search`` at ``nprobe``:
+    fetch ``k*row_overfetch`` rows (duplicate-heavy corpora repeat cases)
+    and dedup preserving score order — the host-side analogue of the
+    fused program's device dedup."""
+    k_rows = min(k * row_overfetch, ann.num_vectors)
+    _, idx = ann.search(
+        np.asarray(query_embs, np.float32), k_rows, nprobe=nprobe
+    )
+    idx = np.asarray(idx)
+    out = []
+    for r in idx:
+        seen: list[int] = []
+        for row in r:
+            if row < 0:
+                continue
+            c = int(chunk_case[row])
+            if c not in seen:
+                seen.append(c)
+                if len(seen) >= k:
+                    break
+        out.append(seen)
+    return out
+
+
+def tune_nprobe_case_recall(
+    ann,  # index.ann.PartitionedANN (built)
+    chunk_case: np.ndarray,  # [N] chunk → case row
+    vectors: np.ndarray,  # [N, D] f32 corpus (memmap ok)
+    query_embs: np.ndarray,  # [Q, D] query-shaped probe embeddings
+    k: int = 10,
+    target_recall: float = 0.95,
+    max_nprobe: Optional[int] = None,
+) -> int:
+    """Smallest ``nprobe`` whose case-level recall@k vs the exact oracle
+    reaches ``target_recall``; persists it in ``ann.config.num_probes``.
+
+    Same O(log P) doubling-sweep-plus-midpoint shape as
+    ``PartitionedANN.tune_nprobe`` (each distinct nprobe is a fresh
+    compiled program). If the target is unreachable within
+    ``max_nprobe`` (default P//2 — probe cost grows as nprobe·m ≈
+    nprobe·N·overalloc/P, so past ~P/2 the probe path no longer beats
+    the brute scan and serving's guards would demote it anyway), the
+    sweep settles on ``max_nprobe`` rather than chasing nprobe → P.
+    """
+    P = int(ann.centroids.shape[0])
+    cap = min(max_nprobe or max(8, P // 2), P)
+    oracle = [set(o) for o in case_level_oracle(
+        vectors, chunk_case, query_embs, k
+    )]
+
+    def recall_at(nprobe: int) -> float:
+        served = _served_cases(ann, chunk_case, query_embs, k, nprobe)
+        r = float(np.mean([
+            len(set(s) & o) / max(len(o), 1)
+            for s, o in zip(served, oracle)
+        ]))
+        _log.info("case recall@%d at nprobe=%d: %.4f", k, nprobe, r)
+        return r
+
+    n, hi = 1, cap
+    if recall_at(1) >= target_recall:
+        hi = 1
+    else:
+        lo = 1
+        while True:
+            n = min(n * 2, cap)
+            if recall_at(n) >= target_recall:
+                hi = n
+                break
+            lo = n
+            if n >= cap:
+                hi = cap
+                _log.warning(
+                    "case recall target %.2f unreachable at nprobe<=%d; "
+                    "settling on the cap", target_recall, cap,
+                )
+                break
+        if hi < cap and hi - lo > 1:  # one midpoint refine
+            mid = (lo + hi) // 2
+            if recall_at(mid) >= target_recall:
+                hi = mid
+    ann.config.num_probes = int(hi)
+    return int(hi)
+
+
+def build_probe_embeddings(
+    storage,  # storage.store.StorageManager
+    text_processor,  # text.processor.TextProcessor
+    embed_fn,  # Callable[[list[str]], np.ndarray]  (texts → [n, D])
+    max_cases: int = 200,
+    max_probes: int = 64,
+) -> Optional[np.ndarray]:
+    """Query-shaped probe embeddings from the stored corpus: half-sentence
+    and legal-synonym-paraphrase probes (``models.quality.build_probes``)
+    re-embedded with the serving encoder. Returns None when the corpus is
+    too small to produce any probes."""
+    from ..models.quality import build_probes
+
+    docs = []
+    for row, _meta, text in storage.iter_cases_rowid():
+        if len(docs) >= max_cases:
+            break
+        if text:
+            docs.append(
+                (row, text_processor.extract_sentences(
+                    text_processor.normalize_text(text)))
+            )
+    probes = build_probes(docs, max_probes=max_probes)
+    if not probes:
+        return None
+    return np.asarray(embed_fn([p.query for p in probes]), np.float32)
