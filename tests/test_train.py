@@ -48,6 +48,64 @@ def test_info_nce_shuffled_is_worse():
     assert float(aligned) < float(shuffled)
 
 
+def test_info_nce_false_negative_mask():
+    """Masked duplicates stop penalising the anchor: a batch where rows 0
+    and 1 embed IDENTICALLY is unlearnable unmasked (the softmax splits
+    probability between the twins — acc can never reach 1) but perfect
+    once each twin is excluded from the other's negatives."""
+    e = np.eye(4, 8, dtype=np.float32)
+    e[1] = e[0]  # rows 0 and 1 are duplicates
+    e = jnp.asarray(e)
+    loss_unmasked, _acc_u = info_nce_loss(e, e, temperature=0.05)
+    mask = np.ones((4, 4), dtype=bool)
+    mask[0, 1] = mask[1, 0] = False
+    loss_masked, acc_m = info_nce_loss(
+        e, e, temperature=0.05, neg_mask=jnp.asarray(mask)
+    )
+    assert float(acc_m) == 1.0
+    assert float(loss_masked) < 0.01 < float(loss_unmasked)
+
+
+def test_false_negative_mask_builder():
+    from trie_semantic_search_tpu.models.train import _false_negative_mask
+
+    texts = [
+        "the court held that due process applies here",
+        "the court held that due process applies here",  # verbatim twin
+        "an entirely different question of patent law",
+    ]
+    m = _false_negative_mask(texts, jaccard_threshold=0.8)
+    assert not m[0, 1] and not m[1, 0]  # twins excluded for each other
+    assert m[0, 2] and m[2, 0] and m[1, 2]  # distinct texts usable
+    assert m[0, 0] and m[1, 1] and m[2, 2]  # diagonal untouched (kept by loss)
+
+
+def test_batches_carry_neg_mask():
+    from trie_semantic_search_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        train_wordpiece_vocab,
+    )
+    from trie_semantic_search_tpu.models.train import batches_from_pairs
+
+    pairs = [("alpha beta gamma", "delta epsilon zeta")] * 4 + [
+        ("one two three", "four five six")
+    ] * 4
+    tok = WordPieceTokenizer(
+        train_wordpiece_vocab(iter([" ".join(sum(map(list, pairs), []))]),
+                              vocab_size=128)
+    )
+    it = batches_from_pairs(pairs, tok, batch_size=8, max_len=8,
+                            false_negative_jaccard=0.5)
+    batch = next(it)
+    m = np.asarray(batch["neg_mask"])
+    assert m.shape == (8, 8)
+    # duplicates of the same pair must be mutually excluded
+    assert (~m).sum() >= 8
+    # without the option the key is absent (sharded-step contract)
+    it2 = batches_from_pairs(pairs, tok, batch_size=8, max_len=8)
+    assert "neg_mask" not in next(it2)
+
+
 def test_train_step_reduces_loss():
     params = minilm.init_params(jax.random.PRNGKey(0), TINY)
     cfg = TrainConfig(total_steps=30, warmup_steps=2, learning_rate=1e-3)

@@ -621,6 +621,14 @@ class PartitionedANN:
         (SURVEY.md §7 "tune (P, nprobe) to hit 0.95 recall@10").
 
         Doubling sweep then midpoint refine — O(log P) search passes.
+
+        CAVEAT: with corpus rows as their own sample queries this
+        tie-aware criterion is degenerate on duplicate-heavy corpora
+        (every returned duplicate ties the oracle's k-th score — the
+        5M-chunk CAP build tuned to nprobe=1 while case-level serving
+        recall was 0.53). Prefer ``index.tuning.tune_nprobe_case_recall``
+        with query-shaped probes whenever storage + encoder are
+        available; this remains the small-corpus / vectors-only fallback.
         """
         self._require_built()
         ov, _ = self.search_brute(sample_queries, k)

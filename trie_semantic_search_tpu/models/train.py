@@ -65,10 +65,22 @@ def info_nce_loss(
     anchors: jax.Array,  # [B, D] L2-normalised
     positives: jax.Array,  # [B, D] L2-normalised
     temperature: float,
+    neg_mask: Optional[jax.Array] = None,  # [B, B] bool: True = usable negative
 ) -> tuple[jax.Array, jax.Array]:
-    """Symmetric in-batch-negative InfoNCE. Returns (loss, accuracy)."""
+    """Symmetric in-batch-negative InfoNCE. Returns (loss, accuracy).
+
+    ``neg_mask[i, j]`` False excludes pair j as a negative for anchor i
+    (the diagonal — the positive — is always kept). Duplicate-heavy
+    corpora need this: when several in-batch items carry near-identical
+    text, the task "pick YOUR duplicate among its twins" is unlearnable
+    and measurably degrades the encoder below its random-projection init
+    (bench_results/pretrain_lab_r03.jsonl)."""
     logits = anchors @ positives.T / temperature  # [B, B]
     labels = jnp.arange(logits.shape[0])
+    if neg_mask is not None:
+        keep = neg_mask | jnp.eye(logits.shape[0], dtype=bool)
+        # -1e30 (not -inf): all-False rows would otherwise yield nan
+        logits = jnp.where(keep, logits, -1e30)
     loss_a = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     loss_b = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
     loss = (loss_a + loss_b).mean() / 2
@@ -89,7 +101,7 @@ def train_step(
     def loss_fn(p: minilm.Params) -> tuple[jax.Array, jax.Array]:
         a = minilm.encode(p, batch["ids_a"], batch["mask_a"], model_config)
         b = minilm.encode(p, batch["ids_b"], batch["mask_b"], model_config)
-        return info_nce_loss(a, b, temperature)
+        return info_nce_loss(a, b, temperature, batch.get("neg_mask"))
 
     (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -161,14 +173,40 @@ def mine_pairs(
     return pairs
 
 
+def _false_negative_mask(
+    texts: Sequence[str], jaccard_threshold: float
+) -> np.ndarray:
+    """[B, B] bool — True where pair j is a USABLE negative for anchor i:
+    token-set Jaccard below the threshold. Template/boilerplate corpora
+    put near-verbatim items in every batch; treating a twin as a negative
+    is a false label the loss then optimises against."""
+    sets = [frozenset(t.lower().split()) for t in texts]
+    B = len(sets)
+    mask = np.ones((B, B), dtype=bool)
+    for i in range(B):
+        si = sets[i]
+        for j in range(i + 1, B):
+            sj = sets[j]
+            inter = len(si & sj)
+            union = len(si | sj) or 1
+            if inter / union >= jaccard_threshold:
+                mask[i, j] = mask[j, i] = False
+    return mask
+
+
 def batches_from_pairs(
     pairs: Sequence[tuple[str, str]],
     tokenizer,
     batch_size: int,
     max_len: int,
     seed: int = 0,
+    false_negative_jaccard: float = 0.0,
 ) -> Iterator[dict[str, jnp.ndarray]]:
-    """Cycle tokenised [B, L] batches forever (caller bounds steps)."""
+    """Cycle tokenised [B, L] batches forever (caller bounds steps).
+
+    ``false_negative_jaccard`` > 0 adds a ``neg_mask`` [B, B] excluding
+    near-duplicate in-batch negatives (token-set Jaccard ≥ threshold on
+    the concatenated pair text) — see :func:`info_nce_loss`."""
     rng = np.random.default_rng(seed)
     order = np.arange(len(pairs))
     while True:
@@ -177,12 +215,18 @@ def batches_from_pairs(
             idx = order[s : s + batch_size]
             a = tokenizer.encode_batch([pairs[i][0] for i in idx], max_len)
             b = tokenizer.encode_batch([pairs[i][1] for i in idx], max_len)
-            yield {
+            batch = {
                 "ids_a": jnp.asarray(a.input_ids),
                 "mask_a": jnp.asarray(a.attention_mask),
                 "ids_b": jnp.asarray(b.input_ids),
                 "mask_b": jnp.asarray(b.attention_mask),
             }
+            if false_negative_jaccard > 0.0:
+                batch["neg_mask"] = jnp.asarray(_false_negative_mask(
+                    [pairs[i][0] + " " + pairs[i][1] for i in idx],
+                    false_negative_jaccard,
+                ))
+            yield batch
 
 
 def pretrain_encoder(
@@ -193,9 +237,15 @@ def pretrain_encoder(
     max_len: int = 64,
     train_config: Optional[TrainConfig] = None,
     log_every: int = 50,
+    false_negative_jaccard: float = 0.0,
 ) -> dict:
     """Corpus-contrastive pretraining: adapts the encoder to the corpus so
-    semantic search is meaningful with zero downloaded weights."""
+    semantic search is meaningful with zero downloaded weights.
+
+    ``false_negative_jaccard`` > 0 masks near-duplicate in-batch
+    negatives (see :func:`info_nce_loss`) — essential on template-heavy
+    corpora, where unmasked training measurably degrades retrieval below
+    the random init."""
     cfg = train_config or TrainConfig(total_steps=steps)
     pairs = mine_pairs(docs)
     if len(pairs) < 4:
@@ -217,7 +267,10 @@ def pretrain_encoder(
         )
     )
     params = embedder.params
-    it = batches_from_pairs(pairs, embedder.tokenizer, batch_size, max_len)
+    it = batches_from_pairs(
+        pairs, embedder.tokenizer, batch_size, max_len,
+        false_negative_jaccard=false_negative_jaccard,
+    )
     last_loss = last_acc = float("nan")
     for step in range(steps):
         batch = next(it)
