@@ -30,14 +30,16 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CONFIGS = [
-    # name, steps, lr, temperature, batch_size, false_negative_jaccard
-    ("random_init", 0, 2e-4, 0.05, 32, 0.0),
-    ("build_default_300", 300, 2e-4, 0.05, 32, 0.0),
-    ("fnmask_300", 300, 2e-4, 0.05, 32, 0.5),
-    ("fnmask_1500", 1500, 2e-4, 0.05, 32, 0.5),
-    ("longer_1500", 1500, 2e-4, 0.05, 32, 0.0),
-    ("soft_temp_0.15", 1500, 2e-4, 0.15, 32, 0.0),
-    ("low_lr_5e-5", 1500, 5e-5, 0.05, 32, 0.0),
+    # name, steps, lr, temperature, batch_size, fn_jaccard, scrub_digits
+    ("random_init", 0, 2e-4, 0.05, 32, 0.0, False),
+    ("build_default_300", 300, 2e-4, 0.05, 32, 0.0, False),
+    ("fnmask_300", 300, 2e-4, 0.05, 32, 0.5, False),
+    ("scrub_fnmask_300", 300, 2e-4, 0.05, 32, 0.5, True),
+    ("scrub_300", 300, 2e-4, 0.05, 32, 0.0, True),
+    ("scrub_fnmask_1500", 1500, 2e-4, 0.05, 32, 0.5, True),
+    ("longer_1500", 1500, 2e-4, 0.05, 32, 0.0, False),
+    ("soft_temp_0.15", 1500, 2e-4, 0.15, 32, 0.0, False),
+    ("low_lr_5e-5", 1500, 5e-5, 0.05, 32, 0.0, False),
 ]
 
 
@@ -127,7 +129,7 @@ def main() -> None:
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     names = set(args.only.split(",")) if args.only else None
-    for name, steps, lr, temp, bs, fnj in CONFIGS:
+    for name, steps, lr, temp, bs, fnj, scrub in CONFIGS:
         if names and name not in names:
             continue
         t0 = time.perf_counter()
@@ -141,6 +143,7 @@ def main() -> None:
                     total_steps=steps, learning_rate=lr, temperature=temp,
                 ),
                 false_negative_jaccard=fnj,
+                scrub_digits=scrub,
             )
         direct = evaluate_embedder_direct(emb, texts, case_rows, probes)
         pr = pair_ranking_accuracy(emb, pairs)
@@ -151,6 +154,7 @@ def main() -> None:
             "temperature": temp,
             "batch_size": bs,
             "false_negative_jaccard": fnj,
+            "scrub_digits": scrub,
             "train_report": {k: rep.get(k) for k in
                              ("final_loss", "final_accuracy", "pairs")},
             "pair_ranking_acc": round(pr, 4),

@@ -226,6 +226,55 @@ def test_pretrain_improves_retrieval():
     assert after > before  # same-doc sentences moved closer
 
 
+def test_pretrain_guardrail_keeps_better_weights():
+    """pretrain_encoder_guarded must leave the embedder holding whichever
+    weights (trained vs init) score better on the probe harness, and
+    record the decision."""
+    from trie_semantic_search_tpu.models.embedder import Embedder
+    from trie_semantic_search_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        train_wordpiece_vocab,
+    )
+    from trie_semantic_search_tpu.models.train import pretrain_encoder_guarded
+
+    rng = np.random.default_rng(0)
+    topics = ["due process", "habeas corpus", "eminent domain", "double jeopardy"]
+    docs = []
+    for d in range(24):
+        t = topics[d % len(topics)]
+        docs.append([
+            f"case number {d} presents a question of {t} under review "
+            f"and the record at trial {int(rng.integers(0, 999))} controls",
+            f"the court held that the {t} claim turns on the evidence "
+            f"developed below in docket {int(rng.integers(0, 999))}",
+            f"the judgment on the {t} question is affirmed and remanded "
+            f"for proceedings consistent with this opinion part {d}",
+        ] * 3)
+    vocab = train_wordpiece_vocab(iter([" ".join(s) for s in docs]),
+                                  vocab_size=512)
+    from trie_semantic_search_tpu.core.config import Config
+
+    mc = Config().vector.model
+    emb = Embedder(mc, tokenizer=WordPieceTokenizer(vocab), seed=0,
+                   model_config=TINY)
+    init_leaf = np.asarray(
+        jax.tree.leaves(emb.params)[0]
+    ).copy()
+    rep = pretrain_encoder_guarded(
+        emb, docs, steps=12, batch_size=8, max_len=24,
+        train_config=TrainConfig(total_steps=12, warmup_steps=2),
+        eval_docs=24, eval_probes=24,
+    )
+    g = rep["guardrail"]
+    assert g["kept"] in ("trained", "init")
+    now_leaf = np.asarray(jax.tree.leaves(emb.params)[0])
+    if g["kept"] == "init":
+        np.testing.assert_array_equal(now_leaf, init_leaf)
+        assert g["init_mrr"] > g["trained_mrr"]
+    else:
+        assert g["trained_mrr"] >= g["init_mrr"]
+
+
 def test_pretrain_skips_tiny_corpus():
     emb = Embedder(
         EmbeddingModelConfig(max_sequence_length=32),

@@ -80,14 +80,16 @@ def build_indexes(
             config.vector.model, tokenizer=WordPieceTokenizer(vocab)
         )
     if pretrain_steps > 0:
-        from ..models.train import pretrain_encoder
+        # guarded: keeps the init weights if the contrastive objective
+        # degrades probe retrieval (see models/train.pretrain_encoder_guarded)
+        from ..models.train import pretrain_encoder_guarded
 
         docs = [
             tp.extract_sentences(tp.normalize_text(text))
             for _, text in storage.iter_cases()
             if text
         ]
-        report = pretrain_encoder(
+        report = pretrain_encoder_guarded(
             embedder, docs, steps=pretrain_steps,
             max_len=min(64, config.vector.model.max_sequence_length),
         )

@@ -148,7 +148,7 @@ class StreamingIndexBuilder:
                     # zero semantic-quality evidence). The trained encoder
                     # persists to the artifact dir IMMEDIATELY so every
                     # SIGKILL-resumed run embeds with the same weights.
-                    from ..models.train import pretrain_encoder
+                    from ..models.train import pretrain_encoder_guarded
                     from ..text.processor import TextProcessor as _TP
 
                     _tp = _TP(config.text_processing)
@@ -162,7 +162,10 @@ class StreamingIndexBuilder:
                             docs.append(_tp.extract_sentences(
                                 _tp.normalize_text(text)
                             ))
-                    rep = pretrain_encoder(
+                    # guarded: keeps the init weights if the contrastive
+                    # objective degrades probe retrieval (template-heavy
+                    # corpora — see models/train.pretrain_encoder_guarded)
+                    rep = pretrain_encoder_guarded(
                         embedder, docs, steps=pretrain_steps,
                         max_len=min(
                             64, config.vector.model.max_sequence_length

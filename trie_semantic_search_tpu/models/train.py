@@ -158,12 +158,26 @@ def make_sharded_train_step(
 def mine_pairs(
     docs: Sequence[Sequence[str]],  # per-document sentence lists
     seed: int = 0,
+    scrub_digits: bool = False,
 ) -> list[tuple[str, str]]:
     """Self-supervised pairs: adjacent sentences of the same document
-    (positives) — the classic "neighbouring spans agree" signal."""
+    (positives) — the classic "neighbouring spans agree" signal.
+
+    ``scrub_digits`` replaces digit runs with ``0`` in the TRAINING pair
+    text (serving still embeds raw text). Document-unique numbers (case /
+    docket / trial numbers) are a shortcut that lets InfoNCE reach ~100%
+    in-batch accuracy without learning any semantics — measured to DEGRADE
+    retrieval below the random init (pretrain_lab_r03.jsonl); scrubbing
+    leaves topic/doctrine tokens as the only match signal, which is the
+    representation retrieval actually needs. It also makes template twins
+    verbatim-identical, so the false-negative jaccard mask catches them."""
+    import re
+
     rng = np.random.default_rng(seed)
     pairs: list[tuple[str, str]] = []
     for sents in docs:
+        if scrub_digits:
+            sents = [re.sub(r"\d+", "0", s) for s in sents]
         for i in range(len(sents) - 1):
             pairs.append((sents[i], sents[i + 1]))
         if len(sents) >= 3:  # long-range pair for document-level coherence
@@ -238,6 +252,7 @@ def pretrain_encoder(
     train_config: Optional[TrainConfig] = None,
     log_every: int = 50,
     false_negative_jaccard: float = 0.0,
+    scrub_digits: bool = False,
 ) -> dict:
     """Corpus-contrastive pretraining: adapts the encoder to the corpus so
     semantic search is meaningful with zero downloaded weights.
@@ -247,7 +262,7 @@ def pretrain_encoder(
     corpora, where unmasked training measurably degrades retrieval below
     the random init."""
     cfg = train_config or TrainConfig(total_steps=steps)
-    pairs = mine_pairs(docs)
+    pairs = mine_pairs(docs, scrub_digits=scrub_digits)
     if len(pairs) < 4:
         _log.warning(
             "only %d pairs (< 4); skipping pretraining", len(pairs)
@@ -288,3 +303,76 @@ def pretrain_encoder(
         "final_loss": last_loss,
         "final_accuracy": last_acc,
     }
+
+
+def pretrain_encoder_guarded(
+    embedder,  # models.embedder.Embedder (params updated in place)
+    docs: Sequence[Sequence[str]],
+    steps: int = 200,
+    batch_size: int = 32,
+    max_len: int = 64,
+    train_config: Optional[TrainConfig] = None,
+    false_negative_jaccard: float = 0.5,
+    scrub_digits: bool = True,
+    eval_docs: int = 64,
+    eval_probes: int = 96,
+) -> dict:
+    """Pretrain with a retrieval guardrail: keep the trained weights only
+    if they do NOT degrade probe retrieval vs the initialisation.
+
+    Why: a random-init MiniLM is already a strong bag-of-words retriever
+    (random projections preserve token-overlap geometry). On degenerate
+    corpora — heavy boilerplate, template text — corpus-contrastive
+    InfoNCE can reach ~100% in-batch accuracy through shortcuts and
+    COLLAPSE that geometry: measured on the round-3 CAP corpus, 300
+    unguarded steps halved direct-retrieval MRR (0.42 → 0.22;
+    bench_results/pretrain_lab_r03.jsonl — false-negative masking and
+    digit scrubbing, both on by default here, recover only part of it).
+    The guardrail makes pretraining corpus-agnostic: corpora where the
+    objective helps keep the trained weights, degenerate ones keep init.
+
+    Returns the pretrain report plus a ``guardrail`` record with both
+    measurements and which weights were kept."""
+    from .quality import build_probes, evaluate_embedder_direct
+
+    init_params = embedder.params  # immutable jax arrays: snapshot = ref
+    rep = pretrain_encoder(
+        embedder, docs, steps=steps, batch_size=batch_size,
+        max_len=max_len, train_config=train_config,
+        false_negative_jaccard=false_negative_jaccard,
+        scrub_digits=scrub_digits,
+    )
+    if not rep.get("steps"):
+        return rep  # pretraining skipped (tiny corpus)
+    sample = [(i, sents) for i, sents in enumerate(docs[:eval_docs])]
+    probes = build_probes(sample, max_probes=eval_probes)
+    texts: list[str] = []
+    rows: list[int] = []
+    for i, sents in sample:
+        for s in sents[:8]:
+            texts.append(s)
+            rows.append(i)
+    if not probes or not texts:
+        rep["guardrail"] = {"kept": "trained", "reason": "no probes"}
+        return rep
+    trained_params = embedder.params
+    trained = evaluate_embedder_direct(embedder, texts, rows, probes)["all"]
+    embedder.params = init_params
+    init = evaluate_embedder_direct(embedder, texts, rows, probes)["all"]
+    if trained["mrr"] >= init["mrr"]:
+        embedder.params = trained_params
+        kept = "trained"
+    else:  # init already restored
+        kept = "init"
+        _log.warning(
+            "pretraining degraded probe retrieval (MRR %.3f -> %.3f); "
+            "keeping the initialisation weights",
+            init["mrr"], trained["mrr"],
+        )
+    rep["guardrail"] = {
+        "kept": kept,
+        "trained_mrr": trained["mrr"],
+        "init_mrr": init["mrr"],
+        "probes": len(probes),
+    }
+    return rep
