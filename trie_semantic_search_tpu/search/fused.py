@@ -275,8 +275,14 @@ class FusedHybridSearch:
         )
         self.sp_m = int(parts["m"])
         P = centroids.shape[0]
-        if acfg.num_probes:
-            self.sp_nprobe = min(acfg.num_probes, P)
+        # the loaded artifact's tuned nprobe (ann.save persists it in the
+        # npz meta and ann.load adopts it into ann.config) wins over the
+        # user config's unset default — without this the sharded path
+        # regressed to the ~P/10 heuristic even on a tuned index
+        tuned = getattr(getattr(ann, "config", None), "num_probes", 0)
+        nprobe_cfg = acfg.num_probes or tuned
+        if nprobe_cfg:
+            self.sp_nprobe = min(nprobe_cfg, P)
         else:
             self.sp_nprobe = min(max(8, P // 10, acfg.ef_search // 4), P)
         self.sp_rescore = max(1, acfg.rescore_factor)
