@@ -808,40 +808,16 @@ def capscale() -> None:
     }))
 
 
-def _guard_dead_tpu_relay() -> None:
-    """Fall back to the CPU backend when the axon TPU relay is down.
+if __name__ == "__main__":
+    from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
 
-    The dev environment reaches its single TPU chip through a loopback
-    relay (``JAX_PLATFORMS=axon``, port 8093). If that relay process has
-    died (observed after device-OOM incidents), a JAX client does not
-    error — it futex-hangs forever at its first device op, which would
-    stall the driver. Probe the port first and demote to CPU with an
-    honest stderr note; the stdout JSON line stays parseable either way.
-    On real TPU hardware (no axon platform) this is a no-op."""
-    import os
-    import socket
-
-    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
-        return
-    s = socket.socket()
-    s.settimeout(2.0)
-    try:
-        s.connect(("127.0.0.1", 8093))
-    except OSError:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    if guard_dead_tpu_relay():
+        # stdout keeps the one-JSON-line driver contract; note on stderr
         print(
             "bench: axon TPU relay down (port 8093 refused); "
             "falling back to the CPU backend",
             file=sys.stderr,
         )
-    finally:
-        s.close()
-
-
-if __name__ == "__main__":
-    _guard_dead_tpu_relay()
     if "--suite" in sys.argv:
         import jax  # noqa: F401
 

@@ -70,33 +70,17 @@ def main() -> None:
     qn = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True),
                            1e-12)
 
-    # exact oracle over the full corpus: per-case best score, then top-10
-    # cases with the lower-row tie-break (the serving invariant)
-    store = vector.vectors
-    refs = np.asarray(vector.refs, np.int32)
-    chunk_case = refs[:, 0]
-    C = len(columns)
-    best = np.full((Q, C), -np.inf, np.float32)
-    mono = bool(np.all(np.diff(chunk_case) >= 0))
-    slab = 262_144
+    # exact oracle over the full corpus (the shared serving-invariant
+    # implementation in index/tuning.py: per-case best score, lower case
+    # row on ties)
+    from trie_semantic_search_tpu.index.tuning import case_level_oracle
+
     t0 = time.perf_counter()
-    for lo in range(0, len(store), slab):
-        v = np.array(store[lo: lo + slab], np.float32)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        s = qn @ v.T
-        cc = chunk_case[lo: lo + slab]
-        if mono and len(cc):
-            starts = np.concatenate([[0], np.flatnonzero(np.diff(cc)) + 1])
-            m = np.maximum.reduceat(s, starts, axis=1)
-            best[:, cc[starts]] = np.maximum(best[:, cc[starts]], m)
-        else:
-            for b in range(Q):
-                np.maximum.at(best[b], cc, s[b])
-    oracle_rows, oracle_k_score = [], []
-    for b in range(Q):
-        order = np.lexsort((np.arange(C), -best[b]))[:10]
-        oracle_rows.append(set(int(r) for r in order))
-        oracle_k_score.append(float(best[b][order[-1]]))
+    chunk_case = np.asarray(vector.refs, np.int32)[:, 0]
+    rows_list, oracle_k_score = case_level_oracle(
+        vector.vectors, chunk_case, qn, k=10, return_scores=True
+    )
+    oracle_rows = [set(r) for r in rows_list]
     print(f"oracle in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     for n in (int(x) for x in args.nprobes.split(",")):

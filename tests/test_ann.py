@@ -91,8 +91,10 @@ def test_partitioned_recall_at_10_after_tuning(built, corpus, queries):
     assert tie_recall >= 0.95, f"recall@10 = {tie_recall} at nprobe={nprobe}"
     overlap = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(i, oi)])
     assert overlap >= 0.9, f"index overlap {overlap} at nprobe={nprobe}"
-    # tuned value persisted as the default
-    assert built.config.num_probes == nprobe
+    # tuned value persisted as the per-artifact default (NOT written into
+    # the caller's shared config — see test_load_does_not_mutate_config)
+    assert built.tuned_nprobe == nprobe
+    assert built.default_nprobe == min(nprobe, built.centroids.shape[0])
 
 
 def test_partitioned_deterministic(built, queries):
@@ -135,25 +137,46 @@ def test_save_load_roundtrip(built, queries, tmp_path):
     p = tmp_path / "ann.npz"
     built.save(p)
     loaded = PartitionedANN.load(p, built.config)
-    v1, i1 = built.search(queries, 10)
-    v2, i2 = loaded.search(queries, 10)
+    # explicit nprobe: the module-scoped fixture may carry a tuned_nprobe
+    # from the tuning test, which load() does not adopt when the caller's
+    # config pins num_probes — this test is about artifact equality
+    v1, i1 = built.search(queries, 10, nprobe=8)
+    v2, i2 = loaded.search(queries, 10, nprobe=8)
     np.testing.assert_array_equal(i1, i2)
     assert loaded.num_vectors == built.num_vectors
 
 
 def test_tuned_nprobe_persists_through_save_load(built, queries, tmp_path):
-    """tune_nprobe writes config.num_probes; save must persist it so a
-    fresh-config load doesn't regress to the default_nprobe heuristic
-    (~P/10 — a ~10x over-probe at CAP-scale partitionings)."""
+    """tune_nprobe sets the per-artifact tuned_nprobe; save must persist
+    it so a fresh-config load doesn't regress to the default_nprobe
+    heuristic (~P/10 — a ~10x over-probe at CAP-scale partitionings)."""
     nprobe = built.tune_nprobe(queries, k=10, target_recall=0.95)
     p = tmp_path / "ann.npz"
     built.save(p)
     loaded = PartitionedANN.load(p)  # fresh default config
-    assert loaded.config.num_probes == nprobe
+    assert loaded.tuned_nprobe == nprobe
     assert loaded.default_nprobe == min(nprobe, loaded.centroids.shape[0])
     # an explicit caller override still wins
     forced = PartitionedANN.load(p, AnnConfig(num_probes=3))
     assert forced.default_nprobe == 3
+
+
+def test_load_does_not_mutate_config(built, queries, tmp_path):
+    """Adopting a persisted tuned nprobe must NOT write into the caller's
+    shared AnnConfig: VectorIndex passes its process-wide config.hnsw to
+    load(), and a stale artifact value leaking into it would poison the
+    next rebuild (server reindex builds a new ANN from the same config
+    with no tuning pass — it would inherit the OLD index's nprobe)."""
+    nprobe = built.tune_nprobe(queries, k=10, target_recall=0.95)
+    p = tmp_path / "ann.npz"
+    built.save(p)
+    shared = AnnConfig()  # stands in for the process-wide config.hnsw
+    loaded = PartitionedANN.load(p, shared)
+    assert loaded.tuned_nprobe == nprobe
+    assert shared.num_probes == 0  # untouched
+    # a rebuild from the same shared config starts clean
+    fresh = PartitionedANN(shared)
+    assert fresh.tuned_nprobe == 0
 
 
 def test_unbuilt_raises():

@@ -412,16 +412,16 @@ def test_sharded_init_adopts_tuned_nprobe(stack):
     built, _fused_single, _emb = stack
     mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
     ann = built.vector.ann
-    old = ann.config.num_probes
+    old = ann.tuned_nprobe
     try:
-        ann.config.num_probes = 3  # as if adopted from the artifact meta
+        ann.tuned_nprobe = 3  # as adopted from the artifact meta by load()
         fused_mc = FusedHybridSearch(
             built.trie, built.vector, built.columns,
             ann_mode="partitioned", mesh=mesh,
         )
         assert fused_mc.sp_nprobe == 3
     finally:
-        ann.config.num_probes = old
+        ann.tuned_nprobe = old
 
 
 def test_sharded_partitioned_engine_matches_single_chip(stack, monkeypatch):

@@ -82,7 +82,8 @@ def test_case_recall_tuner_delivers_promised_recall(duplicate_corpus):
     tuned = tune_nprobe_case_recall(
         ann, case_of, corpus, queries, k=10, target_recall=0.9
     )
-    assert ann.config.num_probes == tuned
+    assert ann.tuned_nprobe == tuned
+    assert ann.config.num_probes == 0  # shared config never mutated
 
     # the tuned value must actually deliver the recall it promised,
     # measured exactly as serving reports it (case-level set overlap)

@@ -197,6 +197,12 @@ class PartitionedANN:
 
     def __init__(self, config: Optional[AnnConfig] = None):
         self.config = config or AnnConfig()
+        #: tuned search breadth (set by the tuners / adopted from a loaded
+        #: artifact's meta). Kept OFF the config object: the config is the
+        #: caller's shared AnnConfig (VectorIndex passes config.hnsw), and
+        #: writing a per-artifact value into it would leak a stale tuned
+        #: nprobe into later rebuilds in the same process (server reindex)
+        self.tuned_nprobe: int = 0
         # frozen artifacts (set by build/load)
         self.centroids: Optional[jnp.ndarray] = None  # [P, D] f32
         self.part_rows: Optional[jnp.ndarray] = None  # [P, m] int32, -1 pad
@@ -413,9 +419,14 @@ class PartitionedANN:
     @property
     def default_nprobe(self) -> int:
         P = int(self.centroids.shape[0]) if self.centroids is not None else 8
+        # the instance's tuned value wins (set by an explicit tune call on
+        # THIS index, or adopted from the artifact meta by load() when the
+        # caller's config leaves num_probes unset); then the config; then
+        # the ef_search-scaled heuristic (the reference's breadth knob)
+        if self.tuned_nprobe:
+            return min(self.tuned_nprobe, P)
         if self.config.num_probes:
             return min(self.config.num_probes, P)
-        # ef_search is the reference's search-breadth knob; reuse its scale.
         return min(max(8, P // 10, self.config.ef_search // 4), P)
 
     def _make_search_fn(self, k: int, nprobe: int):
@@ -675,7 +686,7 @@ class PartitionedANN:
                 mid = (lo + hi) // 2
                 if recall_at(mid) >= target_recall:
                     hi = mid
-        self.config.num_probes = hi
+        self.tuned_nprobe = hi
         return hi
 
     def _require_built(self) -> None:
@@ -725,10 +736,12 @@ class PartitionedANN:
             meta=np.array(json.dumps({
                 "num_vectors": self.num_vectors,
                 "int8_blocks": bool(int8_blocks),
-                # tuned search breadth (tune_nprobe writes config.num_probes);
-                # without this a loaded CAP-scale index falls back to the
-                # default_nprobe heuristic (~P/10), over-probing ~10x
-                "num_probes": int(self.config.num_probes),
+                # tuned search breadth; without this a loaded CAP-scale
+                # index falls back to the default_nprobe heuristic (~P/10),
+                # over-probing ~10x
+                "num_probes": int(
+                    self.tuned_nprobe or self.config.num_probes
+                ),
             })),
         )
 
@@ -749,10 +762,13 @@ class PartitionedANN:
                     np.asarray(z["corpus_f16"], np.float32)
                 )
                 idx.num_vectors = int(meta["num_vectors"])
-                # adopt the persisted tuned nprobe unless the caller's
-                # config explicitly overrides it
-                if not idx.config.num_probes and meta.get("num_probes"):
-                    idx.config.num_probes = int(meta["num_probes"])
+                # adopt the persisted tuned nprobe as INSTANCE state, and
+                # only when the caller's config leaves num_probes unset
+                # (an explicit config override wins). The shared config
+                # object is never mutated — a stale artifact value must
+                # not leak into later rebuilds (server reindex)
+                if not idx.config.num_probes:
+                    idx.tuned_nprobe = int(meta.get("num_probes", 0))
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             raise IndexCorrupted(index_type="ann", details=str(e)) from e
         return idx

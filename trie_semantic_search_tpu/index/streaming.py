@@ -370,6 +370,27 @@ class StreamingIndexBuilder:
                         _log.info(
                             "tuned nprobe=%d for case recall>=0.95", nprobe
                         )
+                    else:
+                        # no query-shaped probes (e.g. every sampled case's
+                        # sentences are under the probe min-length): fall
+                        # back to the row-level tuner rather than saving an
+                        # UNTUNED artifact, whose every load would regress
+                        # to the ~P/10 default_nprobe heuristic
+                        rng = np.random.default_rng(0)
+                        sample = np.asarray(vector._vectors[np.sort(
+                            rng.choice(
+                                vector.ann.num_vectors,
+                                min(64, vector.ann.num_vectors),
+                                replace=False,
+                            )
+                        )])
+                        nprobe = vector.ann.tune_nprobe(
+                            sample, k=10, target_recall=0.95
+                        )
+                        _log.warning(
+                            "no retrieval probes; row-level fallback "
+                            "tuned nprobe=%d", nprobe,
+                        )
 
         rate = (manifest.chunks - chunks_at_start) / max(
             time.perf_counter() - t_stream, 1e-9

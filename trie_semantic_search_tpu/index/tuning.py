@@ -46,10 +46,13 @@ def case_level_oracle(
     query_embs: np.ndarray,  # [Q, D] (need not be normalized)
     k: int = 10,
     slab: int = 262_144,
-) -> list[list[int]]:
+    return_scores: bool = False,
+) -> "list[list[int]] | tuple[list[list[int]], list[float]]":
     """Exact top-``k`` case rows per query: per-case best chunk score over
     the FULL corpus, ties to the lower case row (the serving invariant).
-    Streams the corpus in slabs so the memmap never materializes."""
+    Streams the corpus in slabs so the memmap never materializes.
+    ``return_scores=True`` additionally returns each query's k-th (last
+    winner) score — the tie-aware acceptance threshold."""
     q = np.asarray(query_embs, np.float32)
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     Q = len(q)
@@ -72,11 +75,13 @@ def case_level_oracle(
             for b in range(Q):
                 np.maximum.at(best[b], cc, s[b])
     out = []
+    kth: list[float] = []
     rows = np.arange(C)
     for b in range(Q):
         order = np.lexsort((rows, -best[b]))[:k]
         out.append([int(r) for r in order])
-    return out
+        kth.append(float(best[b][order[-1]]) if len(order) else -np.inf)
+    return (out, kth) if return_scores else out
 
 
 def _served_cases(
@@ -121,7 +126,9 @@ def tune_nprobe_case_recall(
     max_nprobe: Optional[int] = None,
 ) -> int:
     """Smallest ``nprobe`` whose case-level recall@k vs the exact oracle
-    reaches ``target_recall``; persists it in ``ann.config.num_probes``.
+    reaches ``target_recall``; persists it in ``ann.tuned_nprobe`` (the
+    per-artifact field ``ann.save`` writes to the npz meta — NOT the
+    caller's shared config object).
 
     Same O(log P) doubling-sweep-plus-midpoint shape as
     ``PartitionedANN.tune_nprobe`` (each distinct nprobe is a fresh
@@ -130,9 +137,17 @@ def tune_nprobe_case_recall(
     nprobe·N·overalloc/P, so past ~P/2 the probe path no longer beats
     the brute scan and serving's guards would demote it anyway), the
     sweep settles on ``max_nprobe`` rather than chasing nprobe → P.
+
+    The cap is additionally clamped below ``num_vectors / m``:
+    ``ann.search`` silently demotes to the exact brute scan past that
+    point, so measuring there would report the ORACLE's recall for a
+    probe-path nprobe the sharded serving mode probes for real.
     """
     P = int(ann.centroids.shape[0])
     cap = min(max_nprobe or max(8, P // 2), P)
+    m = int(ann.part_rows.shape[1]) if ann.part_rows is not None else 0
+    if m > 0 and ann.num_vectors > m:
+        cap = max(1, min(cap, (ann.num_vectors - 1) // m))
     oracle = [set(o) for o in case_level_oracle(
         vectors, chunk_case, query_embs, k
     )]
@@ -146,11 +161,10 @@ def tune_nprobe_case_recall(
         _log.info("case recall@%d at nprobe=%d: %.4f", k, nprobe, r)
         return r
 
-    n, hi = 1, cap
     if recall_at(1) >= target_recall:
         hi = 1
     else:
-        lo = 1
+        n, lo, hi = 1, 1, None
         while True:
             n = min(n * 2, cap)
             if recall_at(n) >= target_recall:
@@ -158,17 +172,18 @@ def tune_nprobe_case_recall(
                 break
             lo = n
             if n >= cap:
-                hi = cap
-                _log.warning(
-                    "case recall target %.2f unreachable at nprobe<=%d; "
-                    "settling on the cap", target_recall, cap,
-                )
                 break
-        if hi < cap and hi - lo > 1:  # one midpoint refine
+        if hi is None:  # target unreachable within the cap: settle
+            hi = cap
+            _log.warning(
+                "case recall target %.2f unreachable at nprobe<=%d; "
+                "settling on the cap", target_recall, cap,
+            )
+        elif hi - lo > 1:  # one midpoint refine (also when hi == cap)
             mid = (lo + hi) // 2
             if recall_at(mid) >= target_recall:
                 hi = mid
-    ann.config.num_probes = int(hi)
+    ann.tuned_nprobe = int(hi)
     return int(hi)
 
 

@@ -275,12 +275,11 @@ class FusedHybridSearch:
         )
         self.sp_m = int(parts["m"])
         P = centroids.shape[0]
-        # the loaded artifact's tuned nprobe (ann.save persists it in the
-        # npz meta and ann.load adopts it into ann.config) wins over the
-        # user config's unset default — without this the sharded path
+        # the artifact's tuned nprobe (instance field, persisted in the
+        # npz meta) wins, then the user config — same precedence as
+        # PartitionedANN.default_nprobe; without this the sharded path
         # regressed to the ~P/10 heuristic even on a tuned index
-        tuned = getattr(getattr(ann, "config", None), "num_probes", 0)
-        nprobe_cfg = acfg.num_probes or tuned
+        nprobe_cfg = getattr(ann, "tuned_nprobe", 0) or acfg.num_probes
         if nprobe_cfg:
             self.sp_nprobe = min(nprobe_cfg, P)
         else:

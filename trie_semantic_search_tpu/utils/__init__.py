@@ -161,3 +161,38 @@ class ValidationUtils:
         return "".join(
             c if (c.isalnum() or c in "-_.") else "_" for c in filename
         )
+
+
+def guard_dead_tpu_relay(port: int = 8093, timeout_s: float = 2.0) -> bool:
+    """Demote JAX to the CPU backend when the axon TPU relay is down.
+
+    The dev environment reaches its TPU through a loopback relay
+    (``JAX_PLATFORMS=axon``). If the relay process has died (observed
+    after device-OOM incidents), a JAX client does not error — it
+    futex-hangs forever at its first device op. Probe the relay port
+    first and switch platforms instead of hanging. No-op on real TPU
+    hardware (no axon platform in ``JAX_PLATFORMS``).
+
+    Returns True when the fallback was applied. Call BEFORE any backend
+    initialisation; if a backend is already up the switch is skipped.
+    """
+    import os
+    import socket
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    s = socket.socket()
+    s.settimeout(timeout_s)
+    try:
+        s.connect(("127.0.0.1", port))
+        return False
+    except OSError:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            return False  # backend already initialised; nothing safe to do
+        return True
+    finally:
+        s.close()
