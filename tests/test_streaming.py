@@ -26,7 +26,7 @@ TINY = MiniLMConfig(vocab_size=4096, hidden_size=64, num_layers=2,
 N_CASES = 24
 
 
-def make_stack(tmp_path):
+def make_stack(tmp_path, n_cases=N_CASES):
     cfg = Config()
     cfg.storage.db_path = str(tmp_path / "db.sqlite")
     cfg.trie.index_path = str(tmp_path / "trie")
@@ -35,7 +35,7 @@ def make_stack(tmp_path):
     cfg.vector.dimension = 64
     storage = StorageManager(cfg.storage)
     texts = []
-    for i in range(N_CASES):
+    for i in range(n_cases):
         t = (f"The court held in matter {i} that the doctrine of estoppel "
              f"applies to claim {i % 5}. Further proceedings about issue "
              f"{i % 7} were remanded to the lower court for case {i}.")
@@ -171,3 +171,29 @@ def test_phrase_start_windowing_shrinks_trie(tmp_path):
     # ...and sentence starts always do
     rows, valid = selective.search_batch_rows(["the defendant"])
     assert valid.any()
+
+
+def test_streaming_finalize_tunes_and_persists_nprobe(tmp_path):
+    """Past the 100-vector gate the finalize must tune nprobe (serving-
+    grade case-recall tuner, or its row-level fallback) and the saved
+    artifact must carry the value so a fresh load adopts it."""
+    from trie_semantic_search_tpu.index.builder import load_artifacts
+
+    cfg, storage, emb = make_stack(tmp_path, n_cases=64)
+    sb = StreamingIndexBuilder(
+        storage, cfg, embedder=emb,
+        work_dir=tmp_path / "work", shard_chunks=32,
+    )
+    built = sb.build()
+    assert built.vector.ann.num_vectors >= 100
+    tuned = built.vector.ann.tuned_nprobe
+    assert tuned >= 1
+    # the shared config object stays clean (no cross-build contamination)
+    assert cfg.vector.hnsw.num_probes == 0
+    arts = load_artifacts(cfg, embedder=emb)
+    assert arts is not None
+    _trie, vector2, _cols = arts
+    assert vector2.ann.tuned_nprobe == tuned
+    assert vector2.ann.default_nprobe == min(
+        tuned, vector2.ann.centroids.shape[0]
+    )
