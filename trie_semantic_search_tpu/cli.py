@@ -321,8 +321,11 @@ def cmd_eval_retrieval(args: argparse.Namespace) -> int:
     }
     if args.control:
         # random-init control over the SAME probes + a bounded chunk
-        # sample: the trained encoder must clearly beat this for the
-        # semantic half to mean anything
+        # sample — compared LIKE-FOR-LIKE against the trained encoder
+        # evaluated in the same direct search space ('trained' above
+        # searches the WHOLE index, a much harder task; comparing it to
+        # the control directly would misread corpus size as encoder
+        # quality)
         from .models.embedder import Embedder
 
         rnd = Embedder(
@@ -336,8 +339,15 @@ def cmd_eval_retrieval(args: argparse.Namespace) -> int:
             for s in sents[:8]:
                 texts.append(s)
                 cases.append(row)
+        out["trained_direct"] = evaluate_embedder_direct(
+            engine.vector_index.embedder, texts, cases, probes
+        )
         out["random_control"] = evaluate_embedder_direct(
             rnd, texts, cases, probes
+        )
+        out["comparability_note"] = (
+            "compare trained_direct vs random_control (same search "
+            "space); 'trained' searches the full index"
         )
     print(json.dumps(out, indent=2))
     return 0
