@@ -126,6 +126,11 @@ def cmd_gen(args) -> None:
 
 
 def cmd_build(args) -> None:
+    import logging
+
+    # surface the builder's INFO stream (shard checkpoints, pretrain
+    # guardrail decision, tuned nprobe) on stderr
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     if args.cpu:  # dev/CI: virtual CPU backend (must precede backend init)
         import jax
 
