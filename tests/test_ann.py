@@ -276,6 +276,28 @@ def test_ann_segmented_rescore_store_matches_single(corpus, queries, tmp_path):
         psm.GATHER_SEG_BYTES = old
 
 
+def test_brute_pad_rows_masked_on_all_negative_scores():
+    """The rescore store zero-pads segments to the 32-row alignment lcm;
+    pad rows score 0.0, which would outrank ALL-NEGATIVE true scores.
+    search_brute must never return a pad row (row id >= num_vectors)."""
+    rng = np.random.default_rng(7)
+    # every corpus vector in the +e0 half-space, query in -e0: all true
+    # scores negative, pad rows (zeros) would score 0.0 and win unmasked
+    n, d = 100, 64  # pads to 128 rows
+    base = np.zeros((n, d), np.float32)
+    base[:, 0] = 1.0
+    base += 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    c = normed(base)
+    q = np.zeros((4, d), np.float32)
+    q[:, 0] = -1.0
+    ann = PartitionedANN(AnnConfig(num_partitions=8, num_probes=8))
+    ann.build(c, seed=0)
+    assert sum(int(s.shape[0]) for s in ann.corpus_bf16) == 128
+    v, i = ann.search_brute(q, 10)
+    assert (i >= 0).all() and (i < n).all()
+    assert (v < 0).all()
+
+
 def test_build_streaming_parity_with_build(corpus):
     """build_streaming over a memmap must freeze bit-identical arrays to
     build() — including when the overflow-rebalance engages (same helper

@@ -440,13 +440,22 @@ def test_gather_rescore_segmented_matches_single():
 def test_split_rescore_corpus():
     from trie_semantic_search_tpu.ops import pallas_scan as psm
 
-    v = np.zeros((100, 8), np.float32)  # 3.2 KB — fits in one segment
-    assert len(psm.split_rescore_corpus(v)) == 1
+    v = (
+        np.arange(100 * 8, dtype=np.float32).reshape(100, 8) + 1.0
+    )  # 3.2 KB — fits in one segment; all-nonzero so pads are detectable
+    segs = psm.split_rescore_corpus(v)
+    # single segment, zero-padded up to the 32-row alignment lcm (the
+    # gather kernel's group-start proof needs n % A == 0 for every dtype)
+    assert len(segs) == 1 and segs[0].shape[0] == 128
+    np.testing.assert_array_equal(segs[0][:100], v)
+    assert not segs[0][100:].any()
     old = psm.GATHER_SEG_BYTES
     try:
-        psm.GATHER_SEG_BYTES = 8 * 4 * 16  # 16 rows per segment
+        psm.GATHER_SEG_BYTES = 8 * 4 * 32  # 32 rows per segment
         segs = psm.split_rescore_corpus(v)
-        assert [s.shape[0] for s in segs] == [16] * 6 + [4]
-        np.testing.assert_array_equal(np.concatenate(segs), v)
+        assert [s.shape[0] for s in segs] == [32, 32, 32, 32]
+        flat = np.concatenate(segs)
+        np.testing.assert_array_equal(flat[:100], v)
+        assert not flat[100:].any()
     finally:
         psm.GATHER_SEG_BYTES = old

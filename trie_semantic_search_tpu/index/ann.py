@@ -54,18 +54,16 @@ def _rescore_store(v: "np.ndarray") -> tuple[jnp.ndarray, ...]:
     """Device bf16 rescore corpus as a tuple of row segments, each under
     the Mosaic gather-kernel's ~4 GiB per-input addressing cap (see
     ops.pallas_scan.split_rescore_corpus). Always a tuple — consumers
-    (the probe/rescore programs) treat the store uniformly."""
+    (the probe/rescore programs) treat the store uniformly.
+
+    Conversion to bf16 happens per segment INSIDE ``to_device`` — the
+    input (f32/f16/bf16 numpy, possibly a memmap) is never copied whole
+    on the host, regardless of its dtype."""
     from ..ops.pallas_scan import split_rescore_corpus
 
-    bf = v if v.dtype == np.dtype(jnp.bfloat16) else None
-    if bf is None:
-        # split BEFORE converting: one segment of f32→bf16 host copy at
-        # a time, never a second whole-corpus array
-        return split_rescore_corpus(
-            np.asarray(v, np.float32),
-            to_device=lambda seg: jnp.asarray(seg, jnp.bfloat16),
-        )
-    return split_rescore_corpus(bf, to_device=jnp.asarray)
+    return split_rescore_corpus(
+        v, to_device=lambda seg: jnp.asarray(seg, jnp.bfloat16)
+    )
 
 
 def _rescore_rows(store) -> int:
@@ -581,6 +579,7 @@ class PartitionedANN:
         recall oracle; BASELINE config 3)."""
         self._require_built()
         kk = min(k, self.num_vectors)
+        n_real = self.num_vectors
         if self._brute_fn is None or self._brute_fn[0] != kk:
 
             # corpus as an explicit argument (not a captured HLO constant —
@@ -598,6 +597,14 @@ class PartitionedANN:
                         "bd,nd->bn", qn.astype(jnp.bfloat16), seg,
                         preferred_element_type=jnp.float32,
                     )
+                    if base + int(seg.shape[0]) > n_real:
+                        # store segments zero-pad to the gather kernel's
+                        # 32-row alignment; pad rows score 0.0 which can
+                        # outrank negative true scores — mask them out
+                        valid = (
+                            jnp.arange(seg.shape[0], dtype=jnp.int32) + base
+                        ) < n_real
+                        scores = jnp.where(valid[None, :], scores, -jnp.inf)
                     v, i = exact_topk(scores, min(kk, seg.shape[0]))
                     i = i.astype(jnp.int32) + base
                     if v.shape[1] < kk:  # short tail segment: pad to width
@@ -713,6 +720,13 @@ class PartitionedANN:
         )
 
     def save(self, path: str | Path) -> None:
+        """Persist the frozen index as a (np.load-compatible) npz zip.
+
+        The bf16 rescore store writes ONE SEGMENT PER MEMBER
+        (``corpus_f16_0..S-1``), streamed into the zip one at a time — a
+        concatenated single array would spike host RAM by the whole
+        corpus (~6.4 GB f16 at the 8.4M×384 CAP scale) on top of the
+        device copy, undoing the O(slab) build discipline."""
         self._require_built()
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -723,27 +737,39 @@ class PartitionedANN:
             # numpy can't round-trip bfloat16 through savez: store f16
             else np.asarray(self.part_int8.astype(jnp.float32)).astype(np.float16)
         )
-        np.savez_compressed(
-            path,
-            centroids=np.asarray(self.centroids),
-            part_rows=np.asarray(self.part_rows),
-            part_int8=blocks,
-            part_scale=np.asarray(self.part_scale),
-            corpus_f16=np.concatenate([
-                np.asarray(s.astype(jnp.float32)).astype(np.float16)
-                for s in self.corpus_bf16
-            ]),
-            meta=np.array(json.dumps({
-                "num_vectors": self.num_vectors,
-                "int8_blocks": bool(int8_blocks),
-                # tuned search breadth; without this a loaded CAP-scale
-                # index falls back to the default_nprobe heuristic (~P/10),
-                # over-probing ~10x
-                "num_probes": int(
-                    self.tuned_nprobe or self.config.num_probes
-                ),
-            })),
-        )
+        import zipfile
+        from numpy.lib import format as npformat
+
+        meta = np.array(json.dumps({
+            "num_vectors": self.num_vectors,
+            "int8_blocks": bool(int8_blocks),
+            "rescore_segments": len(self.corpus_bf16),
+            # tuned search breadth; without this a loaded CAP-scale
+            # index falls back to the default_nprobe heuristic (~P/10),
+            # over-probing ~10x
+            "num_probes": int(
+                self.tuned_nprobe or self.config.num_probes
+            ),
+        }))
+        with zipfile.ZipFile(
+            path, "w", zipfile.ZIP_DEFLATED, allowZip64=True
+        ) as zf:
+            def put(name: str, arr: np.ndarray) -> None:
+                with zf.open(name + ".npy", "w", force_zip64=True) as f:
+                    npformat.write_array(
+                        f, np.asanyarray(arr), allow_pickle=False
+                    )
+
+            put("centroids", np.asarray(self.centroids))
+            put("part_rows", np.asarray(self.part_rows))
+            put("part_int8", blocks)
+            put("part_scale", np.asarray(self.part_scale))
+            put("meta", meta)
+            del blocks
+            for i, s in enumerate(self.corpus_bf16):
+                # bf16 device → host (ml_dtypes) → f16, one segment of
+                # transient host RAM at a time
+                put(f"corpus_f16_{i}", np.asarray(s).astype(np.float16))
 
     @classmethod
     def load(cls, path: str | Path, config: Optional[AnnConfig] = None) -> "PartitionedANN":
@@ -758,9 +784,16 @@ class PartitionedANN:
                     jnp.int8 if meta.get("int8_blocks", True) else jnp.bfloat16,
                 )
                 idx.part_scale = jnp.asarray(z["part_scale"])
-                idx.corpus_bf16 = _rescore_store(
-                    np.asarray(z["corpus_f16"], np.float32)
-                )
+                n_segs = int(meta.get("rescore_segments", 0))
+                if n_segs:
+                    # segment-per-member layout: decompress + convert one
+                    # segment at a time (save() wrote them pre-aligned)
+                    idx.corpus_bf16 = tuple(
+                        jnp.asarray(z[f"corpus_f16_{i}"], jnp.bfloat16)
+                        for i in range(n_segs)
+                    )
+                else:  # legacy single concatenated member
+                    idx.corpus_bf16 = _rescore_store(z["corpus_f16"])
                 idx.num_vectors = int(meta["num_vectors"])
                 # adopt the persisted tuned nprobe as INSTANCE state, and
                 # only when the caller's config leaves num_probes unset

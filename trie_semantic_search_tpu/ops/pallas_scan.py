@@ -749,9 +749,15 @@ def pallas_gather_rescore(
     total = sum(seg_rows)
     dt = segs[0].dtype
     A = _gather_row_align(dt)
-    if min(seg_rows) < A:
-        # a segment smaller than one tile group can't be group-gathered;
-        # only reachable for toy corpora — the XLA path is exact there
+    if min(seg_rows) < A or any(r % A for r in seg_rows):
+        # a segment smaller than one tile group can't be group-gathered,
+        # and a ragged (non-A-multiple) segment would force the group
+        # clamp below to a NON-aligned start (clip(..., 0, n-A) with
+        # n % A != 0), breaking the pl.multiple_of alignment proof the
+        # compiled kernel relies on — silently wrong DMAs on TPU.
+        # split_rescore_corpus pads store segments to the 32-row lcm so
+        # the serving path never lands here; hand-built segments demote
+        # to the exact XLA gather.
         from .scoring import gather_rescore as _xla_gather
 
         return _xla_gather(queries, segs, candidate_idx)
@@ -809,23 +815,47 @@ def pallas_gather_rescore(
 #: region for any D.
 GATHER_SEG_BYTES = 1 << 31
 
+#: lcm of every :func:`_gather_row_align` value (f32 8, bf16 16, int8 32):
+#: store segments sized to this multiple keep the gather kernel's aligned
+#: group starts provable for ANY element dtype — the final ragged segment
+#: pads up with zero rows (consumers mask rows >= the real count).
+GATHER_ROW_ALIGN_LCM = 32
+
 
 def split_rescore_corpus(v, to_device=None) -> tuple:
     """Split an ``[N, D]`` rescore corpus (numpy or jax) into row segments
     each under :data:`GATHER_SEG_BYTES`, as a tuple. Returns a 1-tuple
     when it already fits. ``to_device`` (optional callable) maps each
     numpy segment onto the device — splitting BEFORE the transfer keeps
-    host copies at one segment."""
+    host copies at one segment.
+
+    Every returned segment's row count is a multiple of
+    :data:`GATHER_ROW_ALIGN_LCM` (the tail segment zero-pads): the
+    compiled gather kernel computes each candidate's group start as
+    ``(local // A) * A`` and proves it A-aligned to Mosaic, which only
+    holds when no clamp against a ragged segment end is ever needed.
+    Full-scan consumers must mask rows at or beyond the real row count
+    (zero pad rows score 0.0, which can outrank negative true scores)."""
     n, d = v.shape
     itemsize = int(np.dtype(v.dtype).itemsize)
-    rows = max(8, (GATHER_SEG_BYTES // max(d * itemsize, 1)) // 8 * 8)
+    L = GATHER_ROW_ALIGN_LCM
+    rows = max(L, (GATHER_SEG_BYTES // max(d * itemsize, 1)) // L * L)
     if to_device is None:
         to_device = lambda x: x  # noqa: E731
+    xp = jnp if isinstance(v, jax.Array) else np
+
+    def _seg(lo: int) -> "np.ndarray":
+        seg = v[lo : min(lo + rows, n)]
+        r = int(seg.shape[0]) % L
+        if r:
+            seg = xp.concatenate(
+                [seg, xp.zeros((L - r, d), dtype=seg.dtype)]
+            )
+        return seg
+
     if n <= rows:
-        return (to_device(v),)
-    return tuple(
-        to_device(v[lo : min(lo + rows, n)]) for lo in range(0, n, rows)
-    )
+        return (to_device(_seg(0)),)
+    return tuple(to_device(_seg(lo)) for lo in range(0, n, rows))
 
 
 def partition_filter_columns(

@@ -358,6 +358,15 @@ def sharded_partitioned_topk(
     np_eff = min(nprobe, centroids.shape[0])
     ksem = min(max(k * max(1, overfetch), k), np_eff * m)
     W = min(ksem * max(1, rescore_factor), np_eff * m)
+    # the [B, nprobe] probed-id scalar prefetch lives in SMEM (1 MB on
+    # v5e); oversized (batch × breadth) shapes demote to the XLA gather
+    # scan instead of failing to compile — same host-side guard as
+    # PartitionedANN._make_search_fn and fused_partitioned_topk (a big
+    # tuned nprobe, e.g. the 488 measured in round 3, times a bucketed
+    # batch overflows otherwise). B is static here, so the demotion is
+    # part of the trace cache key.
+    if use_probe_kernel and int(query_emb.shape[0]) * np_eff * 4 > 768 * 1024:
+        use_probe_kernel = False
 
     @functools.partial(
         jax.shard_map,
