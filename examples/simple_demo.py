@@ -45,6 +45,10 @@ CASES = [
 
 
 def main() -> None:
+    from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
+
+    if guard_dead_tpu_relay():  # never futex-hang on a dead TPU relay
+        print("warning: TPU relay unreachable - running on CPU backend")
     cfg = Config()
     with tempfile.TemporaryDirectory() as tmp:
         cfg.storage.db_path = f"{tmp}/demo.db"

@@ -29,6 +29,12 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
+
+if guard_dead_tpu_relay():  # never futex-hang on a dead TPU relay
+    print("warning: TPU relay unreachable - running on CPU backend",
+          file=sys.stderr)
+
 CONFIGS = [
     # name, steps, lr, temperature, batch_size, fn_jaccard, scrub_digits
     ("random_init", 0, 2e-4, 0.05, 32, 0.0, False),

@@ -17,6 +17,12 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
+
+if guard_dead_tpu_relay():  # never futex-hang on a dead TPU relay
+    print("warning: TPU relay unreachable - running on CPU backend",
+          file=sys.stderr)
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

@@ -22,6 +22,12 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
+
+if guard_dead_tpu_relay():  # never futex-hang on a dead TPU relay
+    print("warning: TPU relay unreachable - running on CPU backend",
+          file=sys.stderr)
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -492,6 +492,13 @@ MiniLM semantic retrieval on TPU. Version {__version__}.</p>
 
     async def run(self) -> None:
         """Bind + serve forever (ref ApiServer::run, api.rs:85-109)."""
+        # belt-and-braces for embedders that skip cli.main(): never let the
+        # first query futex-hang on a dead TPU relay (no-op once a backend
+        # is up, so the cli/demo guards stay authoritative)
+        from ..utils import guard_dead_tpu_relay
+
+        if guard_dead_tpu_relay():
+            _log.warning("TPU relay unreachable - serving on the CPU backend")
         cfg = self.state.config.server
         runner = web.AppRunner(self.app)
         await runner.setup()

@@ -538,6 +538,18 @@ def main(argv: Optional[list[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # A dead TPU relay makes the first device op futex-hang forever
+        # (not error). Probe and demote to CPU up front — same spirit as
+        # the reference's check-health startup gate (main.rs:207-245):
+        # degrade loudly, never hang.
+        from .utils import guard_dead_tpu_relay
+
+        if guard_dead_tpu_relay():
+            print(
+                "warning: TPU relay unreachable — falling back to the CPU "
+                "backend", file=sys.stderr,
+            )
     if not getattr(args, "fn", None):
         parser.print_help()
         return 2
