@@ -33,6 +33,10 @@ def make_stack(tmp_path, n_cases=N_CASES):
     cfg.vector.hnsw.index_path = str(tmp_path / "vec")
     cfg.vector.hnsw.num_partitions = 8
     cfg.vector.dimension = 64
+    # these tests count embedder calls (resume must not re-embed finished
+    # shards); the quality gate embeds probe texts through the same
+    # embedder, so keep it out of the count (it has its own test file)
+    cfg.vector.quality_gate = "off"
     storage = StorageManager(cfg.storage)
     texts = []
     for i in range(n_cases):

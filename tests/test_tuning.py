@@ -110,3 +110,55 @@ def test_case_recall_tuner_caps_instead_of_chasing_P(duplicate_corpus):
         target_recall=1.0, max_nprobe=16,
     )
     assert tuned <= 16
+
+
+def test_min_recall_floor_tightens_the_tail(duplicate_corpus):
+    """round-3 VERDICT item 7: with ``min_recall`` set, the tuner may not
+    accept an nprobe whose MEAN clears the target while one probe's
+    recall trails below the floor — the returned value's recall
+    distribution must satisfy both."""
+    corpus, case_of, topics = duplicate_corpus
+    ann = PartitionedANN(AnnConfig(num_partitions=64, rescore_factor=4))
+    ann.build(corpus, seed=0)
+
+    rng = np.random.default_rng(4)
+    w = rng.random((24, 1)).astype(np.float32) * 0.3
+    ti = rng.integers(0, len(topics), 24)
+    tj = (ti + 1) % len(topics)
+    queries = _normed((1 - w) * topics[ti] + w * topics[tj])
+
+    # measured distribution for these seeds: nprobe=6 -> mean .904 min .70,
+    # nprobe=8 -> mean .963 min .80 — so mean-only tuning stops at 6 while
+    # a 0.8 floor must push on to 8
+    mean_only = tune_nprobe_case_recall(
+        ann, case_of, corpus, queries, k=10, target_recall=0.9
+    )
+    floored = tune_nprobe_case_recall(
+        ann, case_of, corpus, queries, k=10, target_recall=0.9,
+        min_recall=0.8,
+    )
+    assert floored > mean_only  # the floor demands more probes
+    assert ann.tuned_nprobe == floored
+
+    from trie_semantic_search_tpu.index.tuning import _served_cases
+
+    oracle = [set(o) for o in case_level_oracle(corpus, case_of, queries, 10)]
+    served = _served_cases(ann, case_of, queries, 10, floored)
+    per = np.asarray(
+        [len(set(s) & o) / 10 for s, o in zip(served, oracle)]
+    )
+    assert per.mean() >= 0.9
+    assert per.min() >= 0.8, f"worst probe {per.min()} at nprobe={floored}"
+
+
+def test_min_recall_floor_unreachable_settles_on_cap(duplicate_corpus):
+    corpus, case_of, _topics = duplicate_corpus
+    ann = PartitionedANN(AnnConfig(num_partitions=64, rescore_factor=4))
+    ann.build(corpus, seed=0)
+    rng = np.random.default_rng(5)
+    queries = _normed(rng.standard_normal((8, corpus.shape[1])))
+    tuned = tune_nprobe_case_recall(
+        ann, case_of, corpus, queries, k=10,
+        target_recall=0.5, min_recall=1.0, max_nprobe=16,
+    )
+    assert tuned <= 16

@@ -446,7 +446,10 @@ class ApiServer:
                         self.state.config,
                         embedder=engine.vector_index.embedder,
                     )
-                save_artifacts(built, self.state.config)
+                await asyncio.to_thread(
+                    save_artifacts, built, self.state.config,
+                    storage=self.state.storage,
+                )
                 engine.swap_indexes(built.trie, built.vector, built.columns)
                 _log.info(
                     "%s reindex complete: %d cases, %d chunks",

@@ -76,7 +76,7 @@ def _build_components(cfg: Config, rebuild: bool = False):
     if artifacts is None:
         _log.info("building index artifacts from storage ...")
         built = build_indexes(storage, cfg)
-        save_artifacts(built, cfg)
+        save_artifacts(built, cfg, storage=storage)
         trie, vector, columns = built.trie, built.vector, built.columns
     else:
         _log.info("loaded index artifacts from %s", cfg.trie.index_path)
@@ -235,7 +235,7 @@ def cmd_build_index(args: argparse.Namespace) -> int:
             storage, cfg, tune_recall=args.tune_recall,
             pretrain_steps=args.pretrain_steps,
         )
-        save_artifacts(built, cfg)
+        save_artifacts(built, cfg, storage=storage)
         extra = {}
     print(
         json.dumps(

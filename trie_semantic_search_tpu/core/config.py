@@ -214,6 +214,12 @@ class AnnConfig:
     #: ceil(partition_overalloc * N / P) and overflow rows reassign to
     #: their next-best centroid with free space (balanced IVF).
     partition_overalloc: float = 2.0
+    #: Worst-probe recall floor for build-time nprobe tuning (round-3
+    #: VERDICT item 7): tuning accepts an nprobe only when the MEAN probe
+    #: recall reaches the target AND no single probe falls below this.
+    #: 0 disables the floor (mean-only tuning, the round-3 behavior that
+    #: shipped a 0.90-min tail under a 0.984 mean).
+    tune_min_recall: float = 0.95
 
 
 # Alias for reference-name parity.
@@ -233,6 +239,18 @@ class VectorConfig:
     dimension: int = 384
     similarity_threshold: float = 0.5
     max_ann_results: int = 100
+    #: Build-time retrieval-quality gate (round-3 VERDICT item 5): index
+    #: finalize probes the finished artifact's encoder against a
+    #: random-init control of the same geometry and persists the metrics
+    #: in the artifact meta (``quality.json``). "warn" logs when the
+    #: trained encoder regresses below ``quality_gate_margin`` x the
+    #: control's probe MRR; "refuse" aborts the build instead (a degraded
+    #: encoder can never finalize silently); "off" skips the probes.
+    quality_gate: str = "warn"
+    quality_gate_probes: int = 128
+    quality_gate_sample_cases: int = 200
+    #: trained MRR must reach this fraction of the random-init control's
+    quality_gate_margin: float = 0.8
 
 
 @dataclass
@@ -446,6 +464,14 @@ class Config:
         if self.mesh.model_parallel <= 0:
             raise ValidationFailed(
                 field="mesh.model_parallel", reason="model_parallel must be >= 1"
+            )
+        if self.vector.quality_gate not in ("off", "warn", "refuse"):
+            raise ValidationFailed(
+                field="vector.quality_gate",
+                reason=(
+                    f"Unsupported quality_gate '{self.vector.quality_gate}'"
+                    " (off|warn|refuse)"
+                ),
             )
         if self.storage.db_type == "sled":  # reference config files
             self.storage.db_type = "sqlite"

@@ -145,9 +145,11 @@ def build_indexes(
             storage, tp, lambda texts: vector.generate_embeddings(texts)
         )
         if probes is not None and len(vector.refs):
+            mn = config.vector.hnsw.tune_min_recall
             nprobe = tune_nprobe_case_recall(
                 vector.ann, np.asarray(vector.refs)[:, 0], vector.vectors,
                 probes, k=10, target_recall=tune_recall,
+                min_recall=mn if mn > 0 else None,
             )
             _log.info(
                 "tuned nprobe=%d for case recall>=%.2f", nprobe, tune_recall
@@ -258,20 +260,41 @@ def update_indexes(
     return BuiltIndexes(trie=trie, vector=vector, columns=columns, report=report)
 
 
-def save_artifacts(built: BuiltIndexes, config: Config) -> None:
+def save_artifacts(
+    built: BuiltIndexes,
+    config: Config,
+    storage: Optional[StorageManager] = None,
+) -> None:
     """Persist all frozen artifacts (checkpoint/resume surface, SURVEY.md §5:
     "index build is checkpointed as serialized array shards + manifest").
 
     The encoder (tokenizer vocab + params) is part of the artifact set:
     corpus embeddings are only comparable to query embeddings from the
     SAME encoder, so loading indexes with a freshly initialised encoder
-    would silently break semantic scoring."""
+    would silently break semantic scoring.
+
+    When ``storage`` is provided, the build-time quality gate runs FIRST
+    (``vector.quality_gate``; round-3 VERDICT item 5): the finished
+    encoder is probed against a random-init control, the metrics persist
+    in the artifact meta (``quality.json``), and a degraded encoder
+    warns — or, in "refuse" mode, aborts before anything is written."""
+    quality = None
+    if storage is not None and built.vector.size:
+        from .quality_gate import run_quality_gate
+
+        quality = run_quality_gate(  # raises QualityGateFailed on refuse
+            storage, config, built.vector.embedder
+        )
     built.trie.save_to_disk(config.trie.index_path)
     built.vector.save(config.vector.hnsw.index_path)
     built.columns.save(Path(config.trie.index_path) / "columns.npz")
     save_encoder(
         built.vector.embedder, Path(config.vector.hnsw.index_path)
     )
+    if quality is not None:
+        from .quality_gate import save_quality_meta
+
+        save_quality_meta(quality, Path(config.vector.hnsw.index_path))
 
 
 def save_encoder(emb: Embedder, enc_dir: Path) -> None:

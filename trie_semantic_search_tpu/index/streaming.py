@@ -363,9 +363,11 @@ class StreamingIndexBuilder:
                         lambda texts: vector.generate_embeddings(texts),
                     )
                     if probes is not None:
+                        mn = self.config.vector.hnsw.tune_min_recall
                         nprobe = tune_nprobe_case_recall(
                             vector.ann, ref_arr[:, 0], vector._vectors,
                             probes, k=10, target_recall=0.95,
+                            min_recall=mn if mn > 0 else None,
                         )
                         _log.info(
                             "tuned nprobe=%d for case recall>=0.95", nprobe
@@ -408,7 +410,10 @@ class StreamingIndexBuilder:
         built = BuiltIndexes(
             trie=trie, vector=vector, columns=columns, report=report
         )
-        save_artifacts(built, self.config)
+        # quality gate (round-3 VERDICT item 5) runs inside save_artifacts:
+        # the finished encoder is probed against a random-init control and
+        # a degraded artifact warns or (in "refuse" mode) never finalizes
+        save_artifacts(built, self.config, storage=self.storage)
         _log.info(
             "streaming build complete: %d cases, %d chunks, %d shards, "
             "%.0f chunks/s, %.1fs total",

@@ -124,11 +124,20 @@ def tune_nprobe_case_recall(
     k: int = 10,
     target_recall: float = 0.95,
     max_nprobe: Optional[int] = None,
+    min_recall: Optional[float] = None,
 ) -> int:
     """Smallest ``nprobe`` whose case-level recall@k vs the exact oracle
     reaches ``target_recall``; persists it in ``ann.tuned_nprobe`` (the
     per-artifact field ``ann.save`` writes to the npz meta — NOT the
     caller's shared config object).
+
+    ``min_recall`` additionally constrains the WORST single probe
+    (round-3 VERDICT item 7: the 5M build tuned to mean 0.984 but min
+    0.90 — the tail probe missed the north star). With it set, an nprobe
+    is only accepted when ``mean >= target_recall`` AND every individual
+    probe's recall ``>= min_recall``; the sweep therefore lands on the
+    smallest nprobe whose recall *distribution* (not just its mean)
+    clears the bar.
 
     Same O(log P) doubling-sweep-plus-midpoint shape as
     ``PartitionedANN.tune_nprobe`` (each distinct nprobe is a fresh
@@ -152,22 +161,28 @@ def tune_nprobe_case_recall(
         vectors, chunk_case, query_embs, k
     )]
 
-    def recall_at(nprobe: int) -> float:
+    def accept_at(nprobe: int) -> bool:
         served = _served_cases(ann, chunk_case, query_embs, k, nprobe)
-        r = float(np.mean([
+        per = np.asarray([
             len(set(s) & o) / max(len(o), 1)
             for s, o in zip(served, oracle)
-        ]))
-        _log.info("case recall@%d at nprobe=%d: %.4f", k, nprobe, r)
-        return r
+        ])
+        mean, worst = float(per.mean()), float(per.min())
+        _log.info(
+            "case recall@%d at nprobe=%d: mean %.4f min %.4f",
+            k, nprobe, mean, worst,
+        )
+        if mean < target_recall:
+            return False
+        return min_recall is None or worst >= min_recall
 
-    if recall_at(1) >= target_recall:
+    if accept_at(1):
         hi = 1
     else:
         n, lo, hi = 1, 1, None
         while True:
             n = min(n * 2, cap)
-            if recall_at(n) >= target_recall:
+            if accept_at(n):
                 hi = n
                 break
             lo = n
@@ -176,12 +191,13 @@ def tune_nprobe_case_recall(
         if hi is None:  # target unreachable within the cap: settle
             hi = cap
             _log.warning(
-                "case recall target %.2f unreachable at nprobe<=%d; "
-                "settling on the cap", target_recall, cap,
+                "case recall target %.2f (min %s) unreachable at "
+                "nprobe<=%d; settling on the cap",
+                target_recall, min_recall, cap,
             )
         elif hi - lo > 1:  # one midpoint refine (also when hi == cap)
             mid = (lo + hi) // 2
-            if recall_at(mid) >= target_recall:
+            if accept_at(mid):
                 hi = mid
     ann.tuned_nprobe = int(hi)
     return int(hi)
