@@ -259,3 +259,24 @@ def test_embed_pending_after_scale_load(vindex, embedder, tmp_path):
     assert idx2.size == len(DOCS) + 1
     hits = idx2.search(DOCS[0], top_k=2)
     assert {h.row for h in hits} <= {0, 99}
+
+
+def test_large_ann_saves_as_mmap_dir(vindex, embedder, tmp_path, monkeypatch):
+    """Above the size threshold the ANN persists as the raw-.npy directory
+    (ann.mmap/) and npz is removed; shrinking back below re-selects npz
+    and removes the stale directory — the two formats never coexist."""
+    from trie_semantic_search_tpu.index import vector as vector_mod
+
+    monkeypatch.setattr(vector_mod, "_ANN_MMAP_SAVE_BYTES", 0)
+    vindex.save(tmp_path / "vec")
+    assert (tmp_path / "vec" / "ann.mmap" / "meta.json").exists()
+    assert not (tmp_path / "vec" / "ann.npz").exists()
+    idx2 = VectorIndex(vindex.config, embedder=embedder)
+    idx2.load(tmp_path / "vec")
+    assert idx2.ann.num_vectors == vindex.ann.num_vectors
+    assert idx2.search(DOCS[3], top_k=1)[0].row == 3
+    # back below the threshold: npz again, stale dir removed
+    monkeypatch.setattr(vector_mod, "_ANN_MMAP_SAVE_BYTES", 1 << 60)
+    idx2.save(tmp_path / "vec")
+    assert (tmp_path / "vec" / "ann.npz").exists()
+    assert not (tmp_path / "vec" / "ann.mmap").exists()

@@ -39,6 +39,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from ..core.config import AnnConfig
@@ -770,6 +771,81 @@ class PartitionedANN:
                 # bf16 device → host (ml_dtypes) → f16, one segment of
                 # transient host RAM at a time
                 put(f"corpus_f16_{i}", np.asarray(s).astype(np.float16))
+
+    def save_dir(self, path: str | Path) -> None:
+        """Persist as a directory of RAW ``.npy`` files (+ ``meta.json``) —
+        the large-artifact format. The npz format pays a full zlib pass
+        both ways (measured: the round-3 5M-chunk artifact took 242.6 s to
+        load, dominated by DEFLATE over ~4.6 GB); raw .npy files load as
+        memmaps at disk speed and bf16 segments persist as uint16 bit
+        views, so load performs ZERO dtype conversion work. Atomic: writes
+        to ``<path>.tmp`` then renames over."""
+        self._require_built()
+        path = Path(path)
+        tmp = path.with_name(path.name + ".tmp")
+        if tmp.exists():
+            import shutil
+
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        int8_blocks = self.part_int8.dtype == jnp.int8
+        blocks = np.asarray(self.part_int8)
+        if not int8_blocks:  # bf16 blocks persist as uint16 bit views
+            blocks = blocks.view(np.uint16)
+        np.save(tmp / "part_int8.npy", blocks)
+        del blocks
+        np.save(tmp / "centroids.npy", np.asarray(self.centroids))
+        np.save(tmp / "part_rows.npy", np.asarray(self.part_rows))
+        np.save(tmp / "part_scale.npy", np.asarray(self.part_scale))
+        for i, s in enumerate(self.corpus_bf16):
+            # one segment of transient host RAM at a time
+            np.save(tmp / f"rescore_{i}.npy", np.asarray(s).view(np.uint16))
+        (tmp / "meta.json").write_text(json.dumps({
+            "num_vectors": self.num_vectors,
+            "int8_blocks": bool(int8_blocks),
+            "rescore_segments": len(self.corpus_bf16),
+            "num_probes": int(self.tuned_nprobe or self.config.num_probes),
+        }))
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        tmp.rename(path)
+
+    @classmethod
+    def load_dir(
+        cls, path: str | Path, config: Optional[AnnConfig] = None
+    ) -> "PartitionedANN":
+        """Load the raw-``.npy`` directory format (see :meth:`save_dir`).
+        Arrays are memmapped and handed straight to the device — no
+        decompression and no host-side dtype conversion."""
+        idx = cls(config)
+        path = Path(path)
+        try:
+            meta = json.loads((path / "meta.json").read_text())
+            mm = lambda n: np.load(path / n, mmap_mode="r")  # noqa: E731
+            idx.centroids = jnp.asarray(mm("centroids.npy"), jnp.float32)
+            idx.part_rows = jnp.asarray(mm("part_rows.npy"))
+            blocks = mm("part_int8.npy")
+            if meta.get("int8_blocks", True):
+                idx.part_int8 = jnp.asarray(blocks, jnp.int8)
+            else:
+                idx.part_int8 = jnp.asarray(
+                    blocks.view(ml_dtypes.bfloat16)
+                )
+            idx.part_scale = jnp.asarray(mm("part_scale.npy"))
+            idx.corpus_bf16 = tuple(
+                jnp.asarray(
+                    mm(f"rescore_{i}.npy").view(ml_dtypes.bfloat16)
+                )
+                for i in range(int(meta.get("rescore_segments", 0)))
+            )
+            idx.num_vectors = int(meta["num_vectors"])
+            if not idx.config.num_probes:
+                idx.tuned_nprobe = int(meta.get("num_probes", 0))
+        except (KeyError, ValueError, OSError, json.JSONDecodeError) as e:
+            raise IndexCorrupted(index_type="ann", details=str(e)) from e
+        return idx
 
     @classmethod
     def load(cls, path: str | Path, config: Optional[AnnConfig] = None) -> "PartitionedANN":
