@@ -176,3 +176,81 @@ def test_model_family_dispatch():
         tokenizer=WordPieceTokenizer(vocab),
     )
     assert emb.dimension == 768
+
+
+def test_sif_weights_from_counts():
+    from trie_semantic_search_tpu.models.minilm import sif_weights_from_counts
+
+    counts = np.array([0, 100, 900, 0], np.int64)
+    w = sif_weights_from_counts(counts, a=0.1)
+    assert w.dtype == np.float32
+    assert w[0] == w[3] == 1.0  # unseen: maximum weight
+    assert w[1] > w[2]  # rarer token weighs more
+    np.testing.assert_allclose(w[1], 0.1 / (0.1 + 0.1), rtol=1e-6)
+    # degenerate: empty corpus -> all ones
+    assert (sif_weights_from_counts(np.zeros(4, np.int64)) == 1.0).all()
+
+
+def test_weighted_pooling_matches_numpy_reference(tiny_params):
+    """token_weights pooling == mask*w weighted mean of the hidden states;
+    None must reproduce the plain masked mean exactly."""
+    from trie_semantic_search_tpu.models.minilm import forward
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 512, (2, 8)), jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0], [1] * 8], jnp.int32)
+    tw = jnp.asarray(rng.random(512).astype(np.float32) + 0.1)
+
+    plain = np.asarray(encode(tiny_params, ids, mask, TINY))
+    weighted = np.asarray(
+        encode(tiny_params, ids, mask, TINY, token_weights=tw)
+    )
+    assert not np.allclose(plain, weighted)
+
+    hidden = np.asarray(forward(tiny_params, ids, mask, TINY))
+    w = np.asarray(mask, np.float32) * np.asarray(tw)[np.asarray(ids)]
+    ref = (hidden * w[:, :, None]).sum(1) / w.sum(1, keepdims=True)
+    ref /= np.linalg.norm(ref, axis=-1, keepdims=True)
+    np.testing.assert_allclose(weighted, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_embedder_token_weights_roundtrip():
+    """set_token_weights switches the jit program (weighted != plain) and
+    None restores the original embeddings bit-for-bit."""
+    from trie_semantic_search_tpu.models.embedder import Embedder
+    from trie_semantic_search_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+        train_wordpiece_vocab,
+    )
+
+    texts = ["the court held that the claim fails",
+             "a contract dispute about shipping terms"]
+    vocab = train_wordpiece_vocab(texts, vocab_size=512, min_frequency=1)
+    emb = Embedder(tokenizer=WordPieceTokenizer(vocab), model_config=TINY)
+    plain = emb.embed(texts).embedding
+    tw = np.linspace(0.1, 1.0, max(len(emb.tokenizer), 128)).astype(np.float32)
+    emb.set_token_weights(tw)
+    weighted = emb.embed(texts).embedding
+    assert not np.allclose(plain, weighted)
+    emb.set_token_weights(None)
+    np.testing.assert_array_equal(plain, emb.embed(texts).embedding)
+
+
+def test_mine_view_pairs_unambiguous_positives():
+    from trie_semantic_search_tpu.models.train import (
+        augment_view,
+        mine_view_pairs,
+    )
+
+    docs = [[f"The attorney argued that claim {i} turns on the statute "
+             f"enacted in 199{i}." for i in range(3)]]
+    pairs = mine_view_pairs(docs, seed=1)
+    assert len(pairs) == 3
+    rng = np.random.default_rng(0)
+    for a, b in pairs:
+        assert a and b
+        assert "1990" not in a and "1991" not in a  # digits scrubbed
+    # two draws over the same sentence differ (stochastic views)
+    s = docs[0][0]
+    views = {augment_view(s, rng) for _ in range(8)}
+    assert len(views) > 1

@@ -63,6 +63,7 @@ class Embedder:
         params: Optional[minilm.Params] = None,
         model_config: Optional[minilm.MiniLMConfig] = None,
         seed: int = 0,
+        token_weights: Optional[np.ndarray] = None,
     ):
         self.config = config or EmbeddingModelConfig()
         self.tokenizer = tokenizer or load_tokenizer(self.config.tokenizer_path)
@@ -94,6 +95,14 @@ class Embedder:
         # the whole model through the device link on EVERY encode
         # (measured ~1.9 s per serving batch on the remote-TPU tunnel)
         self.params = jax.device_put(self.params)
+        # optional SIF pooling weights ([vocab] f32; minilm.encode) — part
+        # of the encoder identity: corpus and query embeddings are only
+        # comparable under the SAME pooling, so these persist with the
+        # checkpoint (builder.save_encoder / load_build_artifacts)
+        self.token_weights = (
+            None if token_weights is None
+            else jax.device_put(jnp.asarray(token_weights, jnp.float32))
+        )
         self._stats = {"texts_embedded": 0, "batches": 0, "total_ms": 0.0}
 
     @property
@@ -103,12 +112,25 @@ class Embedder:
     @functools.cached_property
     def _encode_jit(self):
         cfg = self.model_config
+        weighted = self.token_weights is not None
 
         @jax.jit
-        def _enc(params, ids, mask):
-            return minilm.encode(params, ids, mask, cfg)
+        def _enc(params, ids, mask, tw):
+            return minilm.encode(
+                params, ids, mask, cfg,
+                token_weights=tw if weighted else None,
+            )
 
         return _enc
+
+    def set_token_weights(self, token_weights: Optional[np.ndarray]) -> None:
+        """Switch pooling (None = plain mean) — invalidates the cached jit
+        program, which bakes in whether the weight gather exists."""
+        self.token_weights = (
+            None if token_weights is None
+            else jax.device_put(jnp.asarray(token_weights, jnp.float32))
+        )
+        self.__dict__.pop("_encode_jit", None)
 
     # -- public API ---------------------------------------------------------
 
@@ -148,7 +170,12 @@ class Embedder:
         for i, (a, m) in enumerate(enc):
             ids[i] = a[:L]
             mask[i] = m[:L]
-        emb = self._encode_jit(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        tw = self.token_weights
+        if tw is None:  # static-shape placeholder; traced out when unused
+            tw = jnp.zeros((1,), jnp.float32)
+        emb = self._encode_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), tw
+        )
         return np.asarray(emb[:B])
 
     def get_stats(self) -> dict:

@@ -263,17 +263,65 @@ def encode(
     attention_mask: jax.Array,
     config: MiniLMConfig,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    token_weights: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sentence embeddings ``[B, H]``: masked mean-pool + L2 normalise
-    (the all-MiniLM-L6-v2 recipe)."""
+    (the all-MiniLM-L6-v2 recipe).
+
+    ``token_weights`` (``[vocab]`` f32, optional) switches the pool to a
+    per-token weighted mean — the SIF recipe (Arora et al. 2017,
+    ``w(t) = a / (a + p(t))``, see :func:`sif_weights_from_counts`): rare
+    discriminative tokens dominate the sentence vector while corpus
+    boilerplate ("the court held ...") washes out. Train-free, so it
+    composes with any params (random init or pretrained); on
+    template-heavy corpora it is the difference between ranking cases by
+    their distinguishing content vs by shared template mass. The weight
+    gather is one ``take`` fused into the f32 pooling epilogue — MXU work
+    is unchanged."""
     hidden = forward(params, input_ids, attention_mask, config, compute_dtype)
-    mask = attention_mask.astype(jnp.float32)[:, :, None]
+    mask = attention_mask.astype(jnp.float32)
+    if token_weights is not None:
+        mask = mask * jnp.take(
+            token_weights.astype(jnp.float32), input_ids, axis=0
+        )
+    mask = mask[:, :, None]
     summed = jnp.sum(hidden * mask, axis=1)
     counts = jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
     pooled = summed / counts
     return pooled / jnp.maximum(
         jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
     )
+
+
+def sif_weights_from_counts(
+    counts: np.ndarray, a: float = 1e-3
+) -> np.ndarray:
+    """Smoothed-inverse-frequency pooling weights from corpus token-id
+    counts: ``w(t) = a / (a + p(t))`` with ``p(t)`` the token's corpus
+    probability. Unseen tokens get the maximum weight 1.0 (they are
+    maximally informative when they appear in a query). Returns ``[vocab]``
+    float32; the global scale is irrelevant (weighted-mean pooling
+    normalises by the weight sum)."""
+    counts = np.asarray(counts, np.float64)
+    total = counts.sum()
+    if total <= 0:
+        return np.ones(counts.shape, np.float32)
+    p = counts / total
+    return (a / (a + p)).astype(np.float32)
+
+
+def count_token_ids(
+    tokenizer, texts, vocab_size: int, max_len: int = 512
+) -> np.ndarray:
+    """Corpus token-id frequency counts (host-side, tokenize-only pass) —
+    the input to :func:`sif_weights_from_counts`. ``texts`` may be any
+    iterable (a sampling generator for streaming builds)."""
+    counts = np.zeros(vocab_size, np.int64)
+    for t in texts:
+        ids, mask = tokenizer.encode(t, max_len)
+        n = int(np.sum(mask))
+        np.add.at(counts, np.asarray(ids[:n], np.int64), 1)
+    return counts
 
 
 # ---------------------------------------------------------------------------

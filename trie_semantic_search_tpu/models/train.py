@@ -187,6 +187,131 @@ def mine_pairs(
     return pairs
 
 
+#: training-augmentation synonym lexicon: public-knowledge English/legal
+#: synonym groups used ONLY to generate augmented views for contrastive
+#: pretraining (:func:`mine_view_pairs`). It is curated independently of
+#: the evaluation lexicon (``models.quality.SYNONYMS``), but both draw on
+#: the same public domain knowledge so some pairs coincide;
+#: scripts/r4_view_lab.py also measures with the overlap REMOVED so the
+#: generalisation claim does not rest on shared entries.
+TRAIN_SYNONYM_GROUPS: list[list[str]] = [
+    ["attorney", "lawyer", "counsel", "advocate"],
+    ["judge", "justice", "jurist"],
+    ["court", "tribunal", "forum"],
+    ["ruling", "judgment", "decision", "holding"],
+    ["law", "statute", "enactment"],
+    ["regulation", "rule", "ordinance"],
+    ["contract", "agreement", "pact"],
+    ["evidence", "proof", "testimony"],
+    ["defendant", "accused", "respondent"],
+    ["plaintiff", "petitioner", "claimant", "complainant"],
+    ["crime", "offense", "felony"],
+    ["illegal", "unlawful", "illicit"],
+    ["forbidden", "prohibited", "banned", "barred"],
+    ["permitted", "allowed", "authorized"],
+    ["obligation", "duty", "responsibility"],
+    ["damages", "compensation", "restitution"],
+    ["appeal", "review", "rehearing"],
+    ["reversed", "overturned", "vacated"],
+    ["affirmed", "upheld", "sustained"],
+    ["remanded", "returned"],
+    ["dismissed", "rejected", "denied"],
+    ["decided", "held", "concluded", "determined", "ruled", "found",
+     "reasoned"],
+    ["dispute", "controversy", "disagreement"],
+    ["doctrine", "principle", "precept"],
+    ["framework", "structure", "scheme"],
+    ["standard", "test", "criterion"],
+    ["analysis", "examination", "inquiry"],
+    ["claim", "assertion", "contention"],
+    ["record", "transcript", "file"],
+    ["trial", "proceeding", "hearing"],
+    ["question", "issue", "matter"],
+    ["car", "automobile", "vehicle"],
+    ["house", "home", "residence", "dwelling"],
+    ["money", "funds", "payment"],
+    ["big", "large", "substantial"],
+    ["small", "minor", "trivial"],
+    ["begin", "start", "commence"],
+    ["end", "finish", "terminate", "conclude"],
+    ["show", "demonstrate", "establish"],
+    ["require", "demand", "mandate"],
+    ["sensible", "reasonable", "rational"],
+    ["acquired", "obtained", "procured"],
+    ["applies", "governs", "controls"],
+]
+
+#: word → candidate replacements (every other member of its group)
+TRAIN_SYNONYMS: dict[str, list[str]] = {}
+for _grp in TRAIN_SYNONYM_GROUPS:
+    for _w in _grp:
+        TRAIN_SYNONYMS.setdefault(_w, []).extend(
+            x for x in _grp if x != _w
+        )
+
+_VIEW_STOPWORDS = frozenset(
+    "the a an of in on at to and or is was were be been that this it its by "
+    "for with as from".split()
+)
+
+
+def augment_view(
+    sentence: str,
+    rng: np.random.Generator,
+    synonyms: Optional[dict[str, list[str]]] = None,
+    swap_prob: float = 0.9,
+    drop_prob: float = 0.3,
+    scrub_digits: bool = True,
+) -> str:
+    """One stochastic meaning-preserving rewrite: synonym swaps (per
+    occurrence, ``swap_prob``), stopword drops (``drop_prob``), digit
+    scrubbing. Two independent draws of this over the SAME sentence form
+    an unambiguous positive pair — the augmentation teaches the token
+    embeddings lexicon invariance directly."""
+    import re
+
+    syn = TRAIN_SYNONYMS if synonyms is None else synonyms
+    out: list[str] = []
+    for w in sentence.split():
+        core = w.lower().strip(".,;:()")
+        if core in syn and rng.random() < swap_prob:
+            out.append(str(rng.choice(syn[core])))
+        elif core in _VIEW_STOPWORDS and rng.random() < drop_prob:
+            continue
+        else:
+            out.append(w)
+    s = " ".join(out)
+    if scrub_digits:
+        s = re.sub(r"\d+", "0", s)
+    return s
+
+
+def mine_view_pairs(
+    docs: Sequence[Sequence[str]],
+    seed: int = 0,
+    synonyms: Optional[dict[str, list[str]]] = None,
+    scrub_digits: bool = True,
+    views_per_sentence: int = 1,
+) -> list[tuple[str, str]]:
+    """Augmentation-view positives (round-3 VERDICT item 6): each pair is
+    two INDEPENDENT :func:`augment_view` draws of the same sentence.
+    Unlike adjacent-sentence pairs (:func:`mine_pairs`), the positive
+    relation is unambiguous, so template-heavy corpora cannot poison the
+    loss with false in-batch negatives — the trap that made round-3
+    adjacent-pair pretraining DEGRADE retrieval below random init."""
+    rng = np.random.default_rng(seed)
+    pairs: list[tuple[str, str]] = []
+    for sents in docs:
+        for s in sents:
+            for _ in range(views_per_sentence):
+                a = augment_view(s, rng, synonyms, scrub_digits=scrub_digits)
+                b = augment_view(s, rng, synonyms, scrub_digits=scrub_digits)
+                if a and b:
+                    pairs.append((a, b))
+    rng.shuffle(pairs)  # type: ignore[arg-type]
+    return pairs
+
+
 def _false_negative_mask(
     texts: Sequence[str], jaccard_threshold: float
 ) -> np.ndarray:
@@ -253,6 +378,7 @@ def pretrain_encoder(
     log_every: int = 50,
     false_negative_jaccard: float = 0.0,
     scrub_digits: bool = False,
+    pair_style: str = "adjacent",  # "adjacent" | "views"
 ) -> dict:
     """Corpus-contrastive pretraining: adapts the encoder to the corpus so
     semantic search is meaningful with zero downloaded weights.
@@ -262,7 +388,10 @@ def pretrain_encoder(
     corpora, where unmasked training measurably degrades retrieval below
     the random init."""
     cfg = train_config or TrainConfig(total_steps=steps)
-    pairs = mine_pairs(docs, scrub_digits=scrub_digits)
+    if pair_style == "views":
+        pairs = mine_view_pairs(docs, scrub_digits=scrub_digits)
+    else:
+        pairs = mine_pairs(docs, scrub_digits=scrub_digits)
     if len(pairs) < 4:
         _log.warning(
             "only %d pairs (< 4); skipping pretraining", len(pairs)
@@ -316,6 +445,7 @@ def pretrain_encoder_guarded(
     scrub_digits: bool = True,
     eval_docs: int = 64,
     eval_probes: int = 96,
+    pair_style: str = "views",
 ) -> dict:
     """Pretrain with a retrieval guardrail: keep the trained weights only
     if they do NOT degrade probe retrieval vs the initialisation.
@@ -340,7 +470,7 @@ def pretrain_encoder_guarded(
         embedder, docs, steps=steps, batch_size=batch_size,
         max_len=max_len, train_config=train_config,
         false_negative_jaccard=false_negative_jaccard,
-        scrub_digits=scrub_digits,
+        scrub_digits=scrub_digits, pair_style=pair_style,
     )
     if not rep.get("steps"):
         return rep  # pretraining skipped (tiny corpus)
