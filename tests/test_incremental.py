@@ -217,3 +217,36 @@ def test_builder_frozen_roundtrip_bit_identical():
         b2.insert(["brand", "new", "path"], 99, 0)
         ext = b2.freeze()
         assert ext.num_postings == frozen.num_postings + 1
+
+
+def test_encoder_token_weights_persist_through_artifacts(setup, tmp_path):
+    """SIF pooling weights are part of the encoder identity: a reload
+    that dropped them would embed queries under a different pooling than
+    the corpus (silently broken semantic scores)."""
+    import numpy as np
+
+    from trie_semantic_search_tpu.index.builder import (
+        load_artifacts,
+        save_artifacts,
+    )
+
+    cfg, storage, built = setup
+    cfg.trie.index_path = str(tmp_path / "trie")
+    cfg.vector.hnsw.index_path = str(tmp_path / "vec")
+    tw = np.linspace(0.2, 1.0, 4096).astype(np.float32)
+    built.vector.embedder.set_token_weights(tw)
+    save_artifacts(built, cfg)
+    loaded = load_artifacts(cfg)
+    assert loaded is not None
+    emb2 = loaded[1].embedder
+    assert emb2.token_weights is not None
+    np.testing.assert_array_equal(np.asarray(emb2.token_weights), tw)
+    q = "the right to remain silent"
+    np.testing.assert_allclose(
+        emb2.embed([q]).embedding,
+        built.vector.embedder.embed([q]).embedding, rtol=1e-5, atol=1e-6,
+    )
+    # clearing the weights and re-saving removes the artifact file
+    built.vector.embedder.set_token_weights(None)
+    save_artifacts(built, cfg)
+    assert not (tmp_path / "vec" / "token_weights.npy").exists()

@@ -285,3 +285,54 @@ def test_pretrain_skips_tiny_corpus():
     )
     report = pretrain_encoder(emb, [["one", "two"]], steps=5, batch_size=32)
     assert report["steps"] == 0
+
+
+def _pool_docs(n_docs=24):
+    docs = []
+    for i in range(n_docs):
+        t = ["due process", "equal protection", "habeas corpus",
+             "double jeopardy"][i % 4]
+        docs.append([
+            f"The court held that the {t} claim number {i} controls the "
+            f"outcome of this matter entirely.",
+            f"In its analysis the court concluded the {t} question turns "
+            f"on the record developed at trial number {i * 13}.",
+            f"The judgment in case {i} about {t} is affirmed and remanded "
+            f"for proceedings consistent with this opinion.",
+        ])
+    return docs
+
+
+def test_select_pooling_guarded_sets_winner():
+    from trie_semantic_search_tpu.models.train import select_pooling_guarded
+
+    docs = _pool_docs()
+    texts = [s for d in docs for s in d]
+    vocab = train_wordpiece_vocab(texts, vocab_size=2048, min_frequency=1)
+    emb = Embedder(tokenizer=WordPieceTokenizer(vocab),
+                   model_config=TINY)
+    rec = select_pooling_guarded(emb, docs, eval_docs=24, eval_probes=32)
+    assert rec["pooling"] in ("mean", "sif")
+    if rec["pooling"] == "sif":
+        assert emb.token_weights is not None
+        assert rec["sif_mrr"] > rec["mean_mrr"]
+    else:
+        assert emb.token_weights is None
+    # forcing skips the comparison and pins the mode
+    rec2 = select_pooling_guarded(emb, docs, force="sif")
+    assert rec2["pooling"] == "sif" and emb.token_weights is not None
+    rec3 = select_pooling_guarded(emb, docs, force="mean")
+    assert rec3["pooling"] == "mean" and emb.token_weights is None
+
+
+def test_select_pooling_tiny_corpus_falls_back_to_mean():
+    from trie_semantic_search_tpu.models.train import select_pooling_guarded
+
+    docs = [["short one."], ["short two."]]
+    vocab = train_wordpiece_vocab(
+        [s for d in docs for s in d], vocab_size=512, min_frequency=1
+    )
+    emb = Embedder(tokenizer=WordPieceTokenizer(vocab),
+                   model_config=TINY)
+    rec = select_pooling_guarded(emb, docs)
+    assert rec["pooling"] == "mean" and emb.token_weights is None

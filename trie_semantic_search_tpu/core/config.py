@@ -251,6 +251,12 @@ class VectorConfig:
     quality_gate_sample_cases: int = 200
     #: trained MRR must reach this fraction of the random-init control's
     quality_gate_margin: float = 0.8
+    #: Sentence pooling for the encoder: "auto" selects mean vs SIF on
+    #: probe merit at build time (models/train.select_pooling_guarded);
+    #: "mean"/"sif" force one. SIF weights persist with the encoder
+    #: artifact — queries must pool the same way the corpus did.
+    pooling: str = "auto"
+    sif_a: float = 0.1
 
 
 @dataclass
@@ -464,6 +470,14 @@ class Config:
         if self.mesh.model_parallel <= 0:
             raise ValidationFailed(
                 field="mesh.model_parallel", reason="model_parallel must be >= 1"
+            )
+        if self.vector.pooling not in ("auto", "mean", "sif"):
+            raise ValidationFailed(
+                field="vector.pooling",
+                reason=(
+                    f"Unsupported pooling '{self.vector.pooling}'"
+                    " (auto|mean|sif)"
+                ),
             )
         if self.vector.quality_gate not in ("off", "warn", "refuse"):
             raise ValidationFailed(

@@ -79,6 +79,24 @@ def build_indexes(
         embedder = Embedder(
             config.vector.model, tokenizer=WordPieceTokenizer(vocab)
         )
+        if config.vector.pooling != "mean":
+            # pooling selection on probe merit (mean vs SIF) over a
+            # bounded sample — see models/train.select_pooling_guarded
+            from ..models.train import select_pooling_guarded
+
+            sample_docs = []
+            for i, (_m, text) in enumerate(storage.iter_cases()):
+                if i >= 2000:
+                    break
+                if text:
+                    sample_docs.append(
+                        tp.extract_sentences(tp.normalize_text(text))
+                    )
+            rec = select_pooling_guarded(
+                embedder, sample_docs, sif_a=config.vector.sif_a,
+                force=None if config.vector.pooling == "auto" else "sif",
+            )
+            _log.info("pooling selection: %s", rec)
     if pretrain_steps > 0:
         # guarded: keeps the init weights if the contrastive objective
         # degrades probe retrieval (see models/train.pretrain_encoder_guarded)
@@ -298,12 +316,19 @@ def save_artifacts(
 
 
 def save_encoder(emb: Embedder, enc_dir: Path) -> None:
-    """Persist the encoder (tokenizer vocab + params) so future loads —
-    and SIGKILL-resumed streaming builds — embed with the SAME weights."""
+    """Persist the encoder (tokenizer vocab + params + pooling weights) so
+    future loads — and SIGKILL-resumed streaming builds — embed with the
+    SAME weights. Pooling weights are part of the encoder identity: corpus
+    and query vectors are only comparable under the same pooling."""
     from ..models.checkpoint import save_checkpoint
 
     enc_dir.mkdir(parents=True, exist_ok=True)
     emb.tokenizer.save(enc_dir / "tokenizer.json")
+    tw_path = enc_dir / "token_weights.npy"
+    if emb.token_weights is not None:
+        np.save(tw_path, np.asarray(emb.token_weights, np.float32))
+    elif tw_path.exists():
+        tw_path.unlink()
     save_checkpoint(
         enc_dir / "encoder", 0, emb.params,
         metadata={
@@ -383,7 +408,10 @@ def _load_encoder(config: Config, vec_dir: Path) -> Optional[Embedder]:
             index_type="encoder", details=f"unreadable checkpoint in {enc_dir}"
         )
     params = restored[0]
+    tw_path = vec_dir / "token_weights.npy"
+    token_weights = np.load(tw_path) if tw_path.exists() else None
     return Embedder(
         config.vector.model, tokenizer=tokenizer,
         params=params, model_config=model_config,
+        token_weights=token_weights,
     )

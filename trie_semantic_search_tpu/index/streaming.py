@@ -141,6 +141,29 @@ class StreamingIndexBuilder:
                 embedder = Embedder(
                     config.vector.model, tokenizer=WordPieceTokenizer(vocab)
                 )
+                if config.vector.pooling != "mean":
+                    # mean-vs-SIF pooling selection on probe merit over a
+                    # bounded sample; the winner persists with the encoder
+                    from ..models.train import select_pooling_guarded
+                    from ..text.processor import TextProcessor as _TP0
+
+                    _tp0 = _TP0(config.text_processing)
+                    pool_docs = []
+                    for i, (_row, _m, text) in enumerate(
+                        storage.iter_cases_rowid()
+                    ):
+                        if i >= 2000:
+                            break
+                        if text:
+                            pool_docs.append(_tp0.extract_sentences(
+                                _tp0.normalize_text(text)
+                            ))
+                    rec = select_pooling_guarded(
+                        embedder, pool_docs, sif_a=config.vector.sif_a,
+                        force=(None if config.vector.pooling == "auto"
+                               else "sif"),
+                    )
+                    _log.info("pooling selection: %s", rec)
                 if pretrain_steps > 0:
                     # corpus-contrastive pretraining on a bounded case
                     # sample — without this the scale build would embed

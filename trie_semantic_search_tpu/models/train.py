@@ -506,3 +506,73 @@ def pretrain_encoder_guarded(
         "probes": len(probes),
     }
     return rep
+
+
+def select_pooling_guarded(
+    embedder,  # models.embedder.Embedder (token_weights set in place)
+    docs: Sequence[Sequence[str]],
+    sif_a: float = 0.1,
+    eval_docs: int = 64,
+    eval_probes: int = 96,
+    count_sentences: int = 50_000,
+    force: Optional[str] = None,  # "mean" | "sif" skips the comparison
+) -> dict:
+    """Pick the pooling mode on probe merit (round-3 VERDICT item 6).
+
+    Computes SIF weights (``minilm.sif_weights_from_counts``) from a
+    bounded tokenize-only pass over ``docs``, evaluates the encoder under
+    plain mean pooling vs SIF pooling on held-out probes, and leaves the
+    WINNER set on the embedder — the same keep-on-merit contract as
+    :func:`pretrain_encoder_guarded`. Measured on the CAP-style corpus:
+    mild SIF (a=0.1) edges plain (direct MRR 0.5615 vs 0.5504, recall@10
+    0.85 vs 0.80, scripts/r4_sif_lab.py) while aggressive weighting
+    (a<=0.01, idf) loses badly — hence the merit gate instead of a static
+    default. Runs BEFORE pretraining so the pretrain guardrail evaluates
+    under the pooling that will actually serve."""
+    import itertools
+
+    from .minilm import count_token_ids, sif_weights_from_counts
+    from .quality import build_probes, evaluate_embedder_direct
+
+    vocab_size = max(len(embedder.tokenizer), 128)
+    counts = count_token_ids(
+        embedder.tokenizer,
+        itertools.islice((s for sents in docs for s in sents),
+                         count_sentences),
+        vocab_size=vocab_size,
+    )
+    weights = sif_weights_from_counts(counts, a=sif_a)
+    if force == "sif":
+        embedder.set_token_weights(weights)
+        return {"pooling": "sif", "sif_a": sif_a, "forced": True}
+    if force == "mean":
+        embedder.set_token_weights(None)
+        return {"pooling": "mean", "forced": True}
+
+    sample = [(i, sents) for i, sents in enumerate(docs[:eval_docs])]
+    probes = build_probes(sample, max_probes=eval_probes)
+    texts: list[str] = []
+    rows: list[int] = []
+    for i, sents in sample:
+        for s in sents[:8]:
+            texts.append(s)
+            rows.append(i)
+    if len(probes) < 8 or not texts:
+        embedder.set_token_weights(None)
+        return {"pooling": "mean", "reason": "corpus too small for probes"}
+    embedder.set_token_weights(None)
+    mean_m = evaluate_embedder_direct(embedder, texts, rows, probes)["all"]
+    embedder.set_token_weights(weights)
+    sif_m = evaluate_embedder_direct(embedder, texts, rows, probes)["all"]
+    if sif_m["mrr"] > mean_m["mrr"]:
+        kept = "sif"  # weights already set
+    else:
+        kept = "mean"
+        embedder.set_token_weights(None)
+    rec = {
+        "pooling": kept, "sif_a": sif_a,
+        "mean_mrr": mean_m["mrr"], "sif_mrr": sif_m["mrr"],
+        "probes": len(probes),
+    }
+    _log.info("pooling selection: %s", rec)
+    return rec
