@@ -325,8 +325,9 @@ def save_encoder(emb: Embedder, enc_dir: Path) -> None:
     enc_dir.mkdir(parents=True, exist_ok=True)
     emb.tokenizer.save(enc_dir / "tokenizer.json")
     tw_path = enc_dir / "token_weights.npy"
-    if emb.token_weights is not None:
-        np.save(tw_path, np.asarray(emb.token_weights, np.float32))
+    tw = getattr(emb, "token_weights", None)  # duck-typed test embedders
+    if tw is not None:
+        np.save(tw_path, np.asarray(tw, np.float32))
     elif tw_path.exists():
         tw_path.unlink()
     save_checkpoint(
