@@ -1,0 +1,119 @@
+"""Serving-path recall sweep over a built artifact (round-3 VERDICT
+item 7 done-evidence): mean AND min case-level recall@10 vs the exact
+oracle at each nprobe, marking the artifact's tuned operating point.
+
+  python scripts/r4_recall_sweep.py --work /root/r4_embed \
+      [--nprobes 8,16,32,64,128]
+
+One JSON line: per-nprobe {mean, min, p5} recall and the tuned nprobe's
+row — the round-3 flagship tuned to mean 0.984 / min 0.90; the
+min-recall-floor tuner must land where min >= 0.95.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
+
+if guard_dead_tpu_relay():
+    print("warning: TPU relay unreachable - running on CPU backend",
+          file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--nprobes", default="")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    import logging
+
+    logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
+
+    import numpy as np
+
+    from trie_semantic_search_tpu.core.config import Config
+    from trie_semantic_search_tpu.index.builder import load_artifacts
+    from trie_semantic_search_tpu.index.tuning import (
+        _served_cases,
+        build_probe_embeddings,
+        case_level_oracle,
+    )
+    from trie_semantic_search_tpu.storage.store import StorageManager
+    from trie_semantic_search_tpu.text.processor import TextProcessor
+
+    work = Path(args.work)
+    cfg = Config()
+    cfg.storage.db_path = str(work / "db.sqlite")
+    cfg.storage.backup.enabled = False
+    cfg.trie.index_path = str(work / "trie")
+    cfg.trie.content_windowing = "phrase_start"
+    cfg.vector.hnsw.index_path = str(work / "vec")
+
+    t0 = time.perf_counter()
+    storage = StorageManager(cfg.storage)
+    artifacts = load_artifacts(cfg)
+    assert artifacts is not None
+    _trie, vector, _columns = artifacts
+    load_s = time.perf_counter() - t0
+    print(f"loaded in {load_s:.1f}s", file=sys.stderr)
+
+    probes = build_probe_embeddings(
+        storage, TextProcessor(cfg.text_processing),
+        lambda texts: vector.generate_embeddings(texts),
+    )
+    assert probes is not None
+    chunk_case = np.asarray(vector.refs)[:, 0]
+    oracle = [set(o) for o in case_level_oracle(
+        vector.vectors, chunk_case, probes, args.k
+    )]
+
+    tuned = int(vector.ann.tuned_nprobe or 0)
+    P = int(vector.ann.centroids.shape[0])
+    if args.nprobes:
+        grid = sorted({int(x) for x in args.nprobes.split(",")})
+    else:
+        grid = sorted({8, 16, 32, 64, 128, tuned or 64})
+    grid = [n for n in grid if 0 < n <= P]
+
+    rows = []
+    k = args.k
+    for nprobe in grid:
+        t0 = time.perf_counter()
+        served = _served_cases(vector.ann, chunk_case, probes, k, nprobe)
+        per = np.asarray([
+            len(set(s) & o) / max(len(o), 1)
+            for s, o in zip(served, oracle)
+        ])
+        rows.append({
+            "nprobe": nprobe,
+            "mean": round(float(per.mean()), 4),
+            "min": round(float(per.min()), 4),
+            "p5": round(float(np.percentile(per, 5)), 4),
+            "seconds": round(time.perf_counter() - t0, 1),
+            "tuned": nprobe == tuned,
+        })
+        print(f"nprobe={nprobe}: mean {rows[-1]['mean']} "
+              f"min {rows[-1]['min']}", file=sys.stderr)
+
+    print(json.dumps({
+        "work": str(work),
+        "chunks": int(len(chunk_case)),
+        "partitions": P,
+        "probes": int(len(probes)),
+        "tuned_nprobe": tuned,
+        "artifact_load_seconds": round(load_s, 1),
+        "sweep": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()
