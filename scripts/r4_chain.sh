@@ -1,0 +1,78 @@
+#!/usr/bin/env bash
+# Round-4 serialized job chain (1 CPU core; relay down all round).
+#
+# Runs the two remaining verdict deliverables back to back so a dying
+# session cannot orphan them:
+#   1. wait for the in-flight 25k-case REAL-encoder re-embed build
+#      (/root/r4_embed, launched detached) to finish;
+#   2. engine-level retrieval eval on it -> bench_results/retrieval_r04.json
+#      (round-3 VERDICT item 1: trained artifact must match/beat the
+#      random-init control through the real engine);
+#   3. 1M-case / ~10M-chunk finalize-scale harness build (fnv embedder)
+#      with a deliberate mid-stream SIGKILL + resume (crash-resume
+#      exercised) -> bench_results/scalebuild_r04.json (VERDICT item 4).
+#
+# Launch detached:  setsid nohup bash scripts/r4_chain.sh \
+#                     > /tmp/r4_chain.log 2>&1 < /dev/null &
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+EMBED_WORK=/root/r4_embed
+SCALE_WORK=/root/r4_scale
+
+log() { echo "[chain $(date +%H:%M:%S)] $*"; }
+
+# ---- 1. wait for the re-embed build ------------------------------------
+if [ -f /tmp/r4_build.pid ]; then
+    PID=$(cat /tmp/r4_build.pid)
+    while kill -0 "$PID" 2>/dev/null; do sleep 30; done
+    log "re-embed build (pid $PID) exited"
+fi
+if ! grep -q '"stage": "build"' /tmp/r4_build.log 2>/dev/null; then
+    log "re-embed build produced no report - relaunching once (resume)"
+    python scripts/capbuild.py build --work "$EMBED_WORK" \
+        >> /tmp/r4_build.log 2>> /tmp/r4_build_err.log
+fi
+log "re-embed report: $(tail -1 /tmp/r4_build.log)"
+
+# ---- 2. engine-level retrieval eval ------------------------------------
+cat > "$EMBED_WORK/eval_config.toml" <<EOF
+[storage]
+db_path = "$EMBED_WORK/db.sqlite"
+[trie]
+index_path = "$EMBED_WORK/trie"
+[vector.hnsw]
+index_path = "$EMBED_WORK/vec"
+num_partitions = 512
+EOF
+if timeout 5400 python -m trie_semantic_search_tpu.cli \
+        -c "$EMBED_WORK/eval_config.toml" \
+        eval-retrieval --control --probes 192 --max-cases 400 \
+        > /tmp/retrieval_r04.json 2> /tmp/retrieval_r04_err.log; then
+    cp /tmp/retrieval_r04.json bench_results/retrieval_r04.json
+    log "retrieval_r04.json written"
+else
+    log "eval-retrieval FAILED (see /tmp/retrieval_r04_err.log)"
+fi
+
+# ---- 3. 1M-case scale build (fnv harness) ------------------------------
+# fresh stream: the 27 shards in stream/ were embedded with the slower
+# wordpiece harness mode; mixing embedders inside one artifact would make
+# the recall-vs-exact math meaningless
+rm -rf "$SCALE_WORK/stream" "$SCALE_WORK/trie" "$SCALE_WORK/vec"
+log "scale build: first slice (will be SIGKILLed to exercise resume)"
+timeout -s KILL 600 python scripts/capbuild.py build --work "$SCALE_WORK" \
+    --embedder fnv --partitions 8192 \
+    > /tmp/r4_scale_build.log 2> /tmp/r4_scale_build_err.log
+log "first slice exited (expected 137); resuming to completion"
+if python scripts/capbuild.py build --work "$SCALE_WORK" \
+        --embedder fnv --partitions 8192 \
+        >> /tmp/r4_scale_build.log 2>> /tmp/r4_scale_build_err.log; then
+    grep '"stage": "build"' /tmp/r4_scale_build.log | tail -1 \
+        > bench_results/scalebuild_r04.json
+    log "scalebuild_r04.json written"
+else
+    log "scale build FAILED (see /tmp/r4_scale_build_err.log)"
+fi
+log "chain done"
