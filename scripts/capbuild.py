@@ -267,6 +267,8 @@ def cmd_build(args) -> None:
     cfg.trie.content_windowing = "phrase_start"
     cfg.vector.hnsw.index_path = str(work / "vec")
     cfg.vector.hnsw.num_partitions = args.partitions
+    if args.no_tune:
+        cfg.vector.hnsw.tune_on_build = False
     storage = StorageManager(cfg.storage)
     embedder = (
         make_harness_embedder(storage, cfg, mode=args.embedder)
@@ -275,6 +277,7 @@ def cmd_build(args) -> None:
     builder = StreamingIndexBuilder(
         storage, cfg, embedder=embedder, work_dir=work / "stream",
         shard_chunks=args.shard_chunks,
+        max_chunks_per_case=args.max_chunks_per_case,
     )
     built = builder.build(resume=not args.no_resume)
     r = built.report
@@ -321,6 +324,17 @@ def main() -> None:
     b.add_argument("--partitions", type=int, default=512)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--cpu", action="store_true")
+    b.add_argument(
+        "--max-chunks-per-case", type=int, default=64,
+        help="cap content chunks per case (bounds total chunk count "
+             "independently of the generated corpus's sentence counts)",
+    )
+    b.add_argument(
+        "--no-tune", action="store_true",
+        help="skip build-time nprobe tuning (its exact oracle brute-scans "
+             "the corpus per probe: seconds on a chip, hours on the "
+             "1-core CPU fallback at multi-M-chunk scale)",
+    )
     b.add_argument(
         "--embedder", choices=("model", "hash", "fnv"), default="model",
         help="'hash'/'fnv' = finalize-scale harness: BoW-projection "

@@ -58,16 +58,26 @@ fi
 
 # ---- 3. 1M-case scale build (fnv harness) ------------------------------
 # fresh stream: the 27 shards in stream/ were embedded with the slower
-# wordpiece harness mode; mixing embedders inside one artifact would make
-# the recall-vs-exact math meaningless
+# wordpiece harness mode (evidence snapshot: scalestream_wp_r04.json);
+# mixing embedders inside one artifact would make recall math meaningless.
+#
+# Wall-clock-bounded finalize sizing for the 1-core CPU fallback: the
+# dominant finalize costs are the exhaustive centroid-assignment matmul
+# (O(N*P*D) — seconds on one chip's MXU, hours on this core at serving
+# P) and the nprobe tuner's exact oracle (O(N*probes*D)). So: cap chunks
+# at 3/case (1M cases -> ~3M chunks), P=32, tuner off (--no-tune). The
+# CASES axis (4x round-3's 250k), streaming RSS, external-sort trie
+# finalize, artifact assembly/save/load and crash-resume are all still
+# exercised at full 1M-case scale.
 rm -rf "$SCALE_WORK/stream" "$SCALE_WORK/trie" "$SCALE_WORK/vec"
+SCALE_FLAGS="--embedder fnv --partitions 32 --max-chunks-per-case 3 --no-tune"
 log "scale build: first slice (will be SIGKILLed to exercise resume)"
-timeout -s KILL 600 python scripts/capbuild.py build --work "$SCALE_WORK" \
-    --embedder fnv --partitions 8192 \
+timeout -s KILL 240 python scripts/capbuild.py build --work "$SCALE_WORK" \
+    $SCALE_FLAGS \
     > /tmp/r4_scale_build.log 2> /tmp/r4_scale_build_err.log
 log "first slice exited (expected 137); resuming to completion"
 if python scripts/capbuild.py build --work "$SCALE_WORK" \
-        --embedder fnv --partitions 8192 \
+        $SCALE_FLAGS \
         >> /tmp/r4_scale_build.log 2>> /tmp/r4_scale_build_err.log; then
     grep '"stage": "build"' /tmp/r4_scale_build.log | tail -1 \
         > bench_results/scalebuild_r04.json

@@ -220,6 +220,13 @@ class AnnConfig:
     #: 0 disables the floor (mean-only tuning, the round-3 behavior that
     #: shipped a 0.90-min tail under a 0.984 mean).
     tune_min_recall: float = 0.95
+    #: Run build-time nprobe tuning at finalize. The tuner's exact oracle
+    #: brute-scans the whole corpus per probe — a device matmul (seconds
+    #: on one chip) but hours on the 1-core CPU fallback at multi-M-chunk
+    #: scale, so pipeline-scale harness builds switch it off; serving
+    #: artifacts should leave it on (an untuned artifact falls back to
+    #: the ~P/10 default_nprobe heuristic at load).
+    tune_on_build: bool = True
 
 
 # Alias for reference-name parity.

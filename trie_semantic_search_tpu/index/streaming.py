@@ -365,6 +365,7 @@ class StreamingIndexBuilder:
                 if (
                     hasattr(vector.ann, "tune_nprobe")
                     and vector.ann.num_vectors >= 100
+                    and self.config.vector.hnsw.tune_on_build
                 ):
                     # tune nprobe against SERVING recall: case-level set
                     # overlap vs the exact oracle with query-shaped probe
