@@ -31,7 +31,10 @@ if [ -f /tmp/r4_build.pid ]; then
 fi
 if ! grep -q '"stage": "build"' /tmp/r4_build.log 2>/dev/null; then
     log "re-embed build produced no report - relaunching once (resume)"
-    python scripts/capbuild.py build --work "$EMBED_WORK" \
+    # P=128: the exhaustive assignment matmul measured ~22 GFLOP/s on
+    # this contended core — P=512 would be ~74 min of finalize for no
+    # quality gain the tuner can't recover via nprobe
+    python scripts/capbuild.py build --work "$EMBED_WORK" --partitions 128 \
         >> /tmp/r4_build.log 2>> /tmp/r4_build_err.log
 fi
 log "re-embed report: $(tail -1 /tmp/r4_build.log)"
@@ -44,7 +47,7 @@ db_path = "$EMBED_WORK/db.sqlite"
 index_path = "$EMBED_WORK/trie"
 [vector.hnsw]
 index_path = "$EMBED_WORK/vec"
-num_partitions = 512
+num_partitions = 128
 EOF
 if timeout 5400 python -m trie_semantic_search_tpu.cli \
         -c "$EMBED_WORK/eval_config.toml" \

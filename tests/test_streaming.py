@@ -201,3 +201,28 @@ def test_streaming_finalize_tunes_and_persists_nprobe(tmp_path):
     assert vector2.ann.default_nprobe == min(
         tuned, vector2.ann.centroids.shape[0]
     )
+
+
+def test_streaming_finalize_tune_on_build_off(tmp_path):
+    """vector.hnsw.tune_on_build=False skips finalize nprobe tuning (the
+    tuner's exact oracle brute-scans the corpus per probe — hours on the
+    1-core CPU fallback at multi-M-chunk harness scale). The artifact
+    saves untuned and a fresh load falls back to the default_nprobe
+    heuristic instead of a persisted value."""
+    from trie_semantic_search_tpu.index.builder import load_artifacts
+
+    cfg, storage, emb = make_stack(tmp_path, n_cases=64)
+    cfg.vector.hnsw.tune_on_build = False
+    sb = StreamingIndexBuilder(
+        storage, cfg, embedder=emb,
+        work_dir=tmp_path / "work", shard_chunks=32,
+    )
+    built = sb.build()
+    assert built.vector.ann.num_vectors >= 100  # past the tuning gate
+    assert built.vector.ann.tuned_nprobe == 0  # never tuned
+    arts = load_artifacts(cfg, embedder=emb)
+    assert arts is not None
+    _trie, vector2, _cols = arts
+    assert vector2.ann.tuned_nprobe == 0
+    P = int(vector2.ann.centroids.shape[0])
+    assert 1 <= vector2.ann.default_nprobe <= P  # heuristic, not persisted
