@@ -278,6 +278,7 @@ def cmd_build(args) -> None:
         storage, cfg, embedder=embedder, work_dir=work / "stream",
         shard_chunks=args.shard_chunks,
         max_chunks_per_case=args.max_chunks_per_case,
+        max_cases=args.max_cases,
     )
     built = builder.build(resume=not args.no_resume)
     r = built.report
@@ -324,6 +325,10 @@ def main() -> None:
     b.add_argument("--partitions", type=int, default=512)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--cpu", action="store_true")
+    b.add_argument(
+        "--max-cases", type=int, default=0,
+        help="0 = whole corpus; >0 stops streaming after that many cases",
+    )
     b.add_argument(
         "--max-chunks-per-case", type=int, default=64,
         help="cap content chunks per case (bounds total chunk count "

@@ -35,6 +35,7 @@ if ! grep -q '"stage": "build"' /tmp/r4_build.log 2>/dev/null; then
     # this contended core — P=512 would be ~74 min of finalize for no
     # quality gain the tuner can't recover via nprobe
     python scripts/capbuild.py build --work "$EMBED_WORK" --partitions 128 \
+        --max-cases 12500 \
         >> /tmp/r4_build.log 2>> /tmp/r4_build_err.log
 fi
 log "re-embed report: $(tail -1 /tmp/r4_build.log)"

@@ -95,12 +95,16 @@ class StreamingIndexBuilder:
         work_dir: Optional[str | Path] = None,
         shard_chunks: int = 8192,
         max_chunks_per_case: int = 64,
+        max_cases: int = 0,
         content_spill: bool = True,
         pretrain_steps: int = 300,
         pretrain_sample_cases: int = 2000,
     ):
         self.storage = storage
         self.config = config
+        #: 0 = whole corpus; >0 stops streaming after that many cases
+        #: (wall-clock-bounded builds over a larger generated corpus)
+        self.max_cases = max_cases
         #: content index via the external-sort spill build (O(output)
         #: memory; bit-identical arrays) instead of the resident node pool
         self.content_spill = content_spill
@@ -294,6 +298,8 @@ class StreamingIndexBuilder:
                     trie.insert_citation(cit.normalized, row)
             manifest.cases += 1
             row_after_pending = row + 1
+            if self.max_cases and manifest.cases >= self.max_cases:
+                break
 
             if len(pending_texts) >= self.shard_chunks:
                 self._write_shard(manifest, pending_texts, pending_refs)
