@@ -60,6 +60,13 @@ else
     log "eval-retrieval FAILED (see /tmp/retrieval_r04_err.log)"
 fi
 
+# ---- 2b. serve-path record: timed load, latency, recall vs oracle ------
+timeout 1800 python scripts/r3_serve_bench.py --work "$EMBED_WORK" \
+    --out bench_results/servebench_r04.json --skip-quality \
+    > /tmp/servebench_r04.log 2>&1 \
+    && log "servebench_r04.json written" \
+    || log "servebench FAILED (see /tmp/servebench_r04.log)"
+
 # ---- 3. 1M-case scale build (fnv harness) ------------------------------
 # fresh stream: the 27 shards in stream/ were embedded with the slower
 # wordpiece harness mode (evidence snapshot: scalestream_wp_r04.json);
