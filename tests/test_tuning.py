@@ -162,3 +162,43 @@ def test_min_recall_floor_unreachable_settles_on_cap(duplicate_corpus):
         target_recall=0.5, min_recall=1.0, max_nprobe=16,
     )
     assert tuned <= 16
+
+
+def test_floor_plateau_settles_on_mean_target_not_cap(
+    duplicate_corpus, monkeypatch
+):
+    """When the worst-probe recall PLATEAUS below the floor as nprobe
+    doubles (a ranking-level artifact — ties/dedup — that more probes
+    cannot fix), the tuner must settle on the smallest MEAN-passing
+    nprobe instead of burning cap probes for nothing."""
+    import trie_semantic_search_tpu.index.tuning as tuning
+
+    corpus, case_of, _topics = duplicate_corpus
+    ann = PartitionedANN(AnnConfig(num_partitions=64, rescore_factor=4))
+    ann.build(corpus, seed=0)
+    rng = np.random.default_rng(5)
+    queries = _normed(rng.standard_normal((4, corpus.shape[1])))
+
+    # fixed oracle: 10 cases per probe; served: 9/10 of them at nprobe>=2
+    # (mean 0.9) but probe 0 stuck at 6/10 forever (worst 0.6 plateau)
+    oracle_sets = [list(range(q * 100, q * 100 + 10)) for q in range(4)]
+    monkeypatch.setattr(
+        tuning, "case_level_oracle",
+        lambda vectors, chunk_case, embs, k: oracle_sets,
+    )
+
+    def fake_served(ann_, chunk_case_, embs_, k_, nprobe):
+        out = []
+        for q, o in enumerate(oracle_sets):
+            keep = 6 if q == 0 else (9 if nprobe >= 2 else 5)
+            out.append(o[:keep])
+        return out
+
+    monkeypatch.setattr(tuning, "_served_cases", fake_served)
+    tuned = tune_nprobe_case_recall(
+        ann, case_of, corpus, queries, k=10,
+        target_recall=0.8, min_recall=0.95, max_nprobe=16,
+    )
+    # mean passes from nprobe=2 (0.9+0.9+0.9+0.6)/4 = 0.825 >= 0.8; the
+    # 0.6 worst never moves -> settle on 2, not the 16 cap
+    assert tuned == 2
