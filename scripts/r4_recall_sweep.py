@@ -72,9 +72,10 @@ def main() -> None:
     )
     assert probes is not None
     chunk_case = np.asarray(vector.refs)[:, 0]
-    oracle = [set(o) for o in case_level_oracle(
-        vector.vectors, chunk_case, probes, args.k
-    )]
+    oracle_lists, tie_sets = case_level_oracle(
+        vector.vectors, chunk_case, probes, args.k, return_tie_sets=True
+    )
+    oracle = [set(o) for o in oracle_lists]
 
     tuned = int(vector.ann.tuned_nprobe or 0)
     P = int(vector.ann.centroids.shape[0])
@@ -93,16 +94,26 @@ def main() -> None:
             len(set(s) & o) / max(len(o), 1)
             for s, o in zip(served, oracle)
         ])
+        # tie-aware: a served case whose exact score bitwise-equals the
+        # oracle's k-th counts (a different member of a pure score tie is
+        # not a recall loss — round-4 measured root cause); strict cells
+        # stay the primary record
+        per_tie = np.asarray([
+            len(set(s) & t) / max(len(o), 1)
+            for s, t, o in zip(served, tie_sets, oracle)
+        ])
         rows.append({
             "nprobe": nprobe,
             "mean": round(float(per.mean()), 4),
             "min": round(float(per.min()), 4),
+            "min_tie_aware": round(float(per_tie.min()), 4),
             "p5": round(float(np.percentile(per, 5)), 4),
             "seconds": round(time.perf_counter() - t0, 1),
             "tuned": nprobe == tuned,
         })
         print(f"nprobe={nprobe}: mean {rows[-1]['mean']} "
-              f"min {rows[-1]['min']}", file=sys.stderr)
+              f"min {rows[-1]['min']} "
+              f"(tie-aware {rows[-1]['min_tie_aware']})", file=sys.stderr)
 
     print(json.dumps({
         "work": str(work),

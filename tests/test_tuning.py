@@ -184,7 +184,10 @@ def test_floor_plateau_settles_on_mean_target_not_cap(
     oracle_sets = [list(range(q * 100, q * 100 + 10)) for q in range(4)]
     monkeypatch.setattr(
         tuning, "case_level_oracle",
-        lambda vectors, chunk_case, embs, k: oracle_sets,
+        lambda vectors, chunk_case, embs, k, return_tie_sets=False: (
+            (oracle_sets, [frozenset(o) for o in oracle_sets])
+            if return_tie_sets else oracle_sets
+        ),
     )
 
     def fake_served(ann_, chunk_case_, embs_, k_, nprobe):
@@ -202,3 +205,74 @@ def test_floor_plateau_settles_on_mean_target_not_cap(
     # mean passes from nprobe=2 (0.9+0.9+0.9+0.6)/4 = 0.825 >= 0.8; the
     # 0.6 worst never moves -> settle on 2, not the 16 cap
     assert tuned == 2
+
+
+def test_oracle_tie_sets_are_exact_equality_only():
+    """``return_tie_sets``: a case joins the boundary-tie set only at
+    BITWISE-equal f32 score — an epsilon-lower case stays out (the
+    round-3 postmortem's rule: never tolerance-based tie matching)."""
+    rng = np.random.default_rng(7)
+    D = 16
+    topic = _normed(rng.standard_normal((1, D)).astype(np.float32))
+    # 20 cases x 4 chunks, all exactly the topic vector ...
+    corpus = np.repeat(topic, 80, axis=0).astype(np.float32)
+    case_of = np.arange(80) // 4
+    # ... except case 19, whose chunks are nudged measurably off-topic
+    corpus[76:80] = _normed(
+        topic + np.float32(1e-2) * rng.standard_normal(D).astype(np.float32)
+    )
+    top, ties = case_level_oracle(
+        corpus, case_of, topic, k=10, return_tie_sets=True
+    )
+    assert top[0] == list(range(10))  # lower case rows win the tie
+    # cases 0..18 tie bitwise; case 19 scores strictly lower and is OUT
+    assert ties[0] == frozenset(range(19))
+
+
+def test_tie_exact_floor_forgives_pure_ties_only(monkeypatch, caplog):
+    """round-4 measured floor miss (a pure 14-way exact tie): with
+    ``tie_exact_floor`` the tuner accepts a served set that picks a
+    DIFFERENT member of an exact tie (zero real recall lost), but never
+    a genuinely lower-scoring case."""
+    import trie_semantic_search_tpu.index.tuning as tuning
+
+    rng = np.random.default_rng(8)
+    D = 16
+    topics = _normed(rng.standard_normal((2, D)).astype(np.float32))
+    # topic 0: 20 exactly-tied cases (rows 0..19); topic 1: cases 20..39
+    corpus = np.repeat(topics, 80, axis=0).astype(np.float32)
+    case_of = np.arange(160) // 4
+    query = topics[:1]
+
+    ann = PartitionedANN(AnnConfig(num_partitions=8, rescore_factor=4))
+    ann.build(corpus, seed=0)
+
+    def serve_swapped(ann_, chunk_case_, embs_, k_, nprobe):
+        # the OTHER half of topic 0's 20-way tie: strict overlap with the
+        # oracle's {0..9} is zero, yet every pick scores bitwise-equal
+        return [list(range(10, 20))]
+
+    import logging
+
+    monkeypatch.setattr(tuning, "_served_cases", serve_swapped)
+    with caplog.at_level(logging.WARNING, logger="tss_tpu.index.tuning"):
+        tuned = tune_nprobe_case_recall(
+            ann, case_of, corpus, query, k=10,
+            target_recall=0.0, min_recall=1.0, max_nprobe=4,
+        )
+    assert tuned == 1  # fully forgiven: accepted at the first nprobe
+    assert not caplog.records  # the floor passed for real, no settle
+
+    def serve_off_topic(ann_, chunk_case_, embs_, k_, nprobe):
+        # 9 tie members + one case from topic 1 (genuinely lower score)
+        return [list(range(11, 20)) + [25]]
+
+    monkeypatch.setattr(tuning, "_served_cases", serve_off_topic)
+    with caplog.at_level(logging.WARNING, logger="tss_tpu.index.tuning"):
+        tune_nprobe_case_recall(
+            ann, case_of, corpus, query, k=10,
+            target_recall=0.0, min_recall=1.0, max_nprobe=4,
+        )
+    # NOT forgiven: the floor never passes (tie-aware worst 0.9 < 1.0)
+    # and the tuner lands in the unreachable-floor settle path
+    assert any("unreachable" in r.getMessage() for r in caplog.records)

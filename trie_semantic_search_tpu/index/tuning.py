@@ -47,12 +47,19 @@ def case_level_oracle(
     k: int = 10,
     slab: int = 262_144,
     return_scores: bool = False,
-) -> "list[list[int]] | tuple[list[list[int]], list[float]]":
+    return_tie_sets: bool = False,
+) -> "list[list[int]] | tuple":
     """Exact top-``k`` case rows per query: per-case best chunk score over
     the FULL corpus, ties to the lower case row (the serving invariant).
     Streams the corpus in slabs so the memmap never materializes.
     ``return_scores=True`` additionally returns each query's k-th (last
-    winner) score — the tie-aware acceptance threshold."""
+    winner) score — the tie-aware acceptance threshold.
+    ``return_tie_sets=True`` additionally returns, per query, the set of
+    case rows whose exact score ``>=`` the k-th score — the top-k *with
+    boundary ties*. Membership is decided by comparing entries of the
+    SAME f32 score array (bitwise-equal floats, never a tolerance — the
+    round-3 postmortem's hard rule for anything tie-aware), so a case
+    joins the set only when it is *exactly* as good as the k-th winner."""
     q = np.asarray(query_embs, np.float32)
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     Q = len(q)
@@ -76,12 +83,25 @@ def case_level_oracle(
                 np.maximum.at(best[b], cc, s[b])
     out = []
     kth: list[float] = []
+    tie_sets: list[frozenset] = []
     rows = np.arange(C)
     for b in range(Q):
         order = np.lexsort((rows, -best[b]))[:k]
         out.append([int(r) for r in order])
-        kth.append(float(best[b][order[-1]]) if len(order) else -np.inf)
-    return (out, kth) if return_scores else out
+        kb = float(best[b][order[-1]]) if len(order) else -np.inf
+        kth.append(kb)
+        if return_tie_sets:
+            tie_sets.append(frozenset(
+                int(r) for r in np.flatnonzero(best[b] >= kb)
+            ) if len(order) else frozenset())
+    if return_scores or return_tie_sets:
+        res: list = [out]
+        if return_scores:
+            res.append(kth)
+        if return_tie_sets:
+            res.append(tie_sets)
+        return tuple(res)
+    return out
 
 
 def _served_cases(
@@ -125,6 +145,7 @@ def tune_nprobe_case_recall(
     target_recall: float = 0.95,
     max_nprobe: Optional[int] = None,
     min_recall: Optional[float] = None,
+    tie_exact_floor: bool = True,
 ) -> int:
     """Smallest ``nprobe`` whose case-level recall@k vs the exact oracle
     reaches ``target_recall``; persists it in ``ann.tuned_nprobe`` (the
@@ -138,6 +159,20 @@ def tune_nprobe_case_recall(
     probe's recall ``>= min_recall``; the sweep therefore lands on the
     smallest nprobe whose recall *distribution* (not just its mean)
     clears the bar.
+
+    ``tie_exact_floor`` (default True) makes the FLOOR check tie-aware:
+    a served case counts for the worst-probe metric when its exact score
+    is ``>=`` the oracle's k-th score — i.e. picking a different member
+    of an exact score tie than the oracle did is not a recall loss
+    (round-4 measured the 5M build's floor miss as a pure 14-way tie at
+    bitwise-identical f32 0.820125: oracle and served chose different
+    equally-correct 10-subsets, zero real recall lost). Per the round-3
+    postmortem's rule this is gated to EXACT f32 equality on the
+    oracle's own score array — never a tolerance — so any genuinely
+    lower-scoring case still counts as a miss. The MEAN acceptance stays
+    strict set overlap (the conservative metric every recorded sweep
+    reports), so tie-awareness can loosen only the floor, never the
+    operating point the mean target picks.
 
     Same O(log P) doubling-sweep-plus-midpoint shape as
     ``PartitionedANN.tune_nprobe`` (each distinct nprobe is a fresh
@@ -157,32 +192,41 @@ def tune_nprobe_case_recall(
     m = int(ann.part_rows.shape[1]) if ann.part_rows is not None else 0
     if m > 0 and ann.num_vectors > m:
         cap = max(1, min(cap, (ann.num_vectors - 1) // m))
-    oracle = [set(o) for o in case_level_oracle(
-        vectors, chunk_case, query_embs, k
-    )]
+    oracle_lists, tie_sets = case_level_oracle(
+        vectors, chunk_case, query_embs, k, return_tie_sets=True
+    )
+    oracle = [set(o) for o in oracle_lists]
 
-    measured: dict[int, tuple[float, float]] = {}
+    # (strict mean, strict worst, floor worst) per nprobe; the floor
+    # worst is tie-aware when tie_exact_floor (see docstring)
+    measured: dict[int, tuple[float, float, float]] = {}
 
-    def measure(nprobe: int) -> tuple[float, float]:
+    def measure(nprobe: int) -> tuple[float, float, float]:
         if nprobe not in measured:
             served = _served_cases(ann, chunk_case, query_embs, k, nprobe)
             per = np.asarray([
                 len(set(s) & o) / max(len(o), 1)
                 for s, o in zip(served, oracle)
             ])
+            per_tie = np.asarray([
+                len(set(s) & t) / max(len(o), 1)
+                for s, t, o in zip(served, tie_sets, oracle)
+            ])
             mean, worst = float(per.mean()), float(per.min())
+            floor_worst = float(per_tie.min()) if tie_exact_floor else worst
             _log.info(
-                "case recall@%d at nprobe=%d: mean %.4f min %.4f",
-                k, nprobe, mean, worst,
+                "case recall@%d at nprobe=%d: mean %.4f min %.4f "
+                "(tie-aware min %.4f)",
+                k, nprobe, mean, worst, float(per_tie.min()),
             )
-            measured[nprobe] = (mean, worst)
+            measured[nprobe] = (mean, worst, floor_worst)
         return measured[nprobe]
 
     def accept_at(nprobe: int) -> bool:
-        mean, worst = measure(nprobe)
+        mean, _worst, floor_worst = measure(nprobe)
         if mean < target_recall:
             return False
-        return min_recall is None or worst >= min_recall
+        return min_recall is None or floor_worst >= min_recall
 
     if accept_at(1):
         hi = 1
@@ -204,9 +248,9 @@ def tune_nprobe_case_recall(
             # smallest mean-passing nprobe that already achieves (within
             # eps) the best attainable worst-probe recall; fall back to
             # the cap only when even the mean target never passed.
-            best_worst = max(w for _m, w in measured.values())
+            best_worst = max(w for _m, _s, w in measured.values())
             ok = [
-                n for n, (mn, w) in measured.items()
+                n for n, (mn, _s, w) in measured.items()
                 if mn >= target_recall and w >= best_worst - 1e-3
             ]
             if min_recall is not None and ok:
