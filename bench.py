@@ -201,6 +201,98 @@ def main() -> None:
     )
     trie_args = (eo, et, tg, po, pc, ie)
 
+    # ---- exact oracle + serving-grade nprobe selection -----------------
+    # Builds persist a tuned_nprobe chosen by the min-recall tuner
+    # (index/tuning.py, vector.hnsw.tune_on_build); the bench corpus has
+    # no artifact, so the same selection runs here: smallest nprobe whose
+    # recall@K vs the exact int8 oracle meets the serving recall target.
+    # Recall queries live IN the corpus embedding space (perturbed
+    # centroid members) so approximate-vs-exact overlap is meaningful.
+    kq = jax.random.PRNGKey(7)
+    kp, kn2 = jax.random.split(kq)
+    qpart = jax.random.randint(kp, (B_REC,), 0, P)
+    qv = centroids[qpart] + 0.3 * jax.random.normal(
+        kn2, (B_REC, D), jnp.float32
+    ) / np.sqrt(D)
+    qv = qv / jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    fr = filt(B_REC)
+    no_trie = jnp.full((B_REC, 16), -1, jnp.int32)
+    no_src = jnp.full((B_REC, 16), 3, jnp.int32)
+
+    def make_approx(nprobe):
+        @jax.jit
+        def approx_scan(q, corpus):
+            (cents, prows, pint8, pscale,
+             ccase, ccourt, cdate, repc, w, b_, d_) = corpus
+            return fused_partitioned_topk(
+                q, cents, prows, pint8, pscale, None,
+                ccase, ccourt, cdate,
+                fr["court_table"], fr["date_lo"], fr["date_hi"],
+                no_trie, no_src, repc,
+                fr["min_similarity"], fr["exact_weight"],
+                k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
+                recall_target=RT, part_cword=w, part_cbit=b_, part_date=d_,
+                use_probe_kernel=upk, probe_interpret=pik,
+            )[1]
+        return approx_scan
+
+    corpus_q = part_int8.reshape(N, D)
+    corpus_scale = part_scale.reshape(N, 1)
+
+    @jax.jit
+    def exact_scan(q, cq, cscale, ccase, ccourt, cdate, repc):
+        return fused_hybrid_topk_chunked(
+            q, cq, cscale, ccase, ccourt, cdate,
+            fr["court_table"], fr["date_lo"], fr["date_hi"],
+            no_trie, no_src, repc,
+            fr["min_similarity"], fr["exact_weight"],
+            k=K, overfetch=1, num_chunks=16, recall_target=1.0,
+        )[1]
+
+    exact_args = (corpus_q, corpus_scale, chunk_case, chunk_court,
+                  chunk_date, rep_chunk)
+    t0 = time.perf_counter()
+    oracle = np.asarray(jax.block_until_ready(exact_scan(qv, *exact_args)))
+    exact_first_s = time.perf_counter() - t0  # compile + run
+    # a second, distinct-query dispatch: exact-mode steady cost (one
+    # tunnel RTT included on TPU — capscale's config A slope-times it)
+    qv2 = qv[::-1]
+    t0 = time.perf_counter()
+    jax.block_until_ready(exact_scan(qv2, *exact_args))
+    exact_dispatch_ms = (time.perf_counter() - t0) * 1000
+
+    def recall_at(nprobe: int) -> float:
+        got = np.asarray(
+            jax.block_until_ready(make_approx(nprobe)(qv, corpus_args))
+        )
+        return float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(got, oracle)
+        ]))
+
+    if on_tpu:  # each candidate is one fresh compile — TPU only
+        NPROBE_RUN, recall = NPROBE, None
+        for cand in sorted({8, 16, 32, NPROBE}):
+            if cand > NPROBE:
+                continue
+            r = recall_at(cand)
+            print(f"nprobe sweep: {cand} -> recall@{K} vs exact = {r:.4f}",
+                  file=sys.stderr)
+            if r >= RT:
+                NPROBE_RUN, recall = cand, r
+                break
+        if recall is None:  # target unreachable: serve the default
+            recall = recall_at(NPROBE)
+    else:
+        NPROBE_RUN = NPROBE
+        recall = recall_at(NPROBE)
+    print(
+        f"exact mode: dispatch {exact_dispatch_ms:.1f} ms/{B_REC} queries "
+        f"(first incl. compile {exact_first_s:.1f}s); serving mode "
+        f"(recall_target={RT}, nprobe={NPROBE_RUN}) recall@10 vs exact = "
+        f"{recall:.4f}", file=sys.stderr,
+    )
+
     @jax.jit
     def query_step(params, input_ids, attention_mask, trie_ids,
                    corpus, trie_arrs):
@@ -223,7 +315,7 @@ def main() -> None:
             fb["court_table"], fb["date_lo"], fb["date_hi"],
             lex_rows, lex_src, repc,
             fb["min_similarity"], fb["exact_weight"],
-            k=K, nprobe=NPROBE, overfetch=1, rescore_factor=4,
+            k=K, nprobe=NPROBE_RUN, overfetch=1, rescore_factor=4,
             recall_target=RT, part_cword=w, part_cbit=b_, part_date=d_,
             use_probe_kernel=upk, probe_interpret=pik,
         )
@@ -309,73 +401,6 @@ def main() -> None:
     valid = np.asarray(out[3])
     hit_rate = float(valid.any(axis=1).mean())
 
-    # ---- exact mode alongside (VERDICT item 8) -------------------------
-    # recall queries live IN the corpus embedding space (perturbed
-    # centroid members) so approximate-vs-exact overlap is meaningful;
-    # the exact oracle is the chunked int8 brute scan (recall_target=1.0,
-    # the reference-shaped semantics).
-    kq = jax.random.PRNGKey(7)
-    kp, kn2 = jax.random.split(kq)
-    qpart = jax.random.randint(kp, (B_REC,), 0, P)
-    qv = centroids[qpart] + 0.3 * jax.random.normal(
-        kn2, (B_REC, D), jnp.float32
-    ) / np.sqrt(D)
-    qv = qv / jnp.linalg.norm(qv, axis=-1, keepdims=True)
-    fr = filt(B_REC)
-    no_trie = jnp.full((B_REC, 16), -1, jnp.int32)
-    no_src = jnp.full((B_REC, 16), 3, jnp.int32)
-
-    @jax.jit
-    def approx_scan(q, corpus):
-        (cents, prows, pint8, pscale,
-         ccase, ccourt, cdate, repc, w, b_, d_) = corpus
-        return fused_partitioned_topk(
-            q, cents, prows, pint8, pscale, None,
-            ccase, ccourt, cdate,
-            fr["court_table"], fr["date_lo"], fr["date_hi"],
-            no_trie, no_src, repc,
-            fr["min_similarity"], fr["exact_weight"],
-            k=K, nprobe=NPROBE, overfetch=1, rescore_factor=4,
-            recall_target=RT, part_cword=w, part_cbit=b_, part_date=d_,
-            use_probe_kernel=upk, probe_interpret=pik,
-        )[1]
-
-    corpus_q = part_int8.reshape(N, D)
-    corpus_scale = part_scale.reshape(N, 1)
-
-    @jax.jit
-    def exact_scan(q, cq, cscale, ccase, ccourt, cdate, repc):
-        return fused_hybrid_topk_chunked(
-            q, cq, cscale, ccase, ccourt, cdate,
-            fr["court_table"], fr["date_lo"], fr["date_hi"],
-            no_trie, no_src, repc,
-            fr["min_similarity"], fr["exact_weight"],
-            k=K, overfetch=1, num_chunks=16, recall_target=1.0,
-        )[1]
-
-    exact_args = (corpus_q, corpus_scale, chunk_case, chunk_court,
-                  chunk_date, rep_chunk)
-    got = np.asarray(jax.block_until_ready(approx_scan(qv, corpus_args)))
-    t0 = time.perf_counter()
-    oracle = np.asarray(jax.block_until_ready(exact_scan(qv, *exact_args)))
-    exact_first_s = time.perf_counter() - t0  # compile + run
-    # a second, distinct-query dispatch: exact-mode steady cost (one
-    # tunnel RTT included on TPU — capscale's config A slope-times it)
-    qv2 = qv[::-1]
-    t0 = time.perf_counter()
-    jax.block_until_ready(exact_scan(qv2, *exact_args))
-    exact_dispatch_ms = (time.perf_counter() - t0) * 1000
-    recall = float(np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / K
-        for a, b in zip(got, oracle)
-    ]))
-    print(
-        f"exact mode: dispatch {exact_dispatch_ms:.1f} ms/{B_REC} queries "
-        f"(first incl. compile {exact_first_s:.1f}s); serving-default "
-        f"(recall_target={RT}, nprobe={NPROBE}) recall@10 vs exact = "
-        f"{recall:.4f}", file=sys.stderr,
-    )
-
     result = {
         "metric": "hybrid_query_qps_per_chip",
         "value": round(qps, 1),
@@ -383,8 +408,9 @@ def main() -> None:
         "vs_baseline": round(qps / 500.0, 2),
         "batch_size": B,
         "corpus_chunks": N,
-        "mode": f"partitioned nprobe={NPROBE} recall_target={RT} "
-                "(serving default at this corpus size)",
+        "mode": f"partitioned nprobe={NPROBE_RUN} recall_target={RT} "
+                "(tuned on the bench exact oracle, the build-time "
+                "tune_on_build analogue)",
         "recall_at_10_vs_exact": round(recall, 4),
         "exact_mode_dispatch_ms": round(exact_dispatch_ms, 2),
         "exact_mode_batch": B_REC,
