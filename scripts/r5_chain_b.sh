@@ -54,8 +54,16 @@ run_build() {  # one watchdogged build attempt; returns the build's rc
         waited=$((waited + 30))
         if [ $waited -ge 600 ] && [ ! -d "$WORK/stream" ]; then
             stamp "watchdog: no stream dir after ${waited}s - hung; killing"
-            kill -9 $pid 2>/dev/null
+            # $pid is a setsid leader, so it is also the pgid: kill the
+            # whole group (GNU timeout cannot forward SIGKILL to the
+            # python child it runs in its own group — a bare kill -9 $pid
+            # orphans the futex-hung python still holding the TPU)
+            kill -9 -- -$pid 2>/dev/null
             wait $pid 2>/dev/null
+            for _ in $(seq 1 10); do
+                pgrep -g $pid > /dev/null 2>&1 || break
+                sleep 3
+            done
             sleep 75
             return 99
         fi
