@@ -28,11 +28,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from trie_semantic_search_tpu.utils import guard_dead_tpu_relay
+from trie_semantic_search_tpu.utils import (
+    enable_persistent_compile_cache,
+    guard_dead_tpu_relay,
+)
 
 if guard_dead_tpu_relay():  # never futex-hang on a dead TPU relay
     print("warning: TPU relay unreachable - running on CPU backend",
           file=sys.stderr)
+enable_persistent_compile_cache()
 
 TOPICS = [
     "due process", "equal protection", "freedom of speech",

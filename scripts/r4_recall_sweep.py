@@ -8,6 +8,15 @@ oracle at each nprobe, marking the artifact's tuned operating point.
 One JSON line: per-nprobe {mean, min, p5} recall and the tuned nprobe's
 row — the round-3 flagship tuned to mean 0.984 / min 0.90; the
 min-recall-floor tuner must land where min >= 0.95.
+
+Round-5 (VERDICT item 6): every probe under the ``--floor`` carries a
+persisted per-probe audit — strict recall, tie-aware recall (the
+round-4-ADVICE-corrected credit that forgives ONLY substitutions within
+the exact f32 boundary tie), the number of strictly-above-boundary oracle
+cases the served set is missing (real recall loss), and a verdict:
+``pure_tie`` (miss fully explained by boundary-tie substitution) vs
+``real_loss``. The top-level ``unexplained_misses`` counts probes whose
+tie-aware recall is still under the floor at the tuned operating point.
 """
 
 from __future__ import annotations
@@ -32,6 +41,8 @@ def main() -> None:
     ap.add_argument("--work", required=True)
     ap.add_argument("--nprobes", default="")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--floor", type=float, default=0.95,
+                    help="min-recall floor to audit misses against")
     args = ap.parse_args()
 
     import logging
@@ -46,6 +57,7 @@ def main() -> None:
         _served_cases,
         build_probe_embeddings,
         case_level_oracle,
+        tie_aware_recall,
     )
     from trie_semantic_search_tpu.storage.store import StorageManager
     from trie_semantic_search_tpu.text.processor import TextProcessor
@@ -72,8 +84,9 @@ def main() -> None:
     )
     assert probes is not None
     chunk_case = np.asarray(vector.refs)[:, 0]
-    oracle_lists, tie_sets = case_level_oracle(
-        vector.vectors, chunk_case, probes, args.k, return_tie_sets=True
+    oracle_lists, tie_sets, above_sets = case_level_oracle(
+        vector.vectors, chunk_case, probes, args.k,
+        return_tie_sets=True, return_above_sets=True,
     )
     oracle = [set(o) for o in oracle_lists]
 
@@ -94,20 +107,41 @@ def main() -> None:
             len(set(s) & o) / max(len(o), 1)
             for s, o in zip(served, oracle)
         ])
-        # tie-aware: a served case whose exact score bitwise-equals the
-        # oracle's k-th counts (a different member of a pure score tie is
-        # not a recall loss — round-4 measured root cause); strict cells
-        # stay the primary record
+        # tie-aware (ADVICE-corrected credit): every strictly-above-
+        # boundary oracle case is REQUIRED; only substitutions within the
+        # exact f32 boundary tie are forgiven. Strict cells stay the
+        # primary record.
         per_tie = np.asarray([
-            len(set(s) & t) / max(len(o), 1)
-            for s, t, o in zip(served, tie_sets, oracle)
+            tie_aware_recall(set(s), o, t, a)
+            for s, t, a, o in zip(served, tie_sets, above_sets, oracle)
         ])
+        # persisted per-probe audit of every floor miss (VERDICT item 6)
+        floor_misses = []
+        for i in np.flatnonzero(per < args.floor):
+            s = set(served[i])
+            missing_above = len(above_sets[i] - s)
+            ta = float(per_tie[i])
+            floor_misses.append({
+                "probe": int(i),
+                "strict": round(float(per[i]), 4),
+                "tie_aware": round(ta, 4),
+                "missing_above": missing_above,
+                "boundary_size": len(tie_sets[i] - above_sets[i]),
+                "verdict": (
+                    "pure_tie" if ta >= args.floor else "real_loss"
+                ),
+            })
         rows.append({
             "nprobe": nprobe,
             "mean": round(float(per.mean()), 4),
             "min": round(float(per.min()), 4),
             "min_tie_aware": round(float(per_tie.min()), 4),
             "p5": round(float(np.percentile(per, 5)), 4),
+            "floor": args.floor,
+            "floor_misses": floor_misses,
+            "unexplained_misses": sum(
+                1 for fm in floor_misses if fm["verdict"] == "real_loss"
+            ),
             "seconds": round(time.perf_counter() - t0, 1),
             "tuned": nprobe == tuned,
         })

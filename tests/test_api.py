@@ -7,7 +7,7 @@ import json
 import pytest
 from aiohttp.test_utils import TestClient, TestServer
 
-from trie_semantic_search_tpu.api.batching import BatchingQueue
+from trie_semantic_search_tpu.api.batching import BatchingQueue, QueueFullError
 from trie_semantic_search_tpu.api.server import ApiServer
 from trie_semantic_search_tpu.core.config import Config
 from trie_semantic_search_tpu.core.types import AppState, CaseMetadata, new_case_id
@@ -269,6 +269,146 @@ def test_batching_queue_poison_item_isolated():
         return r_good
 
     assert asyncio.new_event_loop().run_until_complete(go()) == "OK"
+
+
+def test_batching_queue_sheds_load_when_full():
+    """Backlog at max_pending → immediate QueueFullError, not a silent
+    queue-then-timeout (round-4 TPU loadtest: 398/1000 requests 504'd)."""
+    import threading
+
+    release = threading.Event()
+
+    def run_batch(items):
+        release.wait(5.0)
+        return list(items)
+
+    async def go():
+        bq = BatchingQueue(
+            run_batch, max_batch=2, window_ms=1, max_pending=4, inflight=1
+        )
+        await bq.start()
+        # saturate far past max_pending; excess submits must raise
+        # QueueFullError immediately rather than queue into timeout
+        tasks = [asyncio.create_task(bq.submit(i)) for i in range(12)]
+        # un-block the backend shortly after the burst: queued requests
+        # get served, only the shed ones fail
+        asyncio.get_running_loop().call_later(0.2, release.set)
+        results = await asyncio.gather(
+            *[asyncio.wait_for(t, 2.0) for t in tasks], return_exceptions=True
+        )
+        await bq.stop()
+        return results, bq.stats["shed"]
+
+    results, stat = asyncio.new_event_loop().run_until_complete(go())
+    shed = [r for r in results if isinstance(r, QueueFullError)]
+    timed_out = [r for r in results if isinstance(r, asyncio.TimeoutError)]
+    assert len(shed) >= 1 and stat == len(shed)
+    # shed requests failed INSTANTLY — none of them burned the client's
+    # 2 s budget (the 504-storm failure mode)
+    assert len(shed) + len(timed_out) < 12  # some requests actually served
+
+
+def test_batching_queue_drops_ghost_requests():
+    """A caller that times out (future cancelled) must not cost device
+    time: the dispatcher drops cancelled futures at assembly time."""
+    executed = []
+
+    def run_batch(items):
+        executed.extend(items)
+        return list(items)
+
+    async def go():
+        bq = BatchingQueue(run_batch, max_batch=4, window_ms=5)
+        # enqueue ghosts BEFORE the dispatcher starts, then cancel them
+        loop = asyncio.get_running_loop()
+        for i in range(6):
+            fut = loop.create_future()
+            fut.cancel()
+            await bq._queue.put((f"ghost{i}", fut))
+        await bq.start()
+        live = await bq.submit("live")
+        await bq.stop()
+        return live, bq.stats["ghosts_dropped"]
+
+    live, ghosts = asyncio.new_event_loop().run_until_complete(go())
+    assert live == "live"
+    assert ghosts == 6
+    assert all(not str(x).startswith("ghost") for x in executed)
+
+
+def test_batching_queue_large_failed_batch_fails_fast():
+    """A failed batch bigger than single_retry_max must fail fast, not
+    stall the dispatcher with N serial single retries."""
+    calls = []
+
+    def run_batch(items):
+        calls.append(len(items))
+        raise RuntimeError("backend down")
+
+    async def go():
+        bq = BatchingQueue(
+            run_batch, max_batch=16, window_ms=50, single_retry_max=2
+        )
+        await bq.start()
+        tasks = [asyncio.create_task(bq.submit(i)) for i in range(8)]
+        results = await asyncio.gather(*tasks, return_exceptions=True)
+        await bq.stop()
+        return results
+
+    results = asyncio.new_event_loop().run_until_complete(go())
+    assert all(isinstance(r, RuntimeError) for r in results)
+    # one batch call (possibly split across dispatch windows), but never
+    # 8 serial single-item retries
+    assert sum(1 for c in calls if c == 1) == 0
+
+
+def test_batching_queue_pipelines_under_slow_bursty_backend():
+    """Regression for the round-4 TPU 504 storm: c=32 bursty clients with
+    client-side timeouts against a slow backend. The queue must (a) keep
+    goodput above the serial bound via inflight=2 pipelining, (b) never
+    wedge, (c) drop ghosts instead of executing them."""
+    import time as _time
+
+    exec_log = []
+
+    def run_batch(items):
+        _time.sleep(0.05)  # slow backend: 50 ms per batch regardless of size
+        exec_log.append(len(items))
+        return [f"r{i}" for i in items]
+
+    async def go():
+        bq = BatchingQueue(
+            run_batch, max_batch=16, window_ms=2, max_pending=64, inflight=2
+        )
+        await bq.start()
+
+        async def client(i):
+            try:
+                return await asyncio.wait_for(bq.submit(i), timeout=1.5)
+            except (asyncio.TimeoutError, QueueFullError):
+                return None
+
+        t0 = _time.perf_counter()
+        out = []
+        # 4 bursts of 32 concurrent clients
+        for burst in range(4):
+            out.extend(
+                await asyncio.gather(
+                    *[client(burst * 32 + i) for i in range(32)]
+                )
+            )
+        wall = _time.perf_counter() - t0
+        await bq.stop()
+        return out, wall
+
+    out, wall = asyncio.new_event_loop().run_until_complete(go())
+    ok = [r for r in out if r is not None]
+    # all 128 requests served (no timeouts at this modest load) ...
+    assert len(ok) == 128
+    # ... and strictly faster than the serial bound of 128/16 batches
+    # back-to-back with no pipelining (8 × 50 ms = 400 ms + windows);
+    # generous bound for CI jitter
+    assert wall < 2.0
 
 
 # ---------------------------------------------------------------------------

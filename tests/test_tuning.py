@@ -184,9 +184,13 @@ def test_floor_plateau_settles_on_mean_target_not_cap(
     oracle_sets = [list(range(q * 100, q * 100 + 10)) for q in range(4)]
     monkeypatch.setattr(
         tuning, "case_level_oracle",
-        lambda vectors, chunk_case, embs, k, return_tie_sets=False: (
-            (oracle_sets, [frozenset(o) for o in oracle_sets])
-            if return_tie_sets else oracle_sets
+        # no boundary ties in this fixture: above == tie == oracle, so the
+        # tie-aware floor degrades to strict overlap as intended
+        lambda vectors, chunk_case, embs, k, return_tie_sets=False,
+        return_above_sets=False: (
+            oracle_sets,
+            [frozenset(o) for o in oracle_sets],
+            [frozenset(o) for o in oracle_sets],
         ),
     )
 
@@ -282,3 +286,58 @@ def test_tie_exact_floor_forgives_pure_ties_only(monkeypatch, caplog):
         "unreachable" in r.getMessage()
         for r in caplog.records if r.name == "tss_tpu.index.tuning"
     )
+
+
+def test_tie_floor_requires_every_strictly_above_case(monkeypatch, caplog):
+    """round-4 ADVICE: a served set that DROPS a strictly-above-boundary
+    case (real recall loss) but fills the slot with an extra boundary-tie
+    member must NOT score 1.0 — only substitutions WITHIN the exact
+    boundary tie are forgiven."""
+    import logging
+
+    import trie_semantic_search_tpu.index.tuning as tuning
+
+    rng = np.random.default_rng(9)
+    D = 16
+    topic = _normed(rng.standard_normal((1, D)).astype(np.float32))
+    # case 0: exactly the query topic (strictly best); cases 1..20: one
+    # shared slightly-off vector -> a 20-way bitwise tie at the boundary
+    near = _normed(
+        topic + np.float32(0.05) * rng.standard_normal(D).astype(np.float32)
+    )
+    corpus = np.concatenate(
+        [np.repeat(topic, 4, axis=0), np.repeat(near, 80, axis=0)]
+    ).astype(np.float32)
+    case_of = np.arange(84) // 4
+    query = topic[:1]
+
+    # sanity: oracle sees case 0 strictly above a 20-way boundary tie
+    top, ties, above = tuning.case_level_oracle(
+        corpus, case_of, query, k=10,
+        return_tie_sets=True, return_above_sets=True,
+    )
+    assert above[0] == frozenset({0})
+    assert ties[0] == frozenset(range(21))
+
+    ann = PartitionedANN(AnnConfig(num_partitions=8, rescore_factor=4))
+    ann.build(corpus, seed=0)
+
+    def serve_dropping_the_best(ann_, chunk_case_, embs_, k_, nprobe):
+        # 10 boundary-tie members, case 0 (the strict #1) DROPPED: the
+        # old >=-kth metric scored this 1.0; real recall lost is 1/10
+        return [list(range(11, 21))]
+
+    monkeypatch.setattr(tuning, "_served_cases", serve_dropping_the_best)
+    with caplog.at_level(logging.WARNING, logger="tss_tpu.index.tuning"):
+        tuning.tune_nprobe_case_recall(
+            ann, case_of, corpus, query, k=10,
+            target_recall=0.0, min_recall=1.0, max_nprobe=4,
+        )
+    assert any(  # floor must fail -> unreachable-floor settle path
+        "unreachable" in r.getMessage()
+        for r in caplog.records if r.name == "tss_tpu.index.tuning"
+    )
+    # and the helper itself reports exactly 0.9, never 1.0
+    assert tuning.tie_aware_recall(
+        set(range(11, 21)), set(top[0]), ties[0], above[0]
+    ) == pytest.approx(0.9)

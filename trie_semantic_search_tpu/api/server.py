@@ -33,7 +33,7 @@ from .. import __version__
 from ..core.errors import InvalidSearchQuery, SearchError
 from ..core.types import AppState
 from ..search.engine import SearchQuery
-from .batching import BatchingQueue
+from .batching import BatchingQueue, QueueFullError
 
 _log = logging.getLogger("tss_tpu.api")
 
@@ -180,6 +180,11 @@ class ApiServer:
             # configured in the reference, enforced here)
             timeout_s = self.state.config.search.search_timeout_ms / 1000
             results = await asyncio.wait_for(self.batcher.submit(q), timeout_s)
+        except QueueFullError:
+            # Load shedding: fail fast instead of queueing into certain
+            # timeout (round-4 TPU loadtest pathology: silent 5 s
+            # queue-then-504 for 40% of requests).
+            return self._overloaded_response()
         except asyncio.TimeoutError:
             return web.json_response(
                 {
@@ -214,9 +219,24 @@ class ApiServer:
         }
         return web.json_response(payload)
 
+    def _overloaded_response(self) -> web.Response:
+        """503 + Retry-After for shed load (batcher backlog at max_pending)."""
+        resp = web.json_response(
+            {
+                "error": "Server overloaded",
+                "message": f"{self.batcher.depth()} requests already queued; "
+                "retry shortly",
+            },
+            status=503,
+        )
+        # hint: backlog drains at ~1 batch per exec; 1 s is conservative
+        resp.headers["Retry-After"] = "1"
+        return resp
+
     async def _execute_query(self, q: SearchQuery):
         """Validate + run through the micro-batcher under the configured
-        timeout budget (shared by the POST, GET and GraphQL handlers)."""
+        timeout budget (shared by the POST, GET and GraphQL handlers).
+        Raises :class:`QueueFullError` when load must be shed."""
         self.state.search_engine.validate_query(q)
         timeout_s = self.state.config.search.search_timeout_ms / 1000
         return await asyncio.wait_for(self.batcher.submit(q), timeout_s)
@@ -253,6 +273,8 @@ class ApiServer:
             )
         try:
             results = await self._execute_query(q)
+        except QueueFullError:
+            return self._overloaded_response()
         except InvalidSearchQuery as e:
             return web.json_response(
                 {"error": "Invalid search query", "message": str(e)}, status=400
@@ -304,6 +326,8 @@ class ApiServer:
             return web.json_response(
                 {"errors": [{"message": str(e)}]}, status=400
             )
+        except QueueFullError:
+            return self._overloaded_response()
         except InvalidSearchQuery as e:
             return web.json_response(
                 {"errors": [{"message": str(e)}]}, status=400
@@ -373,10 +397,14 @@ class ApiServer:
                 "engine": {
                     "total_cases_indexed": engine_stats.total_cases_indexed,
                     "queries_served": engine_stats.queries_served,
+                    "is_warm": getattr(
+                        self.state.search_engine, "is_warm", False
+                    ),
                     "trie": engine_stats.trie_stats,
                     "vector": as_dict(engine_stats.vector_index_stats),
                     "query_cache": as_dict(engine_stats.cache_stats),
                 },
+                "batching": {**self.batcher.stats, "depth": self.batcher.depth()},
                 "storage": as_dict(storage_stats),
             }
         )

@@ -369,9 +369,11 @@ def cmd_loadtest(args: argparse.Namespace) -> int:
     import aiohttp
 
     async def _run() -> dict:
-        url = args.url.rstrip("/") + "/search"
+        base = args.url.rstrip("/")
+        url = base + "/search"
         latencies: list[float] = []
         errors = [0]
+        by_status: dict[str, int] = {}
         sem = asyncio.Semaphore(args.concurrency)
 
         async def one(session: aiohttp.ClientSession, i: int) -> None:
@@ -384,6 +386,9 @@ def cmd_loadtest(args: argparse.Namespace) -> int:
                 try:
                     async with session.post(url, json=payload) as resp:
                         await resp.read()
+                        by_status[str(resp.status)] = (
+                            by_status.get(str(resp.status), 0) + 1
+                        )
                         if resp.status != 200:
                             errors[0] += 1
                     latencies.append((time.perf_counter() - t0) * 1000)
@@ -391,15 +396,41 @@ def cmd_loadtest(args: argparse.Namespace) -> int:
                     # TimeoutError is NOT a ClientError — without this an
                     # over-deadline request crashes the whole run
                     errors[0] += 1
+                    by_status["client_error"] = (
+                        by_status.get("client_error", 0) + 1
+                    )
 
         timeout = aiohttp.ClientTimeout(total=args.timeout)
         async with aiohttp.ClientSession(timeout=timeout) as session:
-            # warm pass (compiles on a cold server)
+            if args.wait_warm:
+                # Gate the measured run on the server reporting a fully
+                # warmed compile cache (every serve-time shape compiled) —
+                # an un-warmed shape at load is a 504 storm (round-4 TPU
+                # loadtest). Warmup over the remote-compile tunnel can take
+                # many minutes on first boot; persistent cache makes
+                # subsequent boots fast.
+                deadline = time.monotonic() + args.wait_warm
+                while time.monotonic() < deadline:
+                    try:
+                        async with session.get(base + "/stats") as resp:
+                            st = await resp.json()
+                        if st.get("engine", {}).get("is_warm"):
+                            break
+                    except aiohttp.ClientError:
+                        pass
+                    await asyncio.sleep(5)
+                else:
+                    print(
+                        "warning: server never reported warm; measuring anyway",
+                        file=sys.stderr,
+                    )
+            # warm pass (fills the query-shape caches on a cold server)
             await asyncio.gather(
                 *(one(session, i) for i in range(args.concurrency))
             )
             latencies.clear()
             errors[0] = 0
+            by_status.clear()
             t0 = time.perf_counter()
             await asyncio.gather(*(one(session, i) for i in range(args.requests)))
             wall = time.perf_counter() - t0
@@ -414,6 +445,7 @@ def cmd_loadtest(args: argparse.Namespace) -> int:
             "requests": args.requests,
             "concurrency": args.concurrency,
             "errors": errors[0],
+            "by_status": by_status,
             "wall_s": round(wall, 2),
             "qps": round(args.requests / wall, 1) if wall else None,
             "p50_ms": round(pct(0.5), 1),
@@ -526,6 +558,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--concurrency", type=int, default=32)
     s.add_argument("--timeout", type=float, default=120.0)
     s.add_argument("--query-template", default="question of due process number {i}")
+    s.add_argument(
+        "--wait-warm", type=float, default=0.0, metavar="SECONDS",
+        help="poll /stats until engine.is_warm before the measured run "
+             "(0 = don't wait)",
+    )
     s.set_defaults(fn=cmd_loadtest)
 
     return p
@@ -550,6 +587,9 @@ def main(argv: Optional[list[str]] = None) -> int:
                 "warning: TPU relay unreachable — falling back to the CPU "
                 "backend", file=sys.stderr,
             )
+    from .utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     if not getattr(args, "fn", None):
         parser.print_help()
         return 2

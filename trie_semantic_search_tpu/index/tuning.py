@@ -40,6 +40,32 @@ import numpy as np
 _log = logging.getLogger("tss_tpu.index.tuning")
 
 
+def tie_aware_recall(
+    served: set,
+    oracle_topk: set,
+    tie_set: frozenset,
+    above_set: frozenset,
+) -> float:
+    """Recall@k that forgives *only* substitutions within the exact
+    boundary tie (round-4 ADVICE fix — the earlier ``|served ∩ tie_set|``
+    metric over-credited: tie_set contains the strictly-above-boundary
+    cases too, so dropping a genuinely better case while picking up an
+    extra boundary-tie member still scored 1.0).
+
+    credit = |served ∩ above| + min(k - |above|, |served ∩ boundary|)
+
+    where ``above`` = oracle cases with exact score strictly greater than
+    the k-th score (every one of them is REQUIRED — missing any is real
+    recall loss) and ``boundary`` = cases whose exact score bitwise-equals
+    the k-th score (any ``k - |above|`` of them are equally correct)."""
+    k_slots = max(len(oracle_topk), 1)
+    boundary = tie_set - above_set
+    credit = len(served & above_set) + min(
+        k_slots - len(above_set), len(served & boundary)
+    )
+    return credit / k_slots
+
+
 def case_level_oracle(
     vectors: np.ndarray,  # [N, D] f32 (memmap ok)
     chunk_case: np.ndarray,  # [N] int case row per chunk
@@ -48,6 +74,7 @@ def case_level_oracle(
     slab: int = 262_144,
     return_scores: bool = False,
     return_tie_sets: bool = False,
+    return_above_sets: bool = False,
 ) -> "list[list[int]] | tuple":
     """Exact top-``k`` case rows per query: per-case best chunk score over
     the FULL corpus, ties to the lower case row (the serving invariant).
@@ -59,7 +86,13 @@ def case_level_oracle(
     boundary ties*. Membership is decided by comparing entries of the
     SAME f32 score array (bitwise-equal floats, never a tolerance — the
     round-3 postmortem's hard rule for anything tie-aware), so a case
-    joins the set only when it is *exactly* as good as the k-th winner."""
+    joins the set only when it is *exactly* as good as the k-th winner.
+    ``return_above_sets=True`` additionally returns, per query, the set
+    of case rows whose exact score is *strictly greater* than the k-th
+    score — the non-negotiable members of any correct top-k. A served
+    set missing one of these has lost real recall no matter how many
+    boundary-tie members it substituted (round-4 ADVICE: the >= tie set
+    alone over-credits such swaps)."""
     q = np.asarray(query_embs, np.float32)
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     Q = len(q)
@@ -84,6 +117,7 @@ def case_level_oracle(
     out = []
     kth: list[float] = []
     tie_sets: list[frozenset] = []
+    above_sets: list[frozenset] = []
     rows = np.arange(C)
     for b in range(Q):
         order = np.lexsort((rows, -best[b]))[:k]
@@ -94,12 +128,18 @@ def case_level_oracle(
             tie_sets.append(frozenset(
                 int(r) for r in np.flatnonzero(best[b] >= kb)
             ) if len(order) else frozenset())
-    if return_scores or return_tie_sets:
+        if return_above_sets:
+            above_sets.append(frozenset(
+                int(r) for r in np.flatnonzero(best[b] > kb)
+            ) if len(order) else frozenset())
+    if return_scores or return_tie_sets or return_above_sets:
         res: list = [out]
         if return_scores:
             res.append(kth)
         if return_tie_sets:
             res.append(tie_sets)
+        if return_above_sets:
+            res.append(above_sets)
         return tuple(res)
     return out
 
@@ -192,8 +232,9 @@ def tune_nprobe_case_recall(
     m = int(ann.part_rows.shape[1]) if ann.part_rows is not None else 0
     if m > 0 and ann.num_vectors > m:
         cap = max(1, min(cap, (ann.num_vectors - 1) // m))
-    oracle_lists, tie_sets = case_level_oracle(
-        vectors, chunk_case, query_embs, k, return_tie_sets=True
+    oracle_lists, tie_sets, above_sets = case_level_oracle(
+        vectors, chunk_case, query_embs, k,
+        return_tie_sets=True, return_above_sets=True,
     )
     oracle = [set(o) for o in oracle_lists]
 
@@ -209,8 +250,8 @@ def tune_nprobe_case_recall(
                 for s, o in zip(served, oracle)
             ])
             per_tie = np.asarray([
-                len(set(s) & t) / max(len(o), 1)
-                for s, t, o in zip(served, tie_sets, oracle)
+                tie_aware_recall(set(s), o, t, a)
+                for s, t, a, o in zip(served, tie_sets, above_sets, oracle)
             ])
             mean, worst = float(per.mean()), float(per.min())
             floor_worst = float(per_tie.min()) if tie_exact_floor else worst

@@ -138,6 +138,9 @@ class SearchEngine:
         self._sentences_cache: _LruTtl[list[str]] = _LruTtl(max_size=2048)
         self._queries_served = 0
         self._fused = None  # lazily-built FusedHybridSearch
+        #: set by :meth:`warmup` once every serve-time shape compiled;
+        #: surfaced via /stats so loadtests can gate on readiness
+        self.is_warm = False
 
     def _sentences_of(self, case_id, text: str) -> list[str]:
         """Builder-pipeline sentence split of a case text, LRU-cached
@@ -172,34 +175,61 @@ class SearchEngine:
         if columns is not None:
             self.columns = columns
         self._fused = None  # rebind to the new artifacts on demand
+        self.is_warm = False  # new array sizes are new static jit shapes
         self.query_cache.clear()
         self._sentences_cache.clear()  # reindex may have rewritten texts
 
-    def warmup(
-        self, batch_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)
-    ) -> None:
-        """Pre-compile the hot query-path programs for the serving batch
-        buckets, so the first user query doesn't pay jit latency (observed:
-        60+ s cold on the remote-compile path). Covers every power-of-two
-        batch bucket (query_batch pads to these) × a short and a long
-        query (the embedder buckets token length, so realistic queries hit
-        a second length bucket). Runs throwaway queries with caching
-        disabled."""
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the COMPLETE serve-time shape set, so no user query
+        ever pays jit latency (observed: 15-90 s per shape over the
+        remote-compile tunnel; an un-warmed shape under load is a 504
+        storm — round-4 TPU loadtest). The serve-time shape axes are:
+
+        * batch bucket — ``fused._BATCH_BUCKETS`` (query_batch pads to
+          these),
+        * filtered vs unfiltered — one coupled court+date flag
+          (``fused.query_batch`` compiles 2 variants per bucket),
+        * embedder token-length bucket — a short and a long probe,
+        * device k — statically bucketed to 32 for every max_results ≤ 24
+          (``_execute_batch_fused``), so the default warmup k IS the
+          serving k for any sane client.
+
+        Runs throwaway queries with caching disabled; sets ``is_warm``
+        when every shape compiled."""
+        if batch_sizes is None:
+            from .fused import _BATCH_BUCKETS
+
+            batch_sizes = _BATCH_BUCKETS
         probes = (
             "warmup probe query",
             "a longer warmup probe query exercising the next token length "
             "bucket of the embedding model pipeline for serving",
         )
+        wide_dates = (_dt.date(1700, 1, 1), _dt.date(2100, 1, 1))
+        ok = True
         for b in batch_sizes:
             for probe in probes:
-                qs = [
-                    SearchQuery(query=f"{probe} {i}", config=SearchConfig())
-                    for i in range(b)
-                ]
-                try:
-                    self._execute_batch(qs)
-                except Exception as e:  # warmup must never block serving
-                    _log.warning("warmup batch %d failed: %s", b, e)
+                for filtered in (False, True):
+                    qs = [
+                        SearchQuery(
+                            query=f"{probe} {i}",
+                            config=SearchConfig(),
+                            court_filter=(
+                                ["__warmup__"] if filtered else None
+                            ),
+                            date_range=wide_dates if filtered else None,
+                        )
+                        for i in range(b)
+                    ]
+                    try:
+                        self._execute_batch(qs)
+                    except Exception as e:  # warmup must never block serving
+                        ok = False
+                        _log.warning(
+                            "warmup batch %d (filtered=%s) failed: %s",
+                            b, filtered, e,
+                        )
+        self.is_warm = ok
 
     # -- public API (ref search.rs:149-182) ---------------------------------
 
@@ -289,6 +319,18 @@ class SearchEngine:
         max_limit = max(
             (q.max_results or q.config.max_results) for q in queries
         )
+        # Static device k: bucket to {32, 64, 128} instead of deriving the
+        # exact value from the request's max_results. k is a static jit
+        # axis of the fused program — in round 4 a loadtest sending
+        # max_results=5 produced k=16 where warmup had compiled k=18, so
+        # EVERY batch bucket recompiled over the remote tunnel at serve
+        # time (15-90 s each → the 398/1000-request 504 storm in
+        # bench_results/loadtest_r04_tpu.json). Any max_results ≤ 24 now
+        # shares the single warmed k=32 program.
+        k_req = min(128, max(16, max_limit + 8))
+        k_bucket = 32
+        while k_bucket < k_req:
+            k_bucket <<= 1
         with metrics.timed("fused_device"):
             vals, chunks, cases, srcs = fused.query_batch(
                 embs,
@@ -297,7 +339,7 @@ class SearchEngine:
                 date_ranges=[q.date_range for q in queries],
                 min_similarity=[q.config.min_similarity for q in queries],
                 exact_weight=[q.config.exact_match_weight for q in queries],
-                k=min(128, max(16, max_limit + 8)),
+                k=k_bucket,
                 overfetch=self.config.search.fused_overfetch,
                 recall_target=self.config.search.fused_recall_target,
             )

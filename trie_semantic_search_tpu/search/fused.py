@@ -59,6 +59,19 @@ _CHUNKED_WORKSET_BYTES = 256 * 1024 * 1024
 #: a full MXU matmul's worth of work)
 _SLAB_MIN_ROWS = 65_536
 
+#: Serving batch buckets. Coarser than plain powers of two so warmup can
+#: pre-compile the COMPLETE serve-time shape set in a handful of remote
+#: compiles (4 buckets × 2 filter variants), yet fine enough that the
+#: common sizes (1 = CLI, ≤64 = micro-batcher cap) waste little padding.
+_BATCH_BUCKETS = (1, 8, 32, 64)
+
+
+def _batch_bucket(b: int) -> int:
+    for cap in _BATCH_BUCKETS:
+        if b <= cap:
+            return cap
+    return 1 << max(0, b - 1).bit_length()  # next power of two above 64
+
 
 class FusedHybridSearch:
     """Device-resident state for the fused hybrid query step."""
@@ -315,15 +328,18 @@ class FusedHybridSearch:
         src)`` each ``[B, k]`` (-inf/-1 padded) — k *distinct* cases per
         query, already filtered + boosted, with MatchType provenance.
 
-        The batch axis is padded to the next power of two before the
-        device call (pad queries carry an unsatisfiable +inf similarity
-        threshold and no lexical hits, then are sliced away) — without
-        this every distinct micro-batch size from the API batcher jits a
-        fresh fused program (measured 15–90 s per shape over the
-        remote-compile tunnel; the embedder and trie walk already bucket
-        internally, CLAUDE.md invariant)."""
+        The batch axis is padded to a fixed bucket (1, 8, 32, 64, then
+        powers of two) before the device call (pad queries carry an
+        unsatisfiable +inf similarity threshold and no lexical hits, then
+        are sliced away) — without this every distinct micro-batch size
+        from the API batcher jits a fresh fused program (measured 15–90 s
+        per shape over the remote-compile tunnel; the embedder and trie
+        walk already bucket internally, CLAUDE.md invariant). The coarse
+        buckets keep the serve-time shape count small enough for warmup
+        to pre-compile ALL of them (round-4 TPU loadtest lesson: any
+        un-warmed shape at serve time is a 504 storm)."""
         B0 = B = len(queries_text)
-        Bp = 1 << max(0, B - 1).bit_length()  # next power of two ≥ B
+        Bp = _batch_bucket(B)
         # lexical hits (batched device walk across the three tries)
         trie_rows, trie_valid = self.trie_index.search_batch_rows(
             list(queries_text)
@@ -366,6 +382,9 @@ class FusedHybridSearch:
         for b, dr in enumerate(date_ranges):
             lo[b], hi[b] = self.columns.encode_date_range(dr)
 
+        use_filters = any(bool(c) for c in court_filters) or any(
+            bool(dr) for dr in date_ranges
+        )
         q = jnp.asarray(query_embs, jnp.float32)
         if self.ann_mode in ("sharded", "sharded-partitioned"):
             from ..parallel.collectives import (
@@ -415,8 +434,8 @@ class FusedHybridSearch:
                     k=k, n_valid=self.num_vectors, overfetch=overfetch,
                     recall_target=recall_target, scan_mode=scan_mode,
                     scan_interpret=scan_interp,
-                    use_court=any(bool(c) for c in court_filters),
-                    use_date=any(bool(dr) for dr in date_ranges),
+                    use_court=use_filters,
+                    use_date=use_filters,
                 )
             v, i, cases, src = jax.device_get((v, i, cases, src))
             return v[:B0], i[:B0], cases[:B0], src[:B0]
@@ -485,11 +504,15 @@ class FusedHybridSearch:
                     num_chunks *= 2
             fn_kwargs = dict(
                 recall_target=recall_target,
-                # static host-side promises: when NO query in the batch
+                # static host-side promise: when NO query in the batch
                 # carries a court/date filter the scan's mask work compiles
-                # away (specialised jit variants, at most 4)
-                use_court=any(bool(c) for c in court_filters),
-                use_date=any(bool(dr) for dr in date_ranges),
+                # away. One COUPLED flag for both filter kinds (not two) so
+                # there are exactly 2 jit variants per batch bucket and
+                # warmup can cover them all (round-4 TPU loadtest lesson) —
+                # a court-only batch pays the date mask too, which is a
+                # cheap elementwise op vs a 15-90 s serve-time recompile.
+                use_court=use_filters,
+                use_date=use_filters,
                 **common,
             )
             args = (

@@ -163,6 +163,34 @@ class ValidationUtils:
         )
 
 
+def enable_persistent_compile_cache(
+    cache_dir: str = "/root/.jax_compile_cache",
+) -> bool:
+    """Turn on JAX's on-disk compilation cache so re-boots of the serving
+    process (and every chain stage) reuse prior XLA compiles instead of
+    re-paying 15–90 s per shape over the remote-compile tunnel. The full
+    serve-time warmup set is ~16+ programs — cold it can take tens of
+    minutes, cached it is seconds. Safe on any backend; call BEFORE the
+    first jit execution. Returns False if the config knob is unavailable
+    or the backend already initialised past the point of no return."""
+    import os
+
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache every compile that took >= 1 s (the default 1 s floor is
+        # fine: sub-second compiles are cheaper than the disk round trip)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception as e:  # never let a cache knob break serving
+        logging.getLogger("tss_tpu.utils").warning(
+            "persistent compile cache unavailable: %s", e
+        )
+        return False
+
+
 def guard_dead_tpu_relay(port: int = 8093, timeout_s: float = 2.0) -> bool:
     """Demote JAX to the CPU backend when the axon TPU relay is down.
 
