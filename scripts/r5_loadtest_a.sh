@@ -1,0 +1,67 @@
+#!/usr/bin/env bash
+# Round-5 stage A — the TPU-backed HTTP loadtest over the 500k-chunk
+# real-encoder artifact, with the hardened serving stack (load shedding,
+# ghost drops, inflight=2 pipelining, complete-shape warmup, persistent
+# compile cache). Round-4 recorded 398/1000 requests as 504s at 14.2 QPS
+# (bench_results/loadtest_r04_tpu.json); the VERDICT bar for this round
+# is 1000 req, c>=32, 0 errors, >=500 QPS, p95 far below the 5 s budget.
+#
+# Launch detached:  setsid nohup bash scripts/r5_loadtest_a.sh \
+#                     > /tmp/r5_lt_a.log 2>&1 < /dev/null &
+set -uo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+WORK=/root/capbuild_r5
+mkdir -p bench_results
+
+stamp() { echo "[ltA $(date +%H:%M:%S)] $*"; }
+
+wait_tpu() {  # throwaway-process device probe; retries until sane
+    for _ in $(seq 1 15); do
+        if timeout 90 python -c "import jax; jax.devices()" \
+                > /dev/null 2>&1; then
+            sleep 5
+            return 0
+        fi
+        stamp "device probe failed/hung - 60 s wait"
+        sleep 60
+    done
+    stamp "device never became sane; giving up"
+    return 1
+}
+
+stamp "serving the 500k-chunk artifact"
+wait_tpu || exit 1
+setsid python -m trie_semantic_search_tpu.cli -c "$WORK/eval_config.toml" \
+    serve -p 8808 > /tmp/r5_serve_a.log 2>&1 &
+SERVE=$!
+echo $SERVE > /tmp/r5_serve_a.pid
+
+# measured run gated on engine.is_warm (every serve-time shape compiled;
+# cold this is ~16 remote compiles, minutes-to-tens-of-minutes)
+stamp "loadtest c=32 (waits for warm up to 2400 s)"
+timeout 3600 python -m trie_semantic_search_tpu.cli loadtest \
+    --url http://127.0.0.1:8808 --requests 1000 --concurrency 32 \
+    --wait-warm 2400 \
+    > bench_results/loadtest_r05_tpu.json 2> /tmp/r5_lt_err.log
+stamp "c=32 rc=$?: $(cat bench_results/loadtest_r05_tpu.json 2>/dev/null)"
+
+stamp "loadtest c=64 (headroom point, server already warm)"
+timeout 900 python -m trie_semantic_search_tpu.cli loadtest \
+    --url http://127.0.0.1:8808 --requests 2000 --concurrency 64 \
+    > bench_results/loadtest_r05_tpu_c64.json 2>> /tmp/r5_lt_err.log
+stamp "c=64 rc=$?: $(cat bench_results/loadtest_r05_tpu_c64.json 2>/dev/null)"
+
+stamp "graceful shutdown"
+kill -INT $SERVE 2>/dev/null
+for _ in $(seq 1 120); do
+    kill -0 $SERVE 2>/dev/null || break
+    sleep 5
+done
+if kill -0 $SERVE 2>/dev/null; then
+    stamp "server ignored SIGINT for 600 s; killing its group"
+    kill -9 -- -$SERVE 2>/dev/null
+    sleep 75
+fi
+sleep 10
+stamp "done - chip free"

@@ -135,3 +135,76 @@ def test_set_content_frozen_survives_freeze(tmp_path):
     assert {0, 2, 3} <= set(rows[0][valid[0]].tolist())
     rows, valid = idx.search_batch_rows(["entirely new content"])
     assert 9 in rows[0][valid[0]].tolist()
+
+
+def test_external_merge_multi_round_parity(tmp_path):
+    """The streaming k-way merge (tiny merge_block_rows forces MANY pivot
+    rounds + galloping) stays bit-identical to the pooled builder, with
+    heavy cross-run duplicate windows exercising the stability invariant
+    (equal windows keep stream order in the postings)."""
+    cfg = TrieConfig()
+    cfg.content_windowing = "all"
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    sents = []
+    for row in range(40):
+        # 30% exact duplicate sentences -> identical windows across runs
+        if row and rng.random() < 0.3:
+            text = sents[rng.integers(0, len(sents))][0]
+        else:
+            text = " ".join(rng.choice(vocab, size=rng.integers(4, 12)))
+        sents.append((text, row, int(rng.integers(0, 3))))
+
+    idx = TrieIndex(cfg)
+    for text, row, para in sents:
+        idx.insert_content(text.split(), row, para)
+    idx.freeze()
+    pooled = idx.content_trie
+
+    sp = SpillContentBuilder(tmp_path / "spill", cfg, resume=False)
+    names = []
+    for i, (text, row, para) in enumerate(sents):
+        sp.insert_content(text.split(), row, para)
+        if (i + 1) % 5 == 0:
+            names.append(f"s{len(names):03d}")
+            sp.flush(names[-1])
+    if sp._buf:
+        names.append(f"s{len(names):03d}")
+        sp.flush(names[-1])
+    assert len(names) >= 8  # a real k-way merge, not a trivial one
+    spilled = sp.finalize(names, merge_block_rows=4)
+
+    assert pooled.vocab == spilled.vocab
+    for f in FrozenTrie._ARRAY_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pooled, f)),
+            np.asarray(getattr(spilled, f)),
+            err_msg=f,
+        )
+
+
+def test_external_merge_sorted_runs_cache_resume(tmp_path):
+    """A second finalize over the same shards reuses the cached sorted
+    runs (mtime-validated) and reproduces identical arrays."""
+    cfg = TrieConfig()
+    sp = SpillContentBuilder(tmp_path / "spill", cfg, resume=False)
+    names = []
+    for i, (text, row, para) in enumerate(SENTS):
+        sp.insert_content(text.split(), row, para)
+        names.append(f"s{i:03d}")
+        sp.flush(names[-1])
+    a = sp.finalize(names, merge_block_rows=2)
+    mtimes = {
+        p.name: p.stat().st_mtime_ns
+        for p in (tmp_path / "spill").glob("sorted_s*.npy")
+    }
+    assert mtimes
+    b = sp.finalize(names, merge_block_rows=2)
+    assert mtimes == {
+        p.name: p.stat().st_mtime_ns
+        for p in (tmp_path / "spill").glob("sorted_s*.npy")
+    }
+    for f in FrozenTrie._ARRAY_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )

@@ -75,8 +75,10 @@ class ApiServer:
         cfg = app_state.config
         self.batcher = BatchingQueue(
             run_batch=app_state.search_engine.search_batch,
-            max_batch=64,
-            window_ms=2.0,
+            max_batch=cfg.server.batch_max,
+            window_ms=cfg.server.batch_window_ms,
+            max_pending=cfg.server.batch_max_pending,
+            inflight=cfg.server.batch_inflight,
         )
         self.rate_limiter = _RateLimiterMiddleware(cfg.server.rate_limit_rpm)
         self.started_at = time.monotonic()

@@ -42,6 +42,14 @@ class ServerConfig:
     enable_cors: bool = True
     api_key: Optional[str] = None
     rate_limit_rpm: int = 1000
+    # micro-batcher (TPU-native addition — the reference served each
+    # request straight into the engine, api.rs:113-157; on TPU concurrent
+    # requests coalesce into one device batch). batch_max should stay on
+    # the utils.BATCH_BUCKETS ladder: warmup pre-compiles its bucket.
+    batch_max: int = 64
+    batch_window_ms: float = 2.0
+    batch_inflight: int = 2
+    batch_max_pending: int = 256
 
 
 @dataclass

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..core.config import EmbeddingModelConfig
 from ..core.errors import EmbeddingGenerationFailed
+from ..utils import batch_bucket
 from . import minilm
 from .tokenizer import WordPieceTokenizer, load_tokenizer
 
@@ -164,7 +165,11 @@ class Embedder:
         true_len = max(max(sum(m) for _, m in enc), 2)
         L = _bucket_len(true_len, self.config.max_sequence_length)
         B = len(texts)
-        Bpad = max(8, 1 << (B - 1).bit_length()) if B > 1 else 1
+        # the SHARED serving ladder (utils.BATCH_BUCKETS) — a private
+        # embedder ladder is an unwarmed jit shape at serve time (a
+        # 9..16-query batch padding to 16 cost a 14 s remote compile and
+        # a 64-request 504 wave in the round-5 c=64 loadtest)
+        Bpad = batch_bucket(B)
         ids = np.zeros((Bpad, L), np.int32)
         mask = np.zeros((Bpad, L), np.int32)
         for i, (a, m) in enumerate(enc):

@@ -185,11 +185,16 @@ class SearchEngine:
         remote-compile tunnel; an un-warmed shape under load is a 504
         storm — round-4 TPU loadtest). The serve-time shape axes are:
 
-        * batch bucket — ``fused._BATCH_BUCKETS`` (query_batch pads to
-          these),
+        * batch bucket — ``utils.BATCH_BUCKETS``, the ONE ladder every
+          device entry point pads to (query_batch, embedder), extended to
+          the micro-batcher's configured ``batch_max`` bucket,
         * filtered vs unfiltered — one coupled court+date flag
           (``fused.query_batch`` compiles 2 variants per bucket),
-        * embedder token-length bucket — a short and a long probe,
+        * embedder token-length bucket — EVERY bucket (16, 32, ...,
+          max_sequence_length), with probe lengths measured through the
+          live tokenizer (round-5 c=64 loadtest: the one unwarmed length
+          bucket cost a 14 s serve-time compile and a 64-request 504
+          wave),
         * device k — statically bucketed to 32 for every max_results ≤ 24
           (``_execute_batch_fused``), so the default warmup k IS the
           serving k for any sane client.
@@ -197,14 +202,13 @@ class SearchEngine:
         Runs throwaway queries with caching disabled; sets ``is_warm``
         when every shape compiled."""
         if batch_sizes is None:
-            from .fused import _BATCH_BUCKETS
+            from ..utils import BATCH_BUCKETS, batch_bucket
 
-            batch_sizes = _BATCH_BUCKETS
-        probes = (
-            "warmup probe query",
-            "a longer warmup probe query exercising the next token length "
-            "bucket of the embedding model pipeline for serving",
-        )
+            batch_sizes = sorted({
+                *BATCH_BUCKETS,
+                batch_bucket(self.config.server.batch_max),
+            })
+        probes = self._length_bucket_probes()
         wide_dates = (_dt.date(1700, 1, 1), _dt.date(2100, 1, 1))
         ok = True
         for b in batch_sizes:
@@ -230,6 +234,39 @@ class SearchEngine:
                             b, filtered, e,
                         )
         self.is_warm = ok
+
+    def _length_bucket_probes(self) -> tuple[str, ...]:
+        """One probe text per embedder token-length bucket (16, 32, ...,
+        max_sequence_length), sized through the LIVE tokenizer so each
+        lands inside its bucket even after warmup appends a ``" {i}"``
+        suffix. Embedders without a tokenizer (test/harness doubles) fall
+        back to a short + long probe pair."""
+        emb = getattr(self.vector_index, "embedder", None)
+        tok = getattr(emb, "tokenizer", None)
+        cfg = getattr(emb, "config", None)
+        if tok is None or cfg is None:
+            return (
+                "warmup probe query",
+                "a longer warmup probe query exercising the next token "
+                "length bucket of the embedding model pipeline for serving",
+            )
+        max_len = cfg.max_sequence_length
+        word = "process"
+        try:
+            _, m = tok.encode(" ".join([word] * 8), max_len)
+            per_word = max(1, (int(sum(m)) - 2 + 7) // 8)
+        except Exception:
+            per_word = 1
+        probes, bucket = [], 16
+        while True:
+            # land at ~bucket-6 tokens: inside (bucket/2, bucket] with
+            # margin for the " {i}" suffix warmup appends
+            n_words = max(1, (bucket - 6) // per_word)
+            probes.append(" ".join([word] * n_words))
+            if bucket >= max_len:
+                break
+            bucket *= 2
+        return tuple(probes)
 
     # -- public API (ref search.rs:149-182) ---------------------------------
 

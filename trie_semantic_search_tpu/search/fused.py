@@ -46,6 +46,8 @@ from ..ops.hybrid import (
 )
 from ..ops.scoring import quantize_int8
 from ..storage.columns import MetadataColumns
+from ..utils import BATCH_BUCKETS as _BATCH_BUCKETS
+from ..utils import batch_bucket as _batch_bucket
 
 #: Corpus size above which the partitioned scan beats the brute scan
 #: (below it, one full-corpus matmul is cheaper than probe+gather).
@@ -58,20 +60,6 @@ _CHUNKED_WORKSET_BYTES = 256 * 1024 * 1024
 #: minimum corpus rows per slab in the chunked program (a slab still wants
 #: a full MXU matmul's worth of work)
 _SLAB_MIN_ROWS = 65_536
-
-#: Serving batch buckets. Coarser than plain powers of two so warmup can
-#: pre-compile the COMPLETE serve-time shape set in a handful of remote
-#: compiles (4 buckets × 2 filter variants), yet fine enough that the
-#: common sizes (1 = CLI, ≤64 = micro-batcher cap) waste little padding.
-_BATCH_BUCKETS = (1, 8, 32, 64)
-
-
-def _batch_bucket(b: int) -> int:
-    for cap in _BATCH_BUCKETS:
-        if b <= cap:
-            return cap
-    return 1 << max(0, b - 1).bit_length()  # next power of two above 64
-
 
 class FusedHybridSearch:
     """Device-resident state for the fused hybrid query step."""

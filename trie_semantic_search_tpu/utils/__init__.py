@@ -18,6 +18,22 @@ from typing import Iterator, Optional
 
 _log = logging.getLogger("tss_tpu.utils")
 
+#: THE serving batch-bucket ladder, shared by every device entry point
+#: (embedder batch pad, fused hybrid batch pad, warmup coverage). One
+#: ladder means warmup's shape set IS the serve-time shape set — round-4's
+#: 504 storm came from an unwarmed shape, and the round-5 c=64 stall from
+#: the embedder padding 9..16-query batches to a 16 bucket the fused
+#: ladder (and therefore warmup) didn't have.
+BATCH_BUCKETS = (1, 8, 32, 64)
+
+
+def batch_bucket(b: int) -> int:
+    """Smallest ladder bucket >= b (powers of two past the ladder)."""
+    for cap in BATCH_BUCKETS:
+        if b <= cap:
+            return cap
+    return 1 << max(0, b - 1).bit_length()
+
 
 class Timer:
     """Performance timer (ref: ``utils.rs:34-54``)."""
