@@ -18,8 +18,7 @@ stamp() { echo "[ltA $(date +%H:%M:%S)] $*"; }
 
 wait_tpu() {  # throwaway-process device probe; retries until sane
     for _ in $(seq 1 15); do
-        if timeout 90 python -c "import jax; jax.devices()" \
-                > /dev/null 2>&1; then
+        if timeout 120 python scripts/tpu_probe.py > /dev/null 2>&1; then
             sleep 5
             return 0
         fi

@@ -17,8 +17,7 @@ stamp() { echo "[ltC $(date +%H:%M:%S)] $*"; }
 
 wait_tpu() {
     for _ in $(seq 1 15); do
-        if timeout 90 python -c "import jax; jax.devices()" \
-                > /dev/null 2>&1; then
+        if timeout 120 python scripts/tpu_probe.py > /dev/null 2>&1; then
             sleep 5
             return 0
         fi

@@ -127,3 +127,59 @@ def test_pretrain_improves_training_objective():
     # in-batch accuracy far above chance (1/32) and loss below ln(32)
     assert rep["final_accuracy"] > 0.25, rep
     assert rep["final_loss"] < np.log(32), rep
+
+
+def test_evaluate_stages_exact_vs_ann(tmp_path):
+    """evaluate_stages (round-4 VERDICT item 5 instrumentation): the
+    exact_full stage ranks by true cosine (MRR 1.0 on self-queries) and
+    the ann_only stage reports the tuned-nprobe approximation on the same
+    case-level contract."""
+    from trie_semantic_search_tpu.index.ann import AnnConfig, PartitionedANN
+    from trie_semantic_search_tpu.models.quality import Probe, evaluate_stages
+
+    rng = np.random.default_rng(7)
+    D, C, per = 32, 24, 4
+    base = rng.standard_normal((C, D)).astype(np.float32)
+    vecs = np.repeat(base, per, axis=0) + 0.05 * rng.standard_normal(
+        (C * per, D)
+    ).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    chunk_case = np.repeat(np.arange(C), per).astype(np.int64)
+
+    ann = PartitionedANN(AnnConfig(num_partitions=4, rescore_factor=4))
+    ann.build(vecs, seed=0)
+    ann.tuned_nprobe = 4  # all partitions -> ANN == exact here
+
+    class _Emb:
+        def embed(self, texts):
+            # deterministic: text "case <i>" -> that case's centroid
+            idx = [int(t.split()[-1]) for t in texts]
+            e = base[idx] / np.linalg.norm(
+                base[idx], axis=1, keepdims=True
+            )
+
+            class _R:
+                embedding = e.astype(np.float32)
+
+            return _R()
+
+    class _Vec:
+        embedder = _Emb()
+        refs = np.stack(
+            [chunk_case, np.zeros_like(chunk_case)], axis=1
+        )
+        vectors = vecs
+
+    _Vec.ann = ann
+
+    class _Eng:
+        vector_index = _Vec()
+
+    probes = [
+        Probe(query=f"case {i}", target_case_row=i, kind="half")
+        for i in range(C)
+    ]
+    out = evaluate_stages(_Eng(), None, probes, k=10)
+    assert out["exact_full"]["all"]["mrr"] == 1.0
+    assert out["tuned_nprobe"] == 4
+    assert out["ann_only"]["all"]["mrr"] == 1.0

@@ -315,9 +315,15 @@ def cmd_eval_retrieval(args: argparse.Namespace) -> int:
                 (row, tp.extract_sentences(tp.normalize_text(text)))
             )
     probes = build_probes(docs, max_probes=args.probes)
+    from .models.quality import evaluate_stages
+
     out = {
         "probes": len(probes),
         "trained": evaluate_engine(engine, engine.columns, probes),
+        # stage-by-stage MRR over the FULL index (exact oracle vs ANN at
+        # the tuned nprobe) — locates where engine MRR diverges from the
+        # exact ceiling (round-4 VERDICT item 5)
+        "stages": evaluate_stages(engine, engine.columns, probes),
     }
     if args.control:
         # random-init control over the SAME probes + a bounded chunk

@@ -170,6 +170,66 @@ def evaluate_engine(
     return {kind: agg(rr) for kind, rr in ranks.items()}
 
 
+def evaluate_stages(
+    engine,  # search.engine.SearchEngine
+    columns,
+    probes: Sequence[Probe],
+    k: int = 10,
+) -> dict:
+    """Stage-by-stage MRR through the serving path over the FULL index —
+    the round-4 VERDICT item-5 instrumentation (engine paraphrase MRR
+    trailed direct by ~22% with no measured account of where it went).
+    Three stages, all case-level with lower-row tie-breaks:
+
+    * ``exact_full``  — exact cosine over every chunk (the oracle the
+      nprobe tuner uses). Any drop from the *direct* eval to here is
+      search-space size, not the engine.
+    * ``ann_only``    — the PartitionedANN at the artifact's tuned nprobe,
+      no lexical boost / dedup / engine merge. exact_full − ann_only =
+      approximation loss.
+    * engine MRR itself is reported by the caller (``evaluate_engine``);
+      ann_only − engine = merge/boost/hydration loss.
+    """
+    from ..index.tuning import _served_cases, case_level_oracle
+
+    vector = engine.vector_index
+    embs = vector.embedder.embed([p.query for p in probes]).embedding
+    chunk_case = np.asarray(vector.refs)[:, 0]
+
+    def mrr_from_lists(lists: Sequence[Sequence[int]]) -> dict:
+        ranks: dict[str, list[float]] = {}
+        for p, served in zip(probes, lists):
+            rank = 0.0
+            for pos, c in enumerate(served[:k]):
+                if int(c) == p.target_case_row:
+                    rank = 1.0 / (pos + 1)
+                    break
+            ranks.setdefault(p.kind, []).append(rank)
+            ranks.setdefault("all", []).append(rank)
+
+        def agg(rr: list[float]) -> dict:
+            a = np.asarray(rr, np.float64)
+            return {
+                "n": int(len(a)),
+                "mrr": round(float(a.mean()), 4),
+                f"recall_at_{k}": round(float((a > 0).mean()), 4),
+            }
+
+        return {kind: agg(rr) for kind, rr in ranks.items()}
+
+    exact = case_level_oracle(vector.vectors, chunk_case, embs, k)
+    nprobe = getattr(vector.ann, "tuned_nprobe", None) or getattr(
+        vector.ann, "default_nprobe", 0
+    )
+    out = {"exact_full": mrr_from_lists(exact), "tuned_nprobe": int(nprobe)}
+    try:
+        served = _served_cases(vector.ann, chunk_case, embs, k, int(nprobe))
+        out["ann_only"] = mrr_from_lists(served)
+    except Exception as e:  # brute-mode artifacts have no partition probe
+        out["ann_only_error"] = str(e)
+    return out
+
+
 def pair_ranking_accuracy(
     embedder,
     pairs: Sequence[tuple[str, str]],  # held-out (anchor, positive) pairs
