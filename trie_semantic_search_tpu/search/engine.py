@@ -135,7 +135,10 @@ class SearchEngine:
         # serving bottleneck at high concurrency)
         from .cache import _LruTtl
 
-        self._sentences_cache: _LruTtl[list[str]] = _LruTtl(max_size=2048)
+        # 8192 case texts' sentence splits (~few KB each): hydration is
+        # the serving bottleneck on the 1-core host (round-5 profile), and
+        # every miss re-pays normalize+split over the full case text
+        self._sentences_cache: _LruTtl[list[str]] = _LruTtl(max_size=8192)
         self._queries_served = 0
         self._fused = None  # lazily-built FusedHybridSearch
         #: set by :meth:`warmup` once every serve-time shape compiled;

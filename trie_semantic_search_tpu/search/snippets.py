@@ -9,6 +9,7 @@ spans.
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass
 from enum import Enum
@@ -33,7 +34,12 @@ class TextHighlight:
     highlight_type: HighlightType
 
 
+@functools.lru_cache(maxsize=1024)
 def _term_pattern(terms: Sequence[str]) -> Optional[re.Pattern[str]]:
+    # cached: one query hydrates up to max_results snippets, each of
+    # which needs the same compiled pattern (measured in the round-5
+    # serving profile — hydration is the batch bottleneck on the 1-core
+    # host). Callers pass a TUPLE (hashable).
     words = [re.escape(t) for t in terms if t]
     if not words:
         return None
@@ -57,7 +63,7 @@ def generate_snippet(
     """
     if not text:
         return "", []
-    pattern = _term_pattern(query.split())
+    pattern = _term_pattern(tuple(query.split()))
     anchor = None
     if pattern:
         m = pattern.search(text)

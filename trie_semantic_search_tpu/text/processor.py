@@ -252,6 +252,25 @@ _QUOTE_MAP = str.maketrans({
 })
 
 
+class _CtrlDeleteTable(dict):
+    """``str.translate`` table deleting category-C codepoints (except
+    ``\\n``/``\\t``) — identical semantics to the previous per-character
+    ``unicodedata.category`` generator, but after the first sighting of a
+    codepoint every later occurrence is a C-level dict hit. The per-char
+    Python loop was the single hottest host cost in the round-5 serving
+    profile (~43% of a 64-query batch's hydration wall)."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        keep = ch in ("\n", "\t") or not unicodedata.category(ch).startswith("C")
+        v = cp if keep else None
+        self[cp] = v
+        return v
+
+
+_CTRL_DELETE = _CtrlDeleteTable()
+
+
 def count_syllables(word: str) -> int:
     """Vowel-run syllable approximation (ref: text_processing.rs:624-650)."""
     w = word.lower()
@@ -317,12 +336,9 @@ class TextProcessor:
             normalized = _WS_COLLAPSE.sub(" ", normalized)
         if self.config.normalize_quotes:
             normalized = normalized.translate(_QUOTE_MAP)
-        # Drop control chars but preserve \n and \t (ref 396-399).
-        normalized = "".join(
-            c
-            for c in normalized
-            if c in ("\n", "\t") or not unicodedata.category(c).startswith("C")
-        )
+        # Drop control chars but preserve \n and \t (ref 396-399) — one
+        # C-level translate pass over a self-caching category-C table.
+        normalized = normalized.translate(_CTRL_DELETE)
         return normalized.strip()
 
     def tokenize(self, text: str) -> list[Token]:
