@@ -139,6 +139,11 @@ class SearchEngine:
         # the serving bottleneck on the 1-core host (round-5 profile), and
         # every miss re-pays normalize+split over the full case text
         self._sentences_cache: _LruTtl[list[str]] = _LruTtl(max_size=8192)
+        # hot-result hydration caches (same profile: per-result sqlite
+        # metadata SELECT + gzip text decompress were ~half the remaining
+        # host cost). Cleared on swap_indexes with the other caches.
+        self._meta_cache: _LruTtl = _LruTtl(max_size=16384)
+        self._text_cache: _LruTtl[str] = _LruTtl(max_size=8192)
         self._queries_served = 0
         self._fused = None  # lazily-built FusedHybridSearch
         #: set by :meth:`warmup` once every serve-time shape compiled;
@@ -181,6 +186,8 @@ class SearchEngine:
         self.is_warm = False  # new array sizes are new static jit shapes
         self.query_cache.clear()
         self._sentences_cache.clear()  # reindex may have rewritten texts
+        self._meta_cache.clear()
+        self._text_cache.clear()
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the COMPLETE serve-time shape set, so no user query
@@ -396,7 +403,7 @@ class SearchEngine:
                 if meta is None:
                     continue
                 mtype = self._SRC_MATCH_TYPE.get(int(src), MatchType.SEMANTIC)
-                text = self.storage.get_case_text(meta.id) or meta.full_text
+                text = self._case_text_of(meta.id) or meta.full_text
                 ht = {
                     MatchType.EXACT: HighlightType.EXACT_MATCH,
                     MatchType.CASE_NAME: HighlightType.CASE_NAME,
@@ -496,7 +503,7 @@ class SearchEngine:
                 if meta is None:
                     continue
                 _, mtype, para = cands[row]
-                text = self.storage.get_case_text(meta.id) or meta.full_text
+                text = self._case_text_of(meta.id) or meta.full_text
                 ht = {
                     MatchType.EXACT: HighlightType.EXACT_MATCH,
                     MatchType.CASE_NAME: HighlightType.CASE_NAME,
@@ -551,7 +558,21 @@ class SearchEngine:
     def _hydrate(self, row: int) -> Optional[CaseMetadata]:
         if row < 0 or row >= len(self.columns):
             return None
-        return self.storage.get_case_metadata(self.columns.case_ids[row])
+        meta = self._meta_cache.get(row)
+        if meta is None:
+            meta = self.storage.get_case_metadata(self.columns.case_ids[row])
+            if meta is not None:
+                self._meta_cache.put(row, meta)
+        return meta
+
+    def _case_text_of(self, case_id) -> Optional[str]:
+        """LRU'd ``storage.get_case_text`` (gzip decompress per call)."""
+        text = self._text_cache.get(case_id)
+        if text is None:
+            text = self.storage.get_case_text(case_id)
+            if text is not None:
+                self._text_cache.put(case_id, text)
+        return text
 
     # -- validation (ref search.rs:284-300) ---------------------------------
 
