@@ -390,6 +390,37 @@ class SearchEngine:
                 overfetch=self.config.search.fused_overfetch,
                 recall_target=self.config.search.fused_recall_target,
             )
+        # batch-prefetch hydration state for every result row the device
+        # returned: ONE sqlite IN(...) round trip for metadata and one for
+        # texts instead of per-result calls (round-5 profile: per-call
+        # sqlite overhead was ~1/3 of hydration on the 1-core host).
+        rows_needed = sorted({
+            int(r)
+            for b in range(len(queries))
+            for r, s in zip(cases[b], vals[b])
+            if r >= 0 and np.isfinite(s)
+        })
+        meta_miss = [
+            r for r in rows_needed
+            if r < len(self.columns) and self._meta_cache.get(r) is None
+        ]
+        if meta_miss:
+            fetched = self.storage.get_case_metadata_many(
+                [self.columns.case_ids[r] for r in meta_miss]
+            )
+            for r in meta_miss:
+                m = fetched.get(str(self.columns.case_ids[r]))
+                if m is not None:
+                    self._meta_cache.put(r, m)
+            text_miss = [
+                str(self.columns.case_ids[r]) for r in meta_miss
+                if self._text_cache.get(str(self.columns.case_ids[r])) is None
+            ]
+            for cid, txt in self.storage.get_case_texts_many(
+                text_miss
+            ).items():
+                self._text_cache.put(cid, txt)
+
         results: list[list[SearchResult]] = []
         for b, q in enumerate(queries):
             limit = q.max_results or q.config.max_results
@@ -566,12 +597,15 @@ class SearchEngine:
         return meta
 
     def _case_text_of(self, case_id) -> Optional[str]:
-        """LRU'd ``storage.get_case_text`` (gzip decompress per call)."""
-        text = self._text_cache.get(case_id)
+        """LRU'd ``storage.get_case_text`` (gzip decompress per call).
+        Keys normalise to ``str`` — CaseId is a UUID, but the batch
+        prefetch fills the cache from sqlite's string ids."""
+        key = str(case_id)
+        text = self._text_cache.get(key)
         if text is None:
             text = self.storage.get_case_text(case_id)
             if text is not None:
-                self._text_cache.put(case_id, text)
+                self._text_cache.put(key, text)
         return text
 
     # -- validation (ref search.rs:284-300) ---------------------------------
