@@ -26,7 +26,7 @@ mkdir -p bench_results "$WORK"
 stamp() { echo "[flag $(date +%H:%M:%S)] $*"; }
 
 wait_tpu() {  # throwaway-process device probe; retries until sane
-    for _ in $(seq 1 20); do
+    for _ in $(seq 1 90); do
         if timeout 120 python scripts/tpu_probe.py > /dev/null 2>&1; then
             sleep 5
             return 0
