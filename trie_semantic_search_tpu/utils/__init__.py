@@ -199,6 +199,11 @@ def enable_persistent_compile_cache(
         # cache every compile that took >= 1 s (the default 1 s floor is
         # fine: sub-second compiles are cheaper than the disk round trip)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # name every compile in the log: a serve-time stall caused by an
+        # unwarmed shape is then attributable from the serve log alone
+        # (the round-5 flagship loadtest had ONE ~10 s mid-run stall that
+        # 504'd 64 requests with nothing in the log to blame)
+        jax.config.update("jax_log_compiles", True)
         return True
     except Exception as e:  # never let a cache knob break serving
         logging.getLogger("tss_tpu.utils").warning(
