@@ -350,10 +350,17 @@ def test_overflow_cap_bounds_capacity_and_memory():
     cap = _capacity_cap(n, 32, 2.0)
     assert cap < 2048, cap  # far below the 2048-row duplicate group
     assert m <= -(-cap // 128) * 128, (m, cap)
-    # every row landed exactly once
+    # every row landed at least once; pad replicas may add a SECOND copy
+    # (never more) in a different partition, filling otherwise-dead slots
     rows = np.asarray(ann.part_rows)
-    got = np.sort(rows[rows >= 0])
-    np.testing.assert_array_equal(got, np.arange(n))
+    flat = rows[rows >= 0]
+    np.testing.assert_array_equal(np.unique(flat), np.arange(n))
+    per_row = np.bincount(flat, minlength=n)
+    assert per_row.max() <= 2, int(per_row.max())
+    # a replica never shares its row's own partition
+    for p in range(rows.shape[0]):
+        in_p = rows[p][rows[p] >= 0]
+        assert len(np.unique(in_p)) == len(in_p), f"partition {p} dupes"
 
 
 def test_overflow_cap_recall_on_unique_rows():
@@ -464,3 +471,91 @@ def test_save_dir_corrupt_raises(built, tmp_path):
     (d / "part_int8.npy").unlink()
     with pytest.raises(IndexCorrupted):
         PartitionedANN.load_dir(d, built.config)
+
+
+# -- pad replicas + dedup k-means (round-5 floor fix) ------------------------
+
+
+def test_search_results_never_contain_duplicate_rows():
+    """A replicated layout probed through BOTH of a row's partitions must
+    dedup: every query's result rows are distinct (or -1 padding)."""
+    c = _dup_heavy_corpus()
+    ann = PartitionedANN(AnnConfig(num_partitions=32, num_probes=8))
+    ann.build(c, seed=0)
+    assert ann._replicated  # the fixture layout must exercise replicas
+    q = normed(c[::37] + 0.01)
+    _, i = ann.search(q, 10, nprobe=8)
+    for r in np.asarray(i):
+        real = r[r >= 0]
+        assert len(np.unique(real)) == len(real), r
+
+
+def test_pad_replicas_roundtrip_and_flag_persistence(tmp_path):
+    c = _dup_heavy_corpus(n=1024, dups=256)
+    ann = PartitionedANN(AnnConfig(num_partitions=16, num_probes=4))
+    ann.build(c, seed=0)
+    ann.save(tmp_path / "a.npz")
+    back = PartitionedANN.load(tmp_path / "a.npz")
+    assert back._replicated == ann._replicated
+    np.testing.assert_array_equal(
+        np.asarray(back.part_rows), np.asarray(ann.part_rows)
+    )
+    ann.save_dir(tmp_path / "adir")
+    back2 = PartitionedANN.load_dir(tmp_path / "adir")
+    assert back2._replicated == ann._replicated
+
+
+def test_pad_replicas_improve_recall_at_fixed_nprobe():
+    """The round-5 floor failure: rows scattered by overflow rebalancing
+    (or sitting on a partition border) are unreachable through centroid
+    probing. Replicas in the layout's dead padding slots must lift recall
+    at the SAME nprobe, at zero extra slot count."""
+    rng = np.random.default_rng(3)
+    centers = normed(rng.standard_normal((32, 64)).astype(np.float32))
+    corpus = normed(
+        centers[rng.integers(0, 32, 4000)]
+        + 0.25 * rng.standard_normal((4000, 64)).astype(np.float32)
+    )
+    qidx = rng.integers(0, 4000, 32)
+    queries = normed(
+        corpus[qidx] + 0.05 * rng.standard_normal((32, 64)).astype(np.float32)
+    )
+    ov = np.sort(queries @ corpus.T, axis=-1)[:, ::-1][:, :10]
+
+    recalls = {}
+    slots = {}
+    for pr in (False, True):
+        ann = PartitionedANN(
+            AnnConfig(num_partitions=64, num_probes=8, pad_replicas=pr)
+        )
+        ann.build(corpus, seed=0)
+        v, _ = ann.search(queries, 10, nprobe=8)
+        recalls[pr] = float(np.mean(v >= ov[:, 9:10] - 1e-3))
+        slots[pr] = np.asarray(ann.part_rows).size
+    assert slots[True] == slots[False]  # zero extra memory
+    assert recalls[True] > recalls[False] + 0.02, recalls
+
+
+def test_kmeans_dedup_sample_ignores_mega_duplicate_mass():
+    """With dedup on, a 75%-duplicate sample trains the same centroids as
+    the unique rows alone — the mega group counts once, so it cannot drag
+    multiple Lloyd means onto itself."""
+    rng = np.random.default_rng(5)
+    uniq = normed(rng.standard_normal((512, 32)).astype(np.float32))
+    dup = np.repeat(uniq[:1], 1536, axis=0)
+    mixed = np.concatenate([dup, uniq])
+    c_dedup = train_kmeans(mixed, 16, iters=8, sample=10_000, dedup=True)
+    c_uniq = train_kmeans(uniq, 16, iters=8, sample=10_000, dedup=True)
+    np.testing.assert_allclose(c_dedup, c_uniq, atol=1e-5)
+
+
+def test_assign_topc_column0_matches_assign_clusters():
+    from trie_semantic_search_tpu.index.kmeans import assign_topc
+
+    rng = np.random.default_rng(7)
+    v = normed(rng.standard_normal((500, 32)).astype(np.float32))
+    cent = train_kmeans(v, 16, iters=5)
+    top = assign_topc(v, cent, 3)
+    np.testing.assert_array_equal(top[:, 0], assign_clusters(v, cent))
+    # columns are distinct centroids per row
+    assert (top[:, 0] != top[:, 1]).all() and (top[:, 1] != top[:, 2]).all()

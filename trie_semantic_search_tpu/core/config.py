@@ -222,6 +222,24 @@ class AnnConfig:
     #: ceil(partition_overalloc * N / P) and overflow rows reassign to
     #: their next-best centroid with free space (balanced IVF).
     partition_overalloc: float = 2.0
+    #: Deduplicate exact-duplicate vectors in the k-means TRAINING sample
+    #: (assignment still places every copy). MEASURED HARMFUL, default
+    #: off: a mega duplicate group's mass is what earns it a centroid;
+    #: dedup makes the group homeless, the overflow rebalancer scatters
+    #: its copies, and recall collapses for every query near its topic
+    #: (bench_results/spill_lab_r05.json: mean@nprobe16 0.52 deduped vs
+    #: 0.73 baseline vs 0.78 with pad_replicas). Kept as a knob for
+    #: corpora whose duplicates are noise rather than boilerplate.
+    kmeans_dedup: bool = False
+    #: Fill the dead padding slots of the dense [P, m, D] partition
+    #: layout with REPLICAS of rows whose second-choice centroid is that
+    #: partition (scattered overflow rows first, then border rows).
+    #: Zero extra device memory — the slots exist either way — and each
+    #: replica doubles the chance a probe set reaches the row. Search
+    #: paths dedup (by row in ann.search, by case in the fused program).
+    pad_replicas: bool = True
+    #: Centroid choices considered per row by the pad-replica planner.
+    replica_choices: int = 8
     #: Worst-probe recall floor for build-time nprobe tuning (round-3
     #: VERDICT item 7): tuning accepts an nprobe only when the MEAN probe
     #: recall reaches the target AND no single probe falls below this.

@@ -166,6 +166,70 @@ def _rebalance_overflow(
     return assign
 
 
+def _plan_pad_replicas(
+    assign: np.ndarray,  # [N] final primary partition per row
+    counts: np.ndarray,  # [P] primary fill per partition
+    m: int,  # slot capacity (aligned)
+    choices: np.ndarray,  # [N, C] top-C centroid ids per row (col 0 nearest)
+) -> tuple[np.ndarray, np.ndarray]:
+    """Plan replicas into the dense layout's DEAD padding slots.
+
+    The [P, m, D] block array is sized by the largest partition, so every
+    other partition carries ``m - fill`` zero slots that cost HBM whether
+    or not they hold data. This fills them with duplicate entries of rows
+    whose reachability benefits most, at zero extra device memory:
+
+    1. **scattered rows first** — rows the overflow rebalancer moved out
+       of their nearest partition (``choices[:, 0] != assign``). These are
+       the measured round-5 floor failure: a probe's entire oracle top-10
+       lived in partitions its centroid ranking never reached. Each gets
+       a replica in its best-scoring centroid with a free slot.
+    2. **border rows** — everyone else, replica in their second-choice
+       partition when it has space (ScaNN/SOAR-style multi-assignment).
+
+    Deterministic: fixed pass order, candidates taken in ascending row id
+    per partition, one replica per row, never in the row's own partition.
+    Returns ``(rows, parts)`` sorted by ``(part, row)`` — the fill order
+    both builders append after the primary entries, keeping
+    ``build``/``build_streaming`` bit-identical."""
+    n, C = choices.shape
+    P = len(counts)
+    free = (m - counts).astype(np.int64)
+    placed = np.zeros(n, bool)
+    out_r: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    scattered = choices[:, 0] != assign
+    for prio_mask in (scattered, ~scattered):
+        for col in range(C):
+            cand = np.flatnonzero(prio_mask & ~placed)
+            if not len(cand):
+                break
+            tgt = choices[cand, col]
+            ok = tgt != assign[cand]
+            cand, tgt = cand[ok], tgt[ok]
+            if not len(cand):
+                continue
+            order = np.lexsort((cand, tgt))  # part-major, row asc
+            cand, tgt = cand[order], tgt[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(tgt)) + 1])
+            reps = np.diff(np.concatenate([starts, [len(tgt)]]))
+            rank = np.arange(len(tgt)) - np.repeat(starts, reps)
+            take = rank < free[tgt]
+            if not take.any():
+                continue
+            tr, tp = cand[take], tgt[take]
+            free = free - np.bincount(tp, minlength=P)
+            placed[tr] = True
+            out_r.append(tr)
+            out_p.append(tp)
+    if not out_r:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    rows = np.concatenate(out_r)
+    parts = np.concatenate(out_p).astype(np.int32)
+    order = np.lexsort((rows, parts))
+    return rows[order], parts[order]
+
+
 def _auto_partitions(n: int) -> int:
     """Partition count targeting ~sqrt(N) rows per partition for small
     corpora and a fixed ~1k-row partition at scale, rounded up to a
@@ -211,6 +275,11 @@ class PartitionedANN:
         #: Mosaic gather kernel's per-input addressing cap (_rescore_store)
         self.corpus_bf16: Optional[tuple[jnp.ndarray, ...]] = None
         self.num_vectors = 0
+        #: True when the frozen layout carries pad replicas (some rows
+        #: appear in two partitions). Serving doubles the rescore
+        #: candidate fetch so duplicate copies can't crowd distinct rows
+        #: out of the fixed-size candidate list; persisted in save meta.
+        self._replicated = False
         self._search_fn = None
         self._brute_fn = None
 
@@ -231,6 +300,7 @@ class PartitionedANN:
                 f"need [N, D] vectors, got {vectors.shape}"
             )
         n, d = vectors.shape
+        self._replicated = False
         v = np.asarray(vectors, np.float32)
         if not np.isfinite(v).all():
             bad = int((~np.isfinite(v)).any(axis=1).sum())
@@ -249,8 +319,20 @@ class PartitionedANN:
             centroids = train_kmeans(
                 v, P, iters=self.config.kmeans_iters,
                 sample=self.config.kmeans_sample, seed=seed,
+                dedup=self.config.kmeans_dedup,
             )
-        assign = np.asarray(assign_clusters(v, centroids))
+        n_choices = (
+            max(2, self.config.replica_choices)
+            if self.config.pad_replicas and P > 1 else 1
+        )
+        if n_choices > 1:
+            from .kmeans import assign_topc
+
+            choices = assign_topc(v, centroids, n_choices)
+            assign = choices[:, 0].copy()
+        else:
+            choices = None
+            assign = np.asarray(assign_clusters(v, centroids))
         cap = _capacity_cap(n, P, self.config.partition_overalloc)
         assign = _rebalance_overflow(
             assign, cap, centroids, lambda rows: v[rows]
@@ -269,6 +351,20 @@ class PartitionedANN:
         for row, p in enumerate(assign):
             part_rows[p, fill[p]] = row
             fill[p] += 1
+        if choices is not None:
+            rep_rows, rep_parts = _plan_pad_replicas(
+                assign, counts, m, choices
+            )
+            for row, p in zip(rep_rows, rep_parts):
+                part_rows[p, fill[p]] = row
+                fill[p] += 1
+            if len(rep_rows):
+                _log.info(
+                    "pad replicas: %d rows duplicated into free slots "
+                    "(%.1f%% of %d slots were padding)",
+                    len(rep_rows), 100.0 * (P * m - n) / max(P * m, 1), P * m,
+                )
+            self._replicated = bool(len(rep_rows))
 
         safe_rows = np.maximum(part_rows, 0)
         pad_mask = part_rows < 0
@@ -316,6 +412,7 @@ class PartitionedANN:
         slab-wise over the (memmapped) input. Fill order is ascending row
         id per partition — the same as :meth:`build`."""
         n, d = vectors.shape
+        self._replicated = False
         if n == 0:
             raise VectorIndexConstructionFailed("empty corpus")
         if not self.config.quantize_int8:
@@ -347,16 +444,34 @@ class PartitionedANN:
             centroids = train_kmeans(
                 sample, P, iters=self.config.kmeans_iters,
                 sample=sample_n, seed=seed,
+                dedup=self.config.kmeans_dedup,
             )
             del sample
 
-        # pass 1: slab-wise assignment
+        # pass 1: slab-wise assignment (top-C choices when the pad-replica
+        # planner is on; column 0 == assign_clusters either way)
+        n_choices = (
+            max(2, self.config.replica_choices)
+            if self.config.pad_replicas and P > 1 else 1
+        )
         assign = np.empty(n, np.int32)
+        choices = (
+            np.empty((n, min(n_choices, P)), np.int32)
+            if n_choices > 1 else None
+        )
         for lo in range(0, n, slab_rows):
             hi = min(lo + slab_rows, n)
-            assign[lo:hi] = np.asarray(
-                assign_clusters(_norm_slab(lo, hi), centroids)
-            )
+            if choices is not None:
+                from .kmeans import assign_topc
+
+                choices[lo:hi] = assign_topc(
+                    _norm_slab(lo, hi), centroids, n_choices
+                )
+                assign[lo:hi] = choices[lo:hi, 0]
+            else:
+                assign[lo:hi] = np.asarray(
+                    assign_clusters(_norm_slab(lo, hi), centroids)
+                )
 
         def _norm_rows(rows: np.ndarray) -> np.ndarray:
             v = np.array(vectors[rows], np.float32)
@@ -404,6 +519,42 @@ class PartitionedANN:
             part_scale[a_sorted, pos] = scale[order].astype(np.float32)
             cursor += c_slab
 
+        # pass 3: pad-replica fill — appended after the primary entries in
+        # (part, row) order, exactly like build()'s fill loop, so the two
+        # builders stay bit-identical. Replica values re-quantise from the
+        # f32 slab read (NOT the bf16 copy) for the same reason.
+        if choices is not None:
+            rep_rows, rep_parts = _plan_pad_replicas(
+                assign, counts, m, choices
+            )
+            cursor2 = counts.astype(np.int64)
+            for lo in range(0, len(rep_rows), slab_rows):
+                rr = rep_rows[lo : lo + slab_rows]
+                pp = rep_parts[lo : lo + slab_rows]
+                v = _norm_rows(rr)
+                absmax = np.max(np.abs(v), axis=1)
+                scale = np.maximum(absmax, 1e-12) / 127.0
+                q8 = np.clip(
+                    np.round(v / scale[:, None]), -127, 127
+                ).astype(np.int8)
+                c_slab = np.bincount(pp, minlength=P).astype(np.int64)
+                offs = np.zeros(P + 1, np.int64)
+                np.cumsum(c_slab, out=offs[1:])
+                pos = (
+                    np.arange(len(pp)) - np.repeat(offs[:-1], c_slab)
+                    + cursor2[pp]
+                ).astype(np.int64)
+                part_rows[pp, pos] = rr.astype(np.int32)
+                part_int8[pp, pos] = q8
+                part_scale[pp, pos] = scale.astype(np.float32)
+                cursor2 += c_slab
+            if len(rep_rows):
+                _log.info(
+                    "pad replicas (streaming): %d rows duplicated into "
+                    "free slots", len(rep_rows),
+                )
+            self._replicated = bool(len(rep_rows))
+
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.part_rows = jnp.asarray(part_rows)
         self.part_int8 = jnp.asarray(part_int8)
@@ -432,7 +583,12 @@ class PartitionedANN:
         import os
 
         cfg = self.config
-        rescore_k = min(k * max(1, cfg.rescore_factor), self.num_vectors)
+        # replicated layouts fetch 2x candidates: each row probed through
+        # both its partitions consumes two candidate slots before dedup
+        rescore_k = min(
+            k * max(1, cfg.rescore_factor) * (2 if self._replicated else 1),
+            self.num_vectors,
+        )
         quantize = bool(cfg.quantize_int8)
         m = int(self.part_rows.shape[1])
         # serving program choice (resolved here, part of the cache key):
@@ -530,6 +686,19 @@ class PartitionedANN:
             cand_v, cand_rows = topk_by_score_then_row(
                 flat_scores, flat_rows, cand_n
             )
+            # Pad-replica dedup: a row probed through BOTH its partitions
+            # appears twice with a bitwise-identical score (same int8
+            # block entry + scale), so the (-score, row) sort makes the
+            # copies adjacent — mask every repeat of its left neighbour.
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros_like(cand_rows[:, :1], dtype=bool),
+                    (cand_rows[:, 1:] == cand_rows[:, :-1])
+                    & (cand_rows[:, 1:] >= 0),
+                ],
+                axis=1,
+            )
+            cand_v = jnp.where(dup, -jnp.inf, cand_v)
             safe = jnp.maximum(cand_rows, 0)
             if use_kernel:
                 # scalar-prefetch gather: DMA exactly the candidate rows
@@ -658,8 +827,13 @@ class PartitionedANN:
         # return different equal-scoring rows; the tuner would then chase
         # unreachable recall out to nprobe ~ P (observed: the 5M-chunk build
         # died compiling a [64, 3904] scalar-prefetch that overflowed SMEM).
-        # eps covers bf16 rescore rounding.
-        thresh = np.asarray(ov)[:, k - 1 : k] - 1e-3
+        # eps covers f32 accumulation-order noise ONLY (both the brute
+        # oracle and the probe rescore cast q to bf16 against the same
+        # bf16 store, so an exact row match scores identically up to
+        # reduction tiling). A bf16-scale eps (1e-3) here over-credited
+        # near-ties and let the tuner accept an nprobe the strict f32
+        # north-star metric then failed by ~0.5% (round-5 replica work).
+        thresh = np.asarray(ov)[:, k - 1 : k] - 1e-5
 
         def recall_at(nprobe: int) -> float:
             gv, _ = self.search(sample_queries, k, nprobe=nprobe)
@@ -751,6 +925,7 @@ class PartitionedANN:
             "num_probes": int(
                 self.tuned_nprobe or self.config.num_probes
             ),
+            "replicated": bool(self._replicated),
         }))
         with zipfile.ZipFile(
             path, "w", zipfile.ZIP_DEFLATED, allowZip64=True
@@ -805,6 +980,7 @@ class PartitionedANN:
             "int8_blocks": bool(int8_blocks),
             "rescore_segments": len(self.corpus_bf16),
             "num_probes": int(self.tuned_nprobe or self.config.num_probes),
+            "replicated": bool(self._replicated),
         }))
         if path.exists():
             import shutil
@@ -841,6 +1017,7 @@ class PartitionedANN:
                 for i in range(int(meta.get("rescore_segments", 0)))
             )
             idx.num_vectors = int(meta["num_vectors"])
+            idx._replicated = bool(meta.get("replicated", False))
             if not idx.config.num_probes:
                 idx.tuned_nprobe = int(meta.get("num_probes", 0))
         except (KeyError, ValueError, OSError, json.JSONDecodeError) as e:
@@ -871,6 +1048,7 @@ class PartitionedANN:
                 else:  # legacy single concatenated member
                     idx.corpus_bf16 = _rescore_store(z["corpus_f16"])
                 idx.num_vectors = int(meta["num_vectors"])
+                idx._replicated = bool(meta.get("replicated", False))
                 # adopt the persisted tuned nprobe as INSTANCE state, and
                 # only when the caller's config leaves num_probes unset
                 # (an explicit config override wins). The shared config

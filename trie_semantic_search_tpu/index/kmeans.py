@@ -42,8 +42,19 @@ def train_kmeans(
     iters: int = 20,
     sample: int = 200_000,
     seed: int = 0,
+    dedup: bool = False,
 ) -> np.ndarray:
-    """Train centroids on (a sample of) the corpus. Returns ``[P, D]`` f32."""
+    """Train centroids on (a sample of) the corpus. Returns ``[P, D]`` f32.
+
+    ``dedup=True`` drops exact-duplicate rows from the TRAINING sample
+    (bitwise f32 equality). Default OFF — measured HARMFUL on
+    duplicate-heavy corpora (bench_results/spill_lab_r05.json): a mega
+    duplicate group's repeated mass is exactly what earns it a Lloyd
+    centroid; deduplicated, the group becomes homeless, overflows some
+    topic partition, and the rebalancer scatters its copies into
+    unreachable partitions. The round-5 floor failure (small duplicate
+    ties scattered out of reach) is fixed by pad replicas
+    (index.ann._plan_pad_replicas) instead."""
     n = vectors.shape[0]
     rng = np.random.default_rng(seed)
     if n > sample:
@@ -51,6 +62,12 @@ def train_kmeans(
         x = vectors[idx]
     else:
         x = vectors
+    if dedup and x.shape[0] > 1:
+        xc = np.ascontiguousarray(x, np.float32)
+        flat = xc.view([("", xc.dtype)] * xc.shape[1]).ravel()
+        _, uniq_idx = np.unique(flat, return_index=True)
+        if len(uniq_idx) >= min(num_clusters, 8):
+            x = xc[np.sort(uniq_idx)]
     # Init: distinct random points (k-means++ cost isn't worth it at this
     # scale; spherical Lloyd converges fast from random distinct seeds).
     init_idx = rng.choice(x.shape[0], size=min(num_clusters, x.shape[0]), replace=False)
@@ -84,5 +101,31 @@ def assign_clusters(
     for s in range(0, vectors.shape[0], block):
         out[s : s + block] = np.asarray(
             _assign(jnp.asarray(vectors[s : s + block], jnp.float32), c)
+        )
+    return out
+
+
+def assign_topc(
+    vectors: np.ndarray, centroids: np.ndarray, c: int, block: int = 65536
+) -> np.ndarray:
+    """Top-``c`` nearest centroids per row, blocked to bound device memory.
+    Column 0 equals :func:`assign_clusters` (``lax.top_k`` and ``argmax``
+    both break score ties to the lower centroid id). Columns 1+ feed the
+    pad-replica planner (:func:`index.ann._plan_pad_replicas`)."""
+    cent = jnp.asarray(centroids, jnp.float32)
+    cc = min(c, centroids.shape[0])
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _topc(v: jax.Array, ce: jax.Array, k: int) -> jax.Array:
+        sims = jnp.einsum(
+            "nd,pd->np", v, ce, preferred_element_type=jnp.float32
+        )
+        _, idx = jax.lax.top_k(sims, k)
+        return idx.astype(jnp.int32)
+
+    out = np.empty((vectors.shape[0], cc), np.int32)
+    for s in range(0, vectors.shape[0], block):
+        out[s : s + block] = np.asarray(
+            _topc(jnp.asarray(vectors[s : s + block], jnp.float32), cent, cc)
         )
     return out
