@@ -89,7 +89,9 @@ def main() -> None:
     from trie_semantic_search_tpu.models import minilm
     from trie_semantic_search_tpu.ops.hybrid import (
         fused_hybrid_topk_chunked,
+        fused_layout_brute_topk,
         fused_partitioned_topk,
+        pick_num_chunks,
     )
     from trie_semantic_search_tpu.ops.pallas_scan import (
         partition_filter_columns,
@@ -267,6 +269,28 @@ def main() -> None:
             return r[0], r[1]  # (scores, case rows)
         return approx_scan
 
+    def make_approx_stream():
+        """Layout-brute (stream) mode at the recall batch size — the
+        engine's large-batch serving program over the same partition
+        blocks (ops.hybrid.fused_layout_brute_topk)."""
+        nc = pick_num_chunks(N, B_REC, K)
+
+        @jax.jit
+        def stream_scan(q, corpus):
+            (cents, prows, pint8, pscale,
+             ccase, ccourt, cdate, repc, w, b_, d_) = corpus
+            r = fused_layout_brute_topk(
+                q, prows, pint8, pscale, None,
+                ccourt.reshape(P, m), cdate.reshape(P, m),
+                ccase, ccourt, cdate,
+                fr["court_table"], fr["date_lo"], fr["date_hi"],
+                no_trie, no_src, repc,
+                fr["min_similarity"], fr["exact_weight"],
+                k=K, overfetch=1, num_chunks=nc, recall_target=RT,
+            )
+            return r[0], r[1]
+        return stream_scan
+
     corpus_q = part_int8.reshape(N, D)
     corpus_scale = part_scale.reshape(N, 1)
 
@@ -311,25 +335,49 @@ def main() -> None:
         over-credits)."""
         o_vals, o_rows = oracle_pair
         if nprobe not in _approx_cache:
-            _approx_cache[nprobe] = make_approx(nprobe)
+            _approx_cache[nprobe] = (
+                make_approx_stream() if nprobe == "stream"
+                else make_approx(nprobe)
+            )
         s_vals, s_rows = jax.device_get(jax.block_until_ready(
             _approx_cache[nprobe](queries, corpus_args)
         ))
         strict, tie = [], []
         for b in range(len(o_rows)):
-            oset = set(o_rows[b].tolist())
-            sset = set(s_rows[b].tolist())
-            strict.append(len(sset & oset) / K)
-            kth = o_vals[b][K - 1]
-            above = {
-                int(r) for r, v in zip(o_rows[b], o_vals[b]) if v > kth
-            }
-            served_boundary = int(np.sum(s_vals[b] == kth))
+            # score over the oracle's REAL entries: dead (-1, -inf) slots —
+            # identical dedup/threshold underfill on both sides — must not
+            # count as misses (a set() over padded rows collapses every -1
+            # into one element and silently caps recall below 1.0 even for
+            # byte-identical results)
+            oreal = [
+                (int(r), float(v))
+                for r, v in zip(o_rows[b], o_vals[b]) if r >= 0
+            ]
+            sset = {int(r) for r in s_rows[b] if r >= 0}
+            d = max(len(oreal), 1)
+            strict.append(len(sset & {r for r, _ in oreal}) / d)
+            kth = oreal[-1][1] if oreal else -np.inf
+            above = {r for r, v in oreal if v > kth}
+            served_boundary = int(np.sum(
+                (s_vals[b] == kth) & (np.asarray(s_rows[b]) >= 0)
+            ))
             credit = len(sset & above) + min(
-                K - len(above), served_boundary
+                d - len(above), served_boundary
             )
-            tie.append(credit / K)
+            # tie-aware credit is strict-plus-forgiveness: fp drift that
+            # breaks the bitwise boundary equality must degrade TOWARD the
+            # strict metric, never below it (a served set identical to the
+            # oracle is always credit 1.0)
+            tie.append(max(credit / d, strict[-1]))
         strict = np.asarray(strict)
+        if os.environ.get("TSS_BENCH_DEBUG") and strict.min() < 1.0:
+            b = int(np.argmin(strict))
+            print(
+                f"[debug nprobe={nprobe}] worst b={b} strict={strict[b]}\n"
+                f"  oracle {list(zip(o_rows[b].tolist(), o_vals[b].tolist()))}\n"
+                f"  served {list(zip(s_rows[b].tolist(), s_vals[b].tolist()))}",
+                file=sys.stderr,
+            )
         return float(strict.mean()), float(strict.min()), float(min(tie))
 
     if on_tpu:  # each candidate is one fresh compile — TPU only
@@ -374,15 +422,19 @@ def main() -> None:
         f"{recall_min:.4f})", file=sys.stderr,
     )
 
-    def make_query_step(nprobe: int):
+    def make_query_step(nprobe):
+        """The COMPLETE hybrid query program, SURVEY §7 step 7: encode +
+        trie walk + fused semantic stage + device filters + lexical boost +
+        dedup + top-k. ``nprobe`` is an int for the partitioned probe
+        stage, or ``"stream"`` for the layout-brute stage (the engine's
+        large-batch auto mode: one fused stream of the partition blocks per
+        TILE_B query tile). The corpus was generated AS int8 so int8 scores
+        are exact for it — no bf16 rescore copy needed."""
+        nc_b = pick_num_chunks(N, B, K)
+
         @jax.jit
         def query_step(params, input_ids, attention_mask, trie_ids,
                        corpus, trie_arrs):
-            """The COMPLETE hybrid query program, SURVEY §7 step 7, in the
-            serving-default mode for this corpus size: encode + trie walk +
-            fused partitioned probe (scan + device filters + lexical boost +
-            dedup + top-k). The corpus was generated AS int8 so int8 scores
-            are exact for it — no bf16 rescore copy needed."""
             (cents, prows, pint8, pscale,
              ccase, ccourt, cdate, repc, w, b_, d_) = corpus
             eo_, et_, tg_, po_, pc_, ie_ = trie_arrs
@@ -391,16 +443,28 @@ def main() -> None:
             rows, valid = gather_postings(po_, pc_, ie_, nodes, 16)
             lex_rows = jnp.where(valid, rows, -1)
             lex_src = jnp.full_like(lex_rows, 3)  # SRC_CONTENT
-            v, i, cases, src = fused_partitioned_topk(
-                emb, cents, prows, pint8, pscale, None,
-                ccase, ccourt, cdate,
-                fb["court_table"], fb["date_lo"], fb["date_hi"],
-                lex_rows, lex_src, repc,
-                fb["min_similarity"], fb["exact_weight"],
-                k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
-                recall_target=RT, part_cword=w, part_cbit=b_, part_date=d_,
-                use_probe_kernel=upk, probe_interpret=pik,
-            )
+            if nprobe == "stream":
+                v, i, cases, src = fused_layout_brute_topk(
+                    emb, prows, pint8, pscale, None,
+                    ccourt.reshape(P, m), cdate.reshape(P, m),
+                    ccase, ccourt, cdate,
+                    fb["court_table"], fb["date_lo"], fb["date_hi"],
+                    lex_rows, lex_src, repc,
+                    fb["min_similarity"], fb["exact_weight"],
+                    k=K, overfetch=1, num_chunks=nc_b, recall_target=RT,
+                )
+            else:
+                v, i, cases, src = fused_partitioned_topk(
+                    emb, cents, prows, pint8, pscale, None,
+                    ccase, ccourt, cdate,
+                    fb["court_table"], fb["date_lo"], fb["date_hi"],
+                    lex_rows, lex_src, repc,
+                    fb["min_similarity"], fb["exact_weight"],
+                    k=K, nprobe=nprobe, overfetch=1, rescore_factor=4,
+                    recall_target=RT, part_cword=w, part_cbit=b_,
+                    part_date=d_,
+                    use_probe_kernel=upk, probe_interpret=pik,
+                )
             return v, i, rows, valid
         return query_step
 
@@ -494,18 +558,56 @@ def main() -> None:
             "out": out,
         }
 
-    # operating point 1: the tuned point (tune_on_build analogue — what a
-    # built artifact would serve with). Operating point 2: the fixed
+    # Operating points. 1: the tuned probe point (tune_on_build analogue —
+    # what a built artifact serves small batches with). 2: the fixed
     # nprobe=64 serving default every prior recorded round timed, kept for
     # round-over-round comparability (round-4 VERDICT item 3: carry BOTH).
+    # 3: the layout-brute stream — the engine's batch-aware auto mode
+    # (search.fused._layout_brute_batch): at B·nprobe >= P·ceil(B/TILE_B)
+    # the probe path reads MORE corpus rows than one fused stream of the
+    # partition blocks, so serving streams. The headline is whatever mode
+    # the engine would actually serve this batch size with, quality-gated
+    # on held-out recall at the same target + floor as the tuner.
+    num_tiles = -(-B // 256)
+    stream_auto = B * NPROBE_RUN >= P * num_tiles
+    stream_pt = stream_rec = None
+    if stream_auto:
+        stream_rec = recall_at("stream", qv_eval, oracle_eval)
+        print(
+            f"stream mode held-out recall@{K} vs exact: mean "
+            f"{stream_rec[0]:.4f} min {stream_rec[1]:.4f} tie-aware min "
+            f"{stream_rec[2]:.4f}", file=sys.stderr,
+        )
+        if not (stream_rec[0] >= RT and stream_rec[2] >= MIN_FLOOR):
+            stream_auto = False  # quality gate failed: serve probed
     tuned_pt = measure_point(NPROBE_RUN, TRIALS)
     if NPROBE != NPROBE_RUN:
         default_pt = measure_point(NPROBE, max(3, TRIALS // 2))
     else:
         default_pt = tuned_pt
-    qps, batch_ms = tuned_pt["qps"], tuned_pt["batch_ms"]
-    dispatch_batch_ms = tuned_pt["dispatch_batch_ms"]
-    out = tuned_pt["out"]
+    if stream_auto:
+        stream_pt = measure_point("stream", TRIALS)
+        head_pt = stream_pt
+        head_rec = stream_rec
+        mode_str = (
+            f"layout-brute stream (engine auto mode at B={B}: "
+            f"B*nprobe={B * NPROBE_RUN} >= P*tiles={P * num_tiles} -> one "
+            "fused corpus stream per query tile; held-out recall gated at "
+            f"target {RT} + tie-aware floor {MIN_FLOOR}; probed operating "
+            "points reported alongside)"
+        )
+    else:
+        head_pt = tuned_pt
+        head_rec = (recall_eval, recall_eval_min, recall_eval_tie)
+        mode_str = (
+            f"partitioned nprobe={NPROBE_RUN} recall_target={RT} "
+            f"min_floor={MIN_FLOOR} (tuned on held-out exact-oracle "
+            "queries over a cluster+duplicate-structured corpus; "
+            "build-time tune_on_build analogue)"
+        )
+    qps, batch_ms = head_pt["qps"], head_pt["batch_ms"]
+    dispatch_batch_ms = head_pt["dispatch_batch_ms"]
+    out = head_pt["out"]
 
     # correctness spot-check: trie hits resolve to the right rows
     valid = np.asarray(out[3])
@@ -518,19 +620,26 @@ def main() -> None:
         "vs_baseline": round(qps / 500.0, 2),
         "batch_size": B,
         "corpus_chunks": N,
-        "mode": f"partitioned nprobe={NPROBE_RUN} recall_target={RT} "
-                f"min_floor={MIN_FLOOR} (tuned on held-out exact-oracle "
-                "queries over a cluster+duplicate-structured corpus; "
-                "build-time tune_on_build analogue)",
-        # both operating points (round-4 VERDICT item 3): the tuned point
-        # is the headline; the fixed default keeps round-over-round
-        # comparability with every prior recorded bench
+        "mode": mode_str,
+        # every operating point (round-4 VERDICT item 3): the headline is
+        # the engine's auto-mode pick for this batch size; the tuned and
+        # fixed-default probe points keep round-over-round comparability
+        # with every prior recorded bench
         "qps_tuned": round(tuned_pt["qps"], 1),
         "nprobe_tuned": NPROBE_RUN,
         "qps_default": round(default_pt["qps"], 1),
         "nprobe_default": NPROBE,
-        "recall_at_10_vs_exact": round(recall_eval, 4),
-        "recall_min_vs_exact": round(recall_eval_min, 4),
+        **(
+            {
+                "qps_stream": round(stream_pt["qps"], 1),
+                "stream_num_tiles": num_tiles,
+            }
+            if stream_pt is not None else {}
+        ),
+        "recall_at_10_vs_exact": round(head_rec[0], 4),
+        "recall_min_vs_exact": round(head_rec[1], 4),
+        "recall_tie_min_vs_exact": round(head_rec[2], 4),
+        "recall_probed_heldout": round(recall_eval, 4),
         "recall_tune_set": round(recall, 4),
         "exact_mode_dispatch_ms": round(exact_dispatch_ms, 2),
         "exact_mode_batch": B_REC,

@@ -377,7 +377,7 @@ def test_query_batch_serves_chunked_above_workset(stack, monkeypatch):
     program above the working-set threshold (and at exact recall), with
     results identical to the one-shot program. The corpus here is
     non-tile-divisible (7 chunks, padded to TILE_N at init)."""
-    import trie_semantic_search_tpu.search.fused as fused_mod
+    import trie_semantic_search_tpu.ops.hybrid as hybrid_mod
 
     built, fused, emb = stack
     assert fused.ann_mode == "brute"
@@ -394,8 +394,8 @@ def test_query_batch_serves_chunked_above_workset(stack, monkeypatch):
     embs = embed(emb, qs)
     one_shot = fused.query_batch(embs, qs, **kwargs)
     # force the chunked selection (tiny corpus would never cross 256 MB)
-    monkeypatch.setattr(fused_mod, "_CHUNKED_WORKSET_BYTES", 1)
-    monkeypatch.setattr(fused_mod, "_SLAB_MIN_ROWS", 256)
+    monkeypatch.setattr(hybrid_mod, "_CHUNKED_WORKSET_BYTES", 1)
+    monkeypatch.setattr(hybrid_mod, "_SLAB_MIN_ROWS", 256)
     chunked = fused.query_batch(embs, qs, **kwargs)
     for x, y, name in zip(one_shot, chunked, ("v", "i", "cases", "src")):
         np.testing.assert_array_equal(x, y, err_msg=name)
@@ -466,3 +466,138 @@ def test_sharded_partitioned_engine_matches_single_chip(stack, monkeypatch):
             assert abs(v1d[case] - vmd[case]) < 2e-2, (b, case)
     # the lexical boost query: exact name hit leads on both paths
     assert cm[3][0] == c1[3][0] and vm[3][0] == 2.0
+
+
+def test_layout_brute_batch_rule(stack):
+    """The partitioned-mode batch-aware pick: one fused stream of the
+    partition layout when B·nprobe >= P·ceil(B/TILE_B) (byte parity with
+    the probe path's B·nprobe·m row reads — measured break-even,
+    ops.hybrid.fused_layout_brute_topk)."""
+    built, _, _ = stack
+    fused = FusedHybridSearch(
+        built.trie, built.vector, built.columns, ann_mode="partitioned"
+    )
+    P = int(fused.ann.centroids.shape[0])
+    nprobe = int(fused.ann.default_nprobe)
+    assert fused._layout_brute_batch(P) is True  # B=P: always past parity
+    if nprobe < P:
+        assert fused._layout_brute_batch(max(1, P // nprobe // 2)) is False
+
+
+def test_fused_layout_brute_matches_brute_mode(stack, monkeypatch):
+    """Forcing the large-batch layout-brute branch returns the same cases,
+    provenance, and (bf16-rescored) scores as the plain brute mode — the
+    dual-mode pick must never change result semantics."""
+    built, fused_brute, emb = stack
+    fused_part = FusedHybridSearch(
+        built.trie, built.vector, built.columns, ann_mode="partitioned"
+    )
+    monkeypatch.setattr(
+        fused_part, "_layout_brute_batch", lambda batch: True
+    )
+    qs = [c[4] for c in CASES] + ["mapp v. ohio"]
+    args = dict(
+        court_filters=[None, ["Supreme Court of California"], None, None],
+        date_ranges=[None, None,
+                     (dt.date(1960, 1, 1), dt.date(1969, 1, 1)), None],
+        min_similarity=[0.3] * 4,
+        exact_weight=[2.0] * 4,
+        k=5,
+    )
+    e = embed(emb, qs)
+    bv, bi, bc, bs = fused_brute.query_batch(e, qs, **args)
+    pv, pi, pc, ps = fused_part.query_batch(e, qs, **args)
+    for b in range(4):
+        got_b = {int(c): int(s) for c, s in zip(bc[b], bs[b]) if c >= 0}
+        got_p = {int(c): int(s) for c, s in zip(pc[b], ps[b]) if c >= 0}
+        assert got_b == got_p, (b, got_b, got_p)
+        vb = {int(c): float(v) for c, v in zip(bc[b], bv[b]) if c >= 0}
+        vp = {int(c): float(v) for c, v in zip(pc[b], pv[b]) if c >= 0}
+        for case in got_b:
+            # layout path reranks candidates in bf16; brute keeps int8
+            assert abs(vb[case] - vp[case]) < 2e-2, (b, case)
+    # returned chunk indices live in GLOBAL row space (not slot space):
+    # every non-dead index must be a valid corpus row of the right case
+    refs = np.asarray(built.vector.refs, np.int32)
+    for b in range(4):
+        for chunk, case in zip(pi[b], pc[b]):
+            if case >= 0 and chunk >= 0:
+                assert refs[int(chunk), 0] == int(case)
+
+
+def test_fused_layout_brute_op_pads_and_replicas():
+    """Op-level: fused_layout_brute_topk over a slot layout with pad slots
+    AND replica slots (one row in two slots) matches fused_hybrid_topk over
+    the equivalent flat corpus — pads never surface, replicas collapse, and
+    indices come back in global row space."""
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.ops.hybrid import (
+        fused_hybrid_topk,
+        fused_layout_brute_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    N, D, P, m = 22, 16, 4, 8  # P*m = 32 slots > N rows
+    v = rng.standard_normal((N, D)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    chunk_case = np.arange(N, dtype=np.int32) // 2
+    chunk_court = (chunk_case % 3).astype(np.int32)
+    chunk_date = (1000 + chunk_case * 7).astype(np.int32)
+
+    # slot layout: rows scattered over partitions, 6 replicas, rest pads
+    slots = np.full(P * m, -1, np.int32)
+    perm = rng.permutation(N)
+    slots[:N] = perm
+    slots[N : N + 6] = perm[:6]  # replicas
+    slots = slots.reshape(P, m)
+    from trie_semantic_search_tpu.ops.scoring import quantize_int8
+
+    q8all, scall = quantize_int8(v)
+    q8all, scall = np.asarray(q8all), np.asarray(scall).reshape(N)
+    part_int8 = np.zeros((P, m, D), np.int8)
+    part_scale = np.zeros((P, m), np.float32)
+    safe = np.maximum(slots, 0)
+    part_int8[:] = q8all[safe]
+    part_scale[:] = np.where(slots >= 0, scall[safe], 0.0)
+    slot_court = np.where(slots >= 0, chunk_court[safe], -1).astype(np.int32)
+    slot_date = np.where(
+        slots >= 0, chunk_date[safe], np.iinfo(np.int32).min
+    ).astype(np.int32)
+
+    B = 3
+    q = v[rng.integers(0, N, B)] + 0.05 * rng.standard_normal((B, D)).astype(
+        np.float32
+    )
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    filt = dict(
+        court_table=jnp.ones((B, 3), bool),
+        date_lo=jnp.zeros(B, jnp.int32),
+        date_hi=jnp.full(B, 2**31 - 1, jnp.int32),
+        trie_rows=jnp.full((B, 4), -1, jnp.int32),
+        trie_src=jnp.full((B, 4), 3, jnp.int32),
+        trie_chunk_of_case=jnp.asarray(
+            np.asarray([np.flatnonzero(chunk_case == c)[0]
+                        for c in range(N // 2)], np.int32)
+        ),
+        min_similarity=jnp.full(B, 0.1, jnp.float32),
+        exact_weight=jnp.full(B, 2.0, jnp.float32),
+        k=5,
+        overfetch=4,
+    )
+    ev, ei, ec, es = fused_hybrid_topk(
+        jnp.asarray(q), jnp.asarray(q8all), jnp.asarray(scall).reshape(N, 1),
+        jnp.asarray(chunk_case), jnp.asarray(chunk_court),
+        jnp.asarray(chunk_date), **filt,
+    )
+    lv, li, lc, ls = fused_layout_brute_topk(
+        jnp.asarray(q), jnp.asarray(slots), jnp.asarray(part_int8),
+        jnp.asarray(part_scale), None, jnp.asarray(slot_court),
+        jnp.asarray(slot_date), jnp.asarray(chunk_case),
+        jnp.asarray(chunk_court), jnp.asarray(chunk_date),
+        num_chunks=2, **filt,
+    )
+    np.testing.assert_array_equal(np.asarray(ec), np.asarray(lc))
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(li))
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(lv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(es), np.asarray(ls))

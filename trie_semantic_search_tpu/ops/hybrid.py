@@ -304,6 +304,48 @@ def fused_hybrid_topk_chunked(
             k=k, overfetch=overfetch, recall_target=recall_target,
             use_court=use_court, use_date=use_date,
         )
+    sem_v, sem_i = _chunked_semantic_scan(
+        q8, q_scale, corpus_q, corpus_scale, chunk_court, chunk_date,
+        court_table, date_lo, date_hi, min_similarity, ksem=ksem,
+        num_chunks=num_chunks, recall_target=recall_target,
+        use_court=use_court, use_date=use_date,
+    )
+    sem_i = jnp.maximum(sem_i, 0)
+
+    lex_v, lex_chunk, lex_src = lexical_side_list(
+        trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
+        court_table, date_lo, date_hi, exact_weight,
+    )
+    return merge_dedup_topk(
+        sem_v, sem_i, lex_v, lex_chunk, lex_src, chunk_case, k
+    )
+
+
+def _chunked_semantic_scan(
+    q8: jax.Array,  # [B, D] int8 quantised queries
+    q_scale: jax.Array,  # [B, 1] f32
+    corpus_q: jax.Array,  # [N, D] int8 (N % num_chunks == 0)
+    corpus_scale: jax.Array,  # [N, 1] f32
+    chunk_court: jax.Array,  # [N] int32
+    chunk_date: jax.Array,  # [N] int32
+    court_table: jax.Array,  # [B, V] bool
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    min_similarity: jax.Array,  # [B] f32
+    ksem: int,
+    num_chunks: int,
+    recall_target: float,
+    use_court: bool,
+    use_date: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Slab-streamed semantic candidate stage shared by the chunked brute
+    program and the layout-brute program: ``lax.scan`` over ``num_chunks``
+    corpus slabs with a running ``[B, ksem]`` top-k merge (each slab the
+    Pallas fused scan on TPU when ``recall_target < 1``, the exact masked
+    einsum otherwise). Returns ``(values, indices)`` into ``corpus_q``'s
+    row space; dead slots ``(-inf, -1)``."""
+    B = q8.shape[0]
+    N = corpus_q.shape[0]
     S = N // num_chunks
 
     slab_pallas = _use_pallas(S, recall_target)
@@ -358,15 +400,147 @@ def fused_hybrid_topk_chunked(
         jnp.arange(num_chunks, dtype=jnp.int32) * S,
     )
     (sem_v, sem_i), _ = jax.lax.scan(step, init, xs)
-    sem_i = jnp.maximum(sem_i, 0)
+    return sem_v, sem_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "overfetch", "num_chunks", "recall_target", "use_court",
+        "use_date", "use_gather_kernel", "gather_interpret",
+    ),
+)
+def fused_layout_brute_topk(
+    query_emb: jax.Array,  # [B, D] f32, L2-normalised
+    part_rows: jax.Array,  # [P, m] int32 global chunk row per slot (-1 pad)
+    part_int8: jax.Array,  # [P, m, D] int8 partitioned chunk embeddings
+    part_scale: jax.Array,  # [P, m] f32 per-slot scales (0 on pads)
+    corpus_bf16,  # [N, D] bf16 rescore copy / tuple of row segments (None: skip)
+    slot_court: jax.Array,  # [P, m] int32 court id per slot (-1 pad)
+    slot_date: jax.Array,  # [P, m] int32 decision date per slot (min pad)
+    chunk_case: jax.Array,  # [N] int32 chunk row → case row (global space)
+    chunk_court: jax.Array,  # [N] int32 (lexical side-list checks)
+    chunk_date: jax.Array,  # [N] int32
+    court_table: jax.Array,  # [B, V] bool
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    trie_rows: jax.Array,  # [B, R] int32
+    trie_src: jax.Array,  # [B, R] int32
+    trie_chunk_of_case: jax.Array,  # [C] int32 (global chunk space)
+    min_similarity: jax.Array,  # [B] f32
+    exact_weight: jax.Array,  # [B] f32
+    k: int,
+    overfetch: int = 4,
+    num_chunks: int = 16,
+    recall_target: float = 1.0,
+    use_court: bool = True,
+    use_date: bool = True,
+    use_gather_kernel: bool = False,
+    gather_interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Large-batch serving mode over the PartitionedANN's OWN device
+    blocks: reshape the ``[P, m, D]`` slot-major layout into a flat corpus
+    and stream it once per ≤TILE_B-query tile through the chunked fused
+    scan — no extra corpus copy in HBM, and no per-(query, probe) DMAs.
+
+    Break-even vs :func:`fused_partitioned_topk` (measured, v5e): the
+    probe path reads ``B·nprobe·m`` rows per batch at ~3.8 µs/probe-step
+    (capscale_partitioned_8M), the full fused scan reads ``P·m`` rows once
+    per 256-query tile at ~2.3x the HBM floor (capscale_brute_8M_pallas:
+    9.03 ms for 8.4M rows at B=256). At B=256/nprobe=64/P=5120 the probe
+    path reads 3.2x the corpus and loses 7x — the engine picks per batch
+    with ``B·nprobe >= P·ceil(B/TILE_B)``.
+
+    Slot→global-row mapping happens IN-program before the candidate
+    reduction, so score ties still break to the lower global row id (the
+    repo determinism invariant) even with pad-replica layouts where a row
+    occupies two slots (duplicate candidates collapse in the dedup-by-case
+    stage, exactly like same-case chunks). Pad slots (``part_rows < 0``)
+    are masked to ``-inf`` after the scan regardless of filter state.
+    Candidates rescore at bf16 full precision when ``corpus_bf16`` exists
+    (parity with the probe path's rescore stage).
+
+    Returns ``(scores, chunk_idx, case_rows, src)`` each ``[B, k]`` in
+    GLOBAL row space — the same contract as :func:`fused_partitioned_topk`.
+    """
+    P, m, D = part_int8.shape
+    N2 = P * m
+    qn = query_emb.astype(jnp.float32)
+    q8, q_scale = quantize_queries(qn)
+    ksem = min(max(k * max(1, overfetch), k), N2)
+    nc = num_chunks if (N2 % num_chunks == 0
+                        and N2 // num_chunks >= ksem) else 1
+    sem_v, sem_slot = _chunked_semantic_scan(
+        q8, q_scale,
+        part_int8.reshape(N2, D),
+        part_scale.reshape(N2, 1),
+        slot_court.reshape(N2),
+        slot_date.reshape(N2),
+        court_table, date_lo, date_hi, min_similarity,
+        ksem=ksem, num_chunks=nc, recall_target=recall_target,
+        use_court=use_court, use_date=use_date,
+    )
+    # slot → global row BEFORE the candidate reduction: pad slots (row -1)
+    # die here, replica slots collapse onto their row, and the composite
+    # (score, row) key restores the lower-row-id tie-break that slot order
+    # (replicas live anywhere) cannot guarantee
+    rows = jnp.take(part_rows.reshape(N2), jnp.maximum(sem_slot, 0))
+    sem_v = jnp.where((sem_slot >= 0) & (rows >= 0), sem_v, -jnp.inf)
+    if corpus_bf16 is not None:
+        # bf16 full-precision rescore of the carried candidates (parity
+        # with partitioned_semantic_topk step 4 — int8 candidate order is
+        # approximate for f32 corpora); threshold re-checked at full
+        # precision like the staged path
+        safe_rows = jnp.maximum(rows, 0)
+        if use_gather_kernel:
+            from .pallas_scan import pallas_gather_rescore
+
+            re = pallas_gather_rescore(
+                qn, corpus_bf16, safe_rows, interpret=gather_interpret
+            )
+        else:
+            re = gather_rescore(qn, corpus_bf16, safe_rows)
+        sem_v = jnp.where(
+            jnp.isfinite(sem_v) & (re >= min_similarity[:, None]),
+            re, -jnp.inf,
+        )
+    sem_v, sem_rows = topk_by_score_then_row(
+        sem_v, rows.astype(jnp.int32), ksem
+    )
+    sem_rows = jnp.maximum(sem_rows, 0)
 
     lex_v, lex_chunk, lex_src = lexical_side_list(
         trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
         court_table, date_lo, date_hi, exact_weight,
     )
     return merge_dedup_topk(
-        sem_v, sem_i, lex_v, lex_chunk, lex_src, chunk_case, k
+        sem_v, sem_rows, lex_v, lex_chunk, lex_src, chunk_case, k
     )
+
+
+#: Brute-mode working-set bound: when one [B, N] f32 score matrix would
+#: exceed this, callers serve through the chunked slab program (lax.scan,
+#: bounded working set) instead of the one-shot program.
+_CHUNKED_WORKSET_BYTES = 256 * 1024 * 1024
+#: minimum corpus rows per slab in the chunked program (a slab still wants
+#: a full MXU matmul's worth of work)
+_SLAB_MIN_ROWS = 65_536
+
+
+def pick_num_chunks(n_rows: int, batch: int, k_fetch: int) -> int:
+    """Slab count for the chunked brute programs: smallest power of two
+    keeping one slab's [B, S] f32 score working set under the brute-mode
+    bound (exact-mode XLA path; the Pallas slab path never materialises
+    it but shares the slab walk)."""
+    num_chunks = 1
+    if 4 * batch * n_rows > _CHUNKED_WORKSET_BYTES:
+        while (
+            n_rows % (num_chunks * 2) == 0
+            and n_rows // (num_chunks * 2) >= max(_SLAB_MIN_ROWS, k_fetch)
+            and 4 * batch * (n_rows // num_chunks) > _CHUNKED_WORKSET_BYTES
+        ):
+            num_chunks *= 2
+    return num_chunks
 
 
 def resolve_probe_kernel(

@@ -42,7 +42,9 @@ from ..ops.hybrid import (
     SRC_CONTENT,
     fused_hybrid_topk,
     fused_hybrid_topk_chunked,
+    fused_layout_brute_topk,
     fused_partitioned_topk,
+    pick_num_chunks,
 )
 from ..ops.scoring import quantize_int8
 from ..storage.columns import MetadataColumns
@@ -52,14 +54,6 @@ from ..utils import batch_bucket as _batch_bucket
 #: Corpus size above which the partitioned scan beats the brute scan
 #: (below it, one full-corpus matmul is cheaper than probe+gather).
 PARTITIONED_MIN_VECTORS = 50_000
-
-#: Brute-mode working-set bound: when one [B, N] f32 score matrix would
-#: exceed this, query_batch serves through the chunked slab program
-#: (lax.scan, bounded working set) instead of the one-shot program.
-_CHUNKED_WORKSET_BYTES = 256 * 1024 * 1024
-#: minimum corpus rows per slab in the chunked program (a slab still wants
-#: a full MXU matmul's worth of work)
-_SLAB_MIN_ROWS = 65_536
 
 class FusedHybridSearch:
     """Device-resident state for the fused hybrid query step."""
@@ -133,11 +127,22 @@ class FusedHybridSearch:
             # kernel (one-time layout; see ops/pallas_scan)
             from ..ops.pallas_scan import partition_filter_columns
 
+            rows_np = np.asarray(ann.part_rows)
             self._part_cols = partition_filter_columns(
-                np.asarray(ann.part_rows),
+                rows_np,
                 columns.court_ids[chunk_case],
                 columns.dates[chunk_case],
             )
+            # raw slot-level court ids for the large-batch layout-brute
+            # program (the probe kernel's word/bit encoding can't feed the
+            # slab scan's court_table lookup; pad slots get -1 → never pass,
+            # and the row<0 mask kills them regardless)
+            safe_slot = np.maximum(rows_np, 0)
+            self._slot_court = jnp.asarray(np.where(
+                rows_np >= 0,
+                columns.court_ids[chunk_case[safe_slot]].astype(np.int32),
+                -1,
+            ))
         else:
             # brute mode materialises its own int8 corpus copy; the
             # partitioned mode reuses the ANN's device blocks instead.
@@ -286,6 +291,21 @@ class FusedHybridSearch:
         else:
             self.sp_nprobe = min(max(8, P // 10, acfg.ef_search // 4), P)
         self.sp_rescore = max(1, acfg.rescore_factor)
+
+    def _layout_brute_batch(self, batch: int) -> bool:
+        """Batch-aware mode pick inside partitioned mode (measured
+        break-even; see :func:`..ops.hybrid.fused_layout_brute_topk`):
+        serve the batch through ONE fused stream of the partition layout
+        when the probe path would read at least as many corpus rows —
+        ``B·nprobe·m`` probe-DMA'd vs ``P·m`` streamed per TILE_B query
+        tile (and the probe path's per-step grid overhead makes the stream
+        strictly better at byte parity). Deterministic in the padded batch
+        size, so warmup compiles exactly the programs serving will run."""
+        from ..ops.pallas_scan import TILE_B
+
+        P = int(self.ann.centroids.shape[0])
+        num_tiles = -(-batch // TILE_B)
+        return batch * int(self.ann.default_nprobe) >= P * num_tiles
 
     @staticmethod
     def _trie_src(width: int) -> np.ndarray:
@@ -451,6 +471,38 @@ class FusedHybridSearch:
                 recall_target, int(self.ann.part_rows.shape[1]),
                 int(self.ann.part_int8.shape[-1]),
             )
+            if self._layout_brute_batch(B):
+                # large-batch break-even (measured, see
+                # ops.hybrid.fused_layout_brute_topk): the probe path would
+                # read B·nprobe·m rows; one fused stream of the partition
+                # layout reads P·m per ≤TILE_B query tile and is exact-er.
+                # Replicated layouts double the candidate pool so duplicate
+                # slots can't crowd distinct cases out of the overfetch.
+                of = overfetch * (2 if self.ann._replicated else 1)
+                P, m = self.ann.part_rows.shape
+                v, i, cases, src = fused_layout_brute_topk(
+                    q,
+                    self.ann.part_rows,
+                    self.ann.part_int8,
+                    self.ann.part_scale,
+                    self.ann.corpus_bf16,
+                    self._slot_court,
+                    pdt,
+                    self.chunk_case,
+                    self.chunk_court,
+                    self.chunk_date,
+                    num_chunks=pick_num_chunks(
+                        int(P) * int(m), B, k * max(1, of)
+                    ),
+                    recall_target=recall_target,
+                    use_court=use_filters,
+                    use_date=use_filters,
+                    use_gather_kernel=upk,
+                    gather_interpret=pinterp,
+                    **{**common, "overfetch": of},
+                )
+                v, i, cases, src = jax.device_get((v, i, cases, src))
+                return v[:B0], i[:B0], cases[:B0], src[:B0]
             v, i, cases, src = fused_partitioned_topk(
                 q,
                 self.ann.centroids,
@@ -480,16 +532,7 @@ class FusedHybridSearch:
             # (lax.scan over corpus slabs, O(B·N/num_chunks) working set,
             # exact when recall_target >= 1).
             N = int(self.corpus_q.shape[0])
-            workset = 4 * B * N  # bytes of one [B, N] f32 score matrix
-            kf = k * max(1, overfetch)
-            num_chunks = 1
-            if workset > _CHUNKED_WORKSET_BYTES:
-                while (
-                    N % (num_chunks * 2) == 0
-                    and N // (num_chunks * 2) >= max(_SLAB_MIN_ROWS, kf)
-                    and 4 * B * (N // num_chunks) > _CHUNKED_WORKSET_BYTES
-                ):
-                    num_chunks *= 2
+            num_chunks = pick_num_chunks(N, B, k * max(1, overfetch))
             fn_kwargs = dict(
                 recall_target=recall_target,
                 # static host-side promise: when NO query in the batch
