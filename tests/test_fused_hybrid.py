@@ -601,3 +601,47 @@ def test_fused_layout_brute_op_pads_and_replicas():
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(li))
     np.testing.assert_allclose(np.asarray(ev), np.asarray(lv), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(es), np.asarray(ls))
+
+
+def test_sharded_layout_brute_matches_single_chip(stack, monkeypatch):
+    """The multi-chip twin of the batch-aware mode pick: forcing the
+    layout-brute branch in sharded-partitioned mode (8-CPU mesh) returns
+    the single-chip brute-mode results — every chip streams its shard's
+    layout, shard-local top-k lists merge over ICI."""
+    from trie_semantic_search_tpu.core.config import MeshConfig
+    from trie_semantic_search_tpu.parallel.mesh import make_mesh
+
+    built, fused_single, emb = stack
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    fused_mc = FusedHybridSearch(
+        built.trie, built.vector, built.columns,
+        ann_mode="partitioned", mesh=mesh,
+    )
+    assert fused_mc.ann_mode == "sharded-partitioned"
+    monkeypatch.setattr(fused_mc, "_layout_brute_batch", lambda batch: True)
+    qs = [c[4] for c in CASES] + ["mapp v. ohio"]
+    kwargs = dict(
+        court_filters=[None, ["Supreme Court of California"], None, None],
+        date_ranges=[None, None,
+                     (dt.date(1960, 1, 1), dt.date(1969, 1, 1)), None],
+        min_similarity=[0.2, 0.2, 0.2, 0.99],
+        exact_weight=[2.0] * 4,
+        k=5,
+        recall_target=1.0,
+    )
+    embs = embed(emb, qs)
+    v1, i1, c1, s1 = fused_single.query_batch(embs, qs, **kwargs)
+    vm, im, cm, sm = fused_mc.query_batch(embs, qs, **kwargs)
+    for b in range(4):
+        set1 = {int(c) for c in c1[b] if c >= 0}
+        setm = {int(c) for c in cm[b] if c >= 0}
+        assert set1 == setm, (b, set1, setm)
+        p1 = {int(c): int(s) for c, s in zip(c1[b], s1[b]) if c >= 0}
+        pm = {int(c): int(s) for c, s in zip(cm[b], sm[b]) if c >= 0}
+        assert p1 == pm, b
+        v1d = {int(c): float(v) for c, v in zip(c1[b], v1[b]) if c >= 0}
+        vmd = {int(c): float(v) for c, v in zip(cm[b], vm[b]) if c >= 0}
+        for case in set1:
+            # sharded layout reranks in bf16; single-chip brute keeps int8
+            assert abs(v1d[case] - vmd[case]) < 2e-2, (b, case)
+    assert cm[3][0] == c1[3][0] and vm[3][0] == 2.0

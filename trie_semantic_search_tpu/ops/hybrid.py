@@ -463,13 +463,63 @@ def fused_layout_brute_topk(
     Returns ``(scores, chunk_idx, case_rows, src)`` each ``[B, k]`` in
     GLOBAL row space — the same contract as :func:`fused_partitioned_topk`.
     """
-    P, m, D = part_int8.shape
-    N2 = P * m
     qn = query_emb.astype(jnp.float32)
+    ksem = min(max(k * max(1, overfetch), k),
+               int(part_int8.shape[0]) * int(part_int8.shape[1]))
+    sem_v, sem_rows = layout_brute_semantic_topk(
+        qn, part_rows, part_int8, part_scale, corpus_bf16,
+        slot_court, slot_date, court_table, date_lo, date_hi,
+        min_similarity, ksem=ksem, num_chunks=num_chunks,
+        recall_target=recall_target, use_court=use_court,
+        use_date=use_date, use_gather_kernel=use_gather_kernel,
+        gather_interpret=gather_interpret,
+    )
+    sem_rows = jnp.maximum(sem_rows, 0)
+
+    lex_v, lex_chunk, lex_src = lexical_side_list(
+        trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
+        court_table, date_lo, date_hi, exact_weight,
+    )
+    return merge_dedup_topk(
+        sem_v, sem_rows, lex_v, lex_chunk, lex_src, chunk_case, k
+    )
+
+
+def layout_brute_semantic_topk(
+    qn: jax.Array,  # [B, D] f32, L2-normalised
+    part_rows: jax.Array,  # [P, m] int32 row per slot (-1 pad)
+    part_int8: jax.Array,  # [P, m, D] int8
+    part_scale: jax.Array,  # [P, m] f32 (0 on pads)
+    corpus_bf16,  # [N, D] bf16 rescore copy / tuple of segments (None: skip)
+    slot_court: jax.Array,  # [P, m] int32 (-1 pad)
+    slot_date: jax.Array,  # [P, m] int32 (min pad)
+    court_table: jax.Array,  # [B, V] bool
+    date_lo: jax.Array,  # [B] int32
+    date_hi: jax.Array,  # [B] int32
+    min_similarity: jax.Array,  # [B] f32
+    ksem: int,
+    num_chunks: int = 0,  # 0 → pick by working set
+    recall_target: float = 1.0,
+    use_court: bool = True,
+    use_date: bool = True,
+    use_gather_kernel: bool = False,
+    gather_interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Large-batch semantic candidate stage over the slot-major partition
+    layout: fused slab stream → slot→row map → optional bf16 rescore →
+    composite (score, row) top-``ksem``. Shared by the single-chip program
+    (:func:`fused_layout_brute_topk`) and the sharded serving path, where
+    ``part_rows`` hold shard-local rows and ``corpus_bf16`` is the shard's
+    row slice — the multi-chip path runs the SAME stage per shard and
+    merges over ICI. Returns ``(values, rows) [B, ksem]`` sorted desc,
+    dead slots ``(-inf, -1)``; ``rows`` index ``part_rows``'s row space."""
+    P_, m_, D = part_int8.shape
+    N2 = int(P_) * int(m_)
     q8, q_scale = quantize_queries(qn)
-    ksem = min(max(k * max(1, overfetch), k), N2)
-    nc = num_chunks if (N2 % num_chunks == 0
-                        and N2 // num_chunks >= ksem) else 1
+    ksem = min(ksem, N2)
+    nc = num_chunks or pick_num_chunks(N2, int(qn.shape[0]), ksem)
+    if N2 % nc or N2 // nc < ksem:
+        nc = 1
     sem_v, sem_slot = _chunked_semantic_scan(
         q8, q_scale,
         part_int8.reshape(N2, D),
@@ -480,8 +530,8 @@ def fused_layout_brute_topk(
         ksem=ksem, num_chunks=nc, recall_target=recall_target,
         use_court=use_court, use_date=use_date,
     )
-    # slot → global row BEFORE the candidate reduction: pad slots (row -1)
-    # die here, replica slots collapse onto their row, and the composite
+    # slot → row BEFORE the candidate reduction: pad slots (row -1) die
+    # here, replica slots collapse onto their row, and the composite
     # (score, row) key restores the lower-row-id tie-break that slot order
     # (replicas live anywhere) cannot guarantee
     rows = jnp.take(part_rows.reshape(N2), jnp.maximum(sem_slot, 0))
@@ -504,18 +554,7 @@ def fused_layout_brute_topk(
             jnp.isfinite(sem_v) & (re >= min_similarity[:, None]),
             re, -jnp.inf,
         )
-    sem_v, sem_rows = topk_by_score_then_row(
-        sem_v, rows.astype(jnp.int32), ksem
-    )
-    sem_rows = jnp.maximum(sem_rows, 0)
-
-    lex_v, lex_chunk, lex_src = lexical_side_list(
-        trie_rows, trie_src, trie_chunk_of_case, chunk_court, chunk_date,
-        court_table, date_lo, date_hi, exact_weight,
-    )
-    return merge_dedup_topk(
-        sem_v, sem_rows, lex_v, lex_chunk, lex_src, chunk_case, k
-    )
+    return topk_by_score_then_row(sem_v, rows.astype(jnp.int32), ksem)
 
 
 #: Brute-mode working-set bound: when one [B, N] f32 score matrix would

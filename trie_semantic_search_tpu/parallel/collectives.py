@@ -28,6 +28,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.hybrid import (
     SRC_SEMANTIC,
+    layout_brute_semantic_topk,
     partitioned_semantic_topk,
     quantize_queries,
 )
@@ -415,6 +416,95 @@ def sharded_partitioned_topk(
         part_cword, part_cbit, part_date, corpus_bf16, chunk_case,
         court_table, date_lo, date_hi, lex_cases, lex_src, lex_chunk,
         case_court, case_date, min_similarity, exact_weight,
+    )
+
+
+def sharded_layout_brute_topk(
+    mesh: Mesh,
+    query_emb: jax.Array,  # [B, D] replicated f32 (L2-normalised)
+    part_rows: jax.Array,  # [S, P, m] int32 SHARD-LOCAL row per slot (-1 pad)
+    part_int8: jax.Array,  # [S, P, m, D] int8, sharded over axis 0
+    part_scale: jax.Array,  # [S, P, m] f32, sharded
+    slot_court: jax.Array,  # [S, P, m] int32 court id per slot (-1 pad), sharded
+    slot_date: jax.Array,  # [S, P, m] int32 date per slot (min pad), sharded
+    corpus_bf16: jax.Array,  # [Npad, D] bf16 rescore copy, row-sharded
+    chunk_case: jax.Array,  # [Npad] int32, row-sharded
+    court_table: jax.Array,  # [B, V] bool, replicated
+    date_lo: jax.Array,  # [B] int32, replicated
+    date_hi: jax.Array,  # [B] int32, replicated
+    lex_cases: jax.Array,  # [B, R] int32, replicated
+    lex_src: jax.Array,  # [B, R] int32, replicated
+    lex_chunk: jax.Array,  # [B, R] int32, replicated
+    case_court: jax.Array,  # [C] int32, replicated
+    case_date: jax.Array,  # [C] int32, replicated
+    min_similarity: jax.Array,  # [B] f32, replicated
+    exact_weight: jax.Array,  # [B] f32, replicated
+    k: int,
+    overfetch: int = 4,
+    recall_target: float = 1.0,
+    use_court: bool = True,
+    use_date: bool = True,
+    use_gather_kernel: bool = False,
+    gather_interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sharded large-batch serving mode: each chip streams its OWN shard's
+    partition layout once per ≤TILE_B-query tile (the same
+    :func:`..ops.hybrid.layout_brute_semantic_topk` stage as single-chip
+    serving), rescores locally in bf16, dedups by case, and shard-local
+    top-k lists merge over ICI with the replicated lexical boost — the
+    multi-chip twin of the engine's batch-aware mode pick (probe-path HBM
+    traffic is ``B·nprobe·m_local`` per chip vs one ``P·m_local`` stream;
+    the same ``B·nprobe >= P·ceil(B/TILE_B)`` break-even applies per chip
+    because both sides divide by S). Output contract identical to
+    :func:`sharded_partitioned_topk`."""
+    S = mesh.shape[DATA_AXIS]
+    shard_rows = corpus_bf16.shape[0] // S
+    m = part_rows.shape[2]
+    ksem = min(max(k * max(1, overfetch), k),
+               int(part_rows.shape[1]) * int(m))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),  # q
+            P(DATA_AXIS, None, None),  # part_rows
+            P(DATA_AXIS, None, None, None),  # part_int8
+            P(DATA_AXIS, None, None),  # part_scale
+            P(DATA_AXIS, None, None),  # slot_court
+            P(DATA_AXIS, None, None),  # slot_date
+            P(DATA_AXIS, None),  # corpus_bf16
+            P(DATA_AXIS),  # chunk_case
+            P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _search(q, prows, pint8, pscale, scourt, sdate, sh_bf16,
+                sh_case, ctable, dlo, dhi, lex, lsrc, lchunk, c_court,
+                c_date, msim, ew):
+        qn = q.astype(jnp.float32)
+        sem_v, local_rows = layout_brute_semantic_topk(
+            qn, prows[0], pint8[0], pscale[0], sh_bf16,
+            scourt[0], sdate[0], ctable, dlo, dhi, msim,
+            ksem=ksem, recall_target=recall_target,
+            use_court=use_court, use_date=use_date,
+            use_gather_kernel=use_gather_kernel,
+            gather_interpret=gather_interpret,
+        )
+        v, cases, rows = _local_dedup_topk(
+            sem_v, local_rows, sh_case, shard_rows, k
+        )
+        return _gather_merge_lexical(
+            v, cases, rows, lex, lsrc, lchunk, c_court, c_date, ctable,
+            dlo, dhi, ew, k,
+        )
+
+    return _search(
+        query_emb, part_rows, part_int8, part_scale, slot_court,
+        slot_date, corpus_bf16, chunk_case, court_table, date_lo,
+        date_hi, lex_cases, lex_src, lex_chunk, case_court, case_date,
+        min_similarity, exact_weight,
     )
 
 

@@ -276,6 +276,16 @@ class FusedHybridSearch:
         self.sp_cword = jax.device_put(jnp.asarray(parts["part_cword"]), p3)
         self.sp_cbit = jax.device_put(jnp.asarray(parts["part_cbit"]), p3)
         self.sp_date = jax.device_put(jnp.asarray(parts["part_date"]), p3)
+        # raw slot court ids for the large-batch layout-brute stream
+        # (word/bit decode: cbit is a power of two, so log2 is exact)
+        cw = np.asarray(parts["part_cword"], np.int64)
+        cb = np.asarray(parts["part_cbit"], np.uint32)
+        raw = cw * 32 + np.log2(np.maximum(cb, 1).astype(np.float64)).astype(
+            np.int64
+        )
+        self.sp_court = jax.device_put(jnp.asarray(np.where(
+            np.asarray(parts["part_rows"]) >= 0, raw, -1
+        ).astype(np.int32)), p3)
         self.sp_bf16 = jax.device_put(
             jnp.asarray(padded, jnp.bfloat16), csh
         )
@@ -293,19 +303,28 @@ class FusedHybridSearch:
         self.sp_rescore = max(1, acfg.rescore_factor)
 
     def _layout_brute_batch(self, batch: int) -> bool:
-        """Batch-aware mode pick inside partitioned mode (measured
+        """Batch-aware mode pick inside the partitioned modes (measured
         break-even; see :func:`..ops.hybrid.fused_layout_brute_topk`):
         serve the batch through ONE fused stream of the partition layout
         when the probe path would read at least as many corpus rows —
         ``B·nprobe·m`` probe-DMA'd vs ``P·m`` streamed per TILE_B query
         tile (and the probe path's per-step grid overhead makes the stream
-        strictly better at byte parity). Deterministic in the padded batch
-        size, so warmup compiles exactly the programs serving will run."""
+        strictly better at byte parity; per chip the same rule holds in
+        the sharded mode — both sides divide by S). Deterministic in the
+        padded batch size, so warmup compiles exactly the programs serving
+        will run."""
         from ..ops.pallas_scan import TILE_B
 
-        P = int(self.ann.centroids.shape[0])
+        if self.ann is not None:
+            P = int(self.ann.centroids.shape[0])
+            nprobe = int(self.ann.default_nprobe)
+        elif getattr(self, "ann_mode", "") == "sharded-partitioned":
+            P = int(self.sp_centroids.shape[0])
+            nprobe = int(self.sp_nprobe)
+        else:
+            return False
         num_tiles = -(-batch // TILE_B)
-        return batch * int(self.ann.default_nprobe) >= P * num_tiles
+        return batch * nprobe >= P * num_tiles
 
     @staticmethod
     def _trie_src(width: int) -> np.ndarray:
@@ -421,6 +440,25 @@ class FusedHybridSearch:
 
                 upk, pinterp = resolve_probe_kernel(
                     recall_target, self.sp_m, int(self.sp_int8.shape[-1]))
+                if self._layout_brute_batch(B):
+                    # large-batch break-even, multi-chip twin: every chip
+                    # streams its own shard's layout once per query tile
+                    # and shard-local top-k lists merge over ICI
+                    from ..parallel.collectives import (
+                        sharded_layout_brute_topk,
+                    )
+
+                    of = overfetch * 2  # replica/overalloc slot headroom
+                    v, i, cases, src = sharded_layout_brute_topk(
+                        self.mesh, q, self.sp_rows, self.sp_int8,
+                        self.sp_scale, self.sp_court, self.sp_date,
+                        self.sp_bf16, self.chunk_case, *shared,
+                        k=k, overfetch=of, recall_target=recall_target,
+                        use_court=use_filters, use_date=use_filters,
+                        use_gather_kernel=upk, gather_interpret=pinterp,
+                    )
+                    v, i, cases, src = jax.device_get((v, i, cases, src))
+                    return v[:B0], i[:B0], cases[:B0], src[:B0]
                 v, i, cases, src = sharded_partitioned_topk(
                     self.mesh, q, self.sp_centroids, self.sp_rows,
                     self.sp_int8, self.sp_scale, self.sp_cword,
