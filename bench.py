@@ -647,8 +647,13 @@ def main() -> None:
         "single_dispatch_batch_ms": round(dispatch_batch_ms, 3),
         "amortized_query_ms": round(batch_ms / B, 4),
         "trie_hit_rate": round(hit_rate, 3),
-        "includes": "encode + trie walk + fused partitioned(probe + device "
-                    "court/date filters + lexical boost + dedup + top-k)",
+        "includes": (
+            "encode + trie walk + fused layout stream(slab scan + device "
+            "court/date filters + lexical boost + dedup + top-k)"
+            if stream_pt is not None else
+            "encode + trie walk + fused partitioned(probe + device "
+            "court/date filters + lexical boost + dedup + top-k)"
+        ),
         "device": str(dev),
     }
     print(json.dumps(result))
