@@ -307,6 +307,7 @@ def cmd_build(args) -> None:
         **{k: getattr(r, k) for k in (
             "cases", "content_chunks", "citations", "shards",
             "resumed_from_row", "chunks_per_second", "peak_rss_bytes",
+            "peak_anon_rss_bytes",
         )},
         "artifact_load_seconds": round(load_s, 1),
         "artifact_bytes": artifact_bytes,

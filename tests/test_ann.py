@@ -325,6 +325,81 @@ def test_build_streaming_parity_with_build(corpus):
         np.asarray(a.part_scale), np.asarray(b.part_scale))
 
 
+def test_build_streaming_emit_dir_parity_and_adoption(corpus, tmp_path):
+    """``build_streaming(emit_dir=...)`` (round-4 VERDICT item 4: finalize
+    RSS O(slab), not O(output)) must fill the same frozen layout as the
+    in-RAM emit — and ``save_dir`` must ADOPT the emit directory with a
+    rename (no rewrite), round-tripping through ``load_dir``."""
+    cfg = AnnConfig(num_partitions=64, num_probes=8)
+    a = PartitionedANN(cfg)
+    a.build(corpus, seed=0)
+    p = tmp_path / "v.npy"
+    np.save(p, corpus)
+    mm = np.load(p, mmap_mode="r")
+    b = PartitionedANN(AnnConfig(num_partitions=64, num_probes=8))
+    emit = tmp_path / "ann.mmap.emit"
+    b.build_streaming(mm, seed=0, slab_rows=777,  # uneven slabs
+                      reuse_centroids=np.asarray(a.centroids),
+                      emit_dir=emit)
+    np.testing.assert_array_equal(
+        np.asarray(a.part_rows), np.asarray(b.part_rows))
+    np.testing.assert_array_equal(
+        np.asarray(a.part_int8), np.asarray(b.part_int8))
+    np.testing.assert_array_equal(
+        np.asarray(a.part_scale), np.asarray(b.part_scale))
+    # bf16 rescore segments: identical geometry AND bits
+    assert len(a.corpus_bf16) == len(b.corpus_bf16)
+    for sa, sb in zip(a.corpus_bf16, b.corpus_bf16):
+        np.testing.assert_array_equal(
+            np.asarray(sa).view(np.uint16), np.asarray(sb).view(np.uint16))
+    out = tmp_path / "ann.mmap"
+    b.save_dir(out)
+    assert not emit.exists(), "save_dir must rename (adopt), not copy"
+    c = PartitionedANN.load_dir(
+        out, AnnConfig(num_partitions=64, num_probes=8))
+    np.testing.assert_array_equal(
+        np.asarray(b.part_rows), np.asarray(c.part_rows))
+    assert c.num_vectors == b.num_vectors
+    q = corpus[:4]
+    _, ib = b.search(q, 5)
+    _, ic = c.search(q, 5)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ic))
+    # a second save_dir (no emit pending) still works: normal tmp+rename
+    b.save_dir(tmp_path / "ann2.mmap")
+    assert (tmp_path / "ann2.mmap" / "meta.json").exists()
+
+
+def test_emit_dir_small_npz_save_cleans_up(corpus, tmp_path):
+    """A small artifact after an emit build takes the npz path — the
+    unadopted emit directory must not leak."""
+    emit = tmp_path / "emit"
+    b = PartitionedANN(AnnConfig(num_partitions=64, num_probes=8))
+    b.build_streaming(corpus, seed=0, emit_dir=emit)
+    assert emit.exists()
+    b.save(tmp_path / "ann.npz")
+    assert not emit.exists()
+    c = PartitionedANN.load(
+        tmp_path / "ann.npz", AnnConfig(num_partitions=64, num_probes=8))
+    np.testing.assert_array_equal(
+        np.asarray(b.part_rows), np.asarray(c.part_rows))
+
+
+def test_emit_dir_stale_dir_is_replaced(corpus, tmp_path):
+    """A stale emit dir from a SIGKILLed prior run (different segment
+    count / partial files) must not corrupt the rebuild."""
+    emit = tmp_path / "emit"
+    emit.mkdir()
+    (emit / "rescore_7.npy").write_bytes(b"garbage")
+    b = PartitionedANN(AnnConfig(num_partitions=64, num_probes=8))
+    b.build_streaming(corpus, seed=0, emit_dir=emit)
+    b.save_dir(tmp_path / "ann.mmap")
+    meta = (tmp_path / "ann.mmap" / "meta.json").read_text()
+    import json as _json
+
+    assert _json.loads(meta)["rescore_segments"] == 1
+    assert not (tmp_path / "ann.mmap" / "rescore_7.npy").exists()
+
+
 def _dup_heavy_corpus(n=4096, dups=2048, d=64, seed=9):
     """Half the corpus is ONE repeated vector (the CAP-scale failure mode:
     boilerplate sentences embed identically, so one k-means cluster holds

@@ -298,3 +298,24 @@ def test_system_utils_probes_implemented():
     # The reference left these as TODO (utils.rs:103-112); ours work on Linux.
     assert SystemUtils.memory_usage() is None or SystemUtils.memory_usage() > 0
     assert SystemUtils.uptime() is None or SystemUtils.uptime() > 0
+    anon = SystemUtils.anon_memory_usage()
+    assert anon is None or 0 < anon <= (SystemUtils.memory_usage() or anon)
+
+
+def test_madvise_dontneed_memmap_roundtrip(tmp_path):
+    """madvise(MADV_DONTNEED) on a MAP_SHARED write memmap must never lose
+    data — pages refault from page cache — and must no-op on plain
+    arrays (the corpus-scale finalize calls it on every slab)."""
+    import numpy as np
+
+    from trie_semantic_search_tpu.utils import madvise_dontneed
+
+    mm = np.lib.format.open_memmap(
+        tmp_path / "a.npy", mode="w+", dtype=np.int8, shape=(1 << 20,)
+    )
+    mm[:] = 7
+    assert madvise_dontneed(mm) is True
+    assert int(mm[123456]) == 7  # refault: data intact
+    mm.flush()
+    assert np.load(tmp_path / "a.npy")[999999] == 7
+    assert madvise_dontneed(np.zeros(4)) is False

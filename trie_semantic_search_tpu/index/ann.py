@@ -282,6 +282,10 @@ class PartitionedANN:
         self._replicated = False
         self._search_fn = None
         self._brute_fn = None
+        #: memmap-emit bookkeeping (build_streaming(emit_dir=...)):
+        #: save_dir adopts the emit directory instead of rewriting
+        self._emit_dir: Optional[Path] = None
+        self._emit_arrays: list = []
 
     # -- build --------------------------------------------------------------
 
@@ -401,6 +405,7 @@ class PartitionedANN:
         seed: int = 0,
         slab_rows: int = 262_144,
         reuse_centroids: Optional[np.ndarray] = None,
+        emit_dir: Optional[str | Path] = None,
     ) -> None:
         """Corpus-scale :meth:`build`: identical frozen layout, O(slab)
         incremental host RAM on top of the output arrays (round-3 VERDICT
@@ -410,7 +415,16 @@ class PartitionedANN:
         k-means trains on a bounded row sample; assignment, int8
         quantisation, partition fill and the bf16 rescore copy all run
         slab-wise over the (memmapped) input. Fill order is ascending row
-        id per partition — the same as :meth:`build`."""
+        id per partition — the same as :meth:`build`.
+
+        ``emit_dir``: fill the output arrays directly into disk-backed
+        ``.npy`` memmaps in that directory (the :meth:`save_dir` file
+        layout, so a later ``save_dir`` ADOPTS the directory with a rename
+        instead of rewriting ~16 GB). Anon host RSS then stays O(slab) —
+        at 10M chunks the in-RAM emit holds ~8.5 GB of int8 blocks plus a
+        ~7.7 GB bf16 rescore copy that the memmap emit moves to evictable
+        page cache (round-4 VERDICT item 4). Device residency is
+        unchanged: the frozen arrays still land in HBM for serving."""
         n, d = vectors.shape
         self._replicated = False
         if n == 0:
@@ -422,6 +436,14 @@ class PartitionedANN:
                        reuse_centroids=reuse_centroids)
             return
         bf16_dt = np.dtype(jnp.bfloat16)
+
+        from ..utils import madvise_dontneed
+
+        def _advise_input() -> None:
+            # drop consumed input pages from OUR page tables (they stay in
+            # page cache — re-reads minor-fault, no IO): a 10M-chunk pass
+            # over a 15 GB vector store must not accumulate 15 GB of RSS
+            madvise_dontneed(vectors)
 
         def _norm_slab(lo: int, hi: int) -> np.ndarray:
             v = np.asarray(vectors[lo:hi], np.float32)
@@ -472,6 +494,7 @@ class PartitionedANN:
                 assign[lo:hi] = np.asarray(
                     assign_clusters(_norm_slab(lo, hi), centroids)
                 )
+            _advise_input()
 
         def _norm_rows(rows: np.ndarray) -> np.ndarray:
             v = np.array(vectors[rows], np.float32)
@@ -489,15 +512,76 @@ class PartitionedANN:
 
         # pass 2: slab-wise quantise + partition fill (ascending row order
         # per partition — parity with build())
-        part_rows = np.full((P, m), -1, np.int32)
-        part_int8 = np.zeros((P, m, d), np.int8)
-        part_scale = np.zeros((P, m), np.float32)
-        bf16 = np.zeros((n, d), bf16_dt)
+        if emit_dir is not None:
+            from numpy.lib.format import open_memmap
+
+            from ..ops.pallas_scan import (
+                GATHER_ROW_ALIGN_LCM,
+                GATHER_SEG_BYTES,
+            )
+
+            emit = Path(emit_dir)
+            if emit.exists():  # stale emit from a prior run: segment
+                import shutil  # counts may differ — start clean
+
+                shutil.rmtree(emit)
+            emit.mkdir(parents=True)
+            part_rows = open_memmap(
+                emit / "part_rows.npy", mode="w+",
+                dtype=np.int32, shape=(P, m),
+            )
+            part_rows[:] = -1
+            # w+ memmaps are zero-filled (sparse) — matches the np.zeros
+            # init of the in-RAM emit for int8 blocks and scales
+            part_int8 = open_memmap(
+                emit / "part_int8.npy", mode="w+",
+                dtype=np.int8, shape=(P, m, d),
+            )
+            part_scale = open_memmap(
+                emit / "part_scale.npy", mode="w+",
+                dtype=np.float32, shape=(P, m),
+            )
+            # bf16 rescore copy as per-segment uint16 files — the EXACT
+            # split_rescore_corpus geometry (row count per segment, tail
+            # zero-padded to the 32-row lcm) and the save_dir bit-view
+            # format, so load_dir reads these files unchanged
+            L = GATHER_ROW_ALIGN_LCM
+            seg_rows = max(L, (GATHER_SEG_BYTES // max(d * 2, 1)) // L * L)
+            n_segs = 1 if n <= seg_rows else -(-n // seg_rows)
+            bf16_segs = []
+            for i in range(n_segs):
+                lo_s = i * seg_rows
+                real = min(seg_rows, n - lo_s)
+                padded = -(-real // L) * L
+                bf16_segs.append(open_memmap(
+                    emit / f"rescore_{i}.npy", mode="w+",
+                    dtype=np.uint16, shape=(padded, d),
+                ))
+            self._emit_dir = emit
+            self._emit_arrays = [
+                part_rows, part_int8, part_scale, *bf16_segs
+            ]
+        else:
+            part_rows = np.full((P, m), -1, np.int32)
+            part_int8 = np.zeros((P, m, d), np.int8)
+            part_scale = np.zeros((P, m), np.float32)
+            bf16 = np.zeros((n, d), bf16_dt)
+            self._emit_dir = None
+            self._emit_arrays = []
         cursor = np.zeros(P, np.int64)
         for lo in range(0, n, slab_rows):
             hi = min(lo + slab_rows, n)
             v = _norm_slab(lo, hi)
-            bf16[lo:hi] = v.astype(bf16_dt)
+            if emit_dir is not None:
+                v16 = v.astype(bf16_dt).view(np.uint16)
+                w = lo
+                while w < hi:
+                    si, off = divmod(w, seg_rows)
+                    take = min(hi - w, seg_rows - off)
+                    bf16_segs[si][off : off + take] = v16[w - lo : w - lo + take]
+                    w += take
+            else:
+                bf16[lo:hi] = v.astype(bf16_dt)
             a = assign[lo:hi]
             order = np.argsort(a, kind="stable")
             a_sorted = a[order]
@@ -518,6 +602,13 @@ class PartitionedANN:
             part_int8[a_sorted, pos] = q8[order]
             part_scale[a_sorted, pos] = scale[order].astype(np.float32)
             cursor += c_slab
+            _advise_input()
+            if emit_dir is not None:
+                # the scattered partition writes dirty pages across the
+                # whole emit files — zap OUR PTEs each slab (dirty pages
+                # move to page cache and reach disk via normal writeback)
+                for a in self._emit_arrays:
+                    madvise_dontneed(a)
 
         # pass 3: pad-replica fill — appended after the primary entries in
         # (part, row) order, exactly like build()'s fill loop, so the two
@@ -548,6 +639,10 @@ class PartitionedANN:
                 part_int8[pp, pos] = q8
                 part_scale[pp, pos] = scale.astype(np.float32)
                 cursor2 += c_slab
+                _advise_input()
+                if emit_dir is not None:
+                    for a in self._emit_arrays:
+                        madvise_dontneed(a)
             if len(rep_rows):
                 _log.info(
                     "pad replicas (streaming): %d rows duplicated into "
@@ -557,9 +652,26 @@ class PartitionedANN:
 
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.part_rows = jnp.asarray(part_rows)
-        self.part_int8 = jnp.asarray(part_int8)
-        self.part_scale = jnp.asarray(part_scale)
-        self.corpus_bf16 = _rescore_store(bf16)
+        if emit_dir is not None:
+            # device residency from the emit files (page cache → HBM; the
+            # host never holds an anon copy); save_dir later adopts the
+            # directory itself. Each transfer faults one file resident —
+            # drop it right after so peak file RSS is ONE component, not
+            # the sum (~9 GB int8 + ~8 GB bf16 at 10M chunks)
+            self.part_int8 = jnp.asarray(part_int8)
+            madvise_dontneed(part_int8)
+            self.part_scale = jnp.asarray(part_scale)
+            segs = []
+            for s in bf16_segs:
+                segs.append(jnp.asarray(s.view(ml_dtypes.bfloat16)))
+                madvise_dontneed(s)
+            self.corpus_bf16 = tuple(segs)
+            madvise_dontneed(part_rows)
+            madvise_dontneed(part_scale)
+        else:
+            self.part_int8 = jnp.asarray(part_int8)
+            self.part_scale = jnp.asarray(part_scale)
+            self.corpus_bf16 = _rescore_store(bf16)
         self.num_vectors = n
         self._search_fn = None
         self._brute_fn = None
@@ -905,6 +1017,14 @@ class PartitionedANN:
         self._require_built()
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        if self._emit_dir is not None:
+            # small-artifact save after a memmap-emit build: the npz is
+            # the canonical artifact; drop the unadopted emit directory
+            import shutil
+
+            self._emit_arrays = []
+            shutil.rmtree(self._emit_dir, ignore_errors=True)
+            self._emit_dir = None
         int8_blocks = self.part_int8.dtype == jnp.int8
         blocks = (
             np.asarray(self.part_int8)
@@ -957,6 +1077,36 @@ class PartitionedANN:
         to ``<path>.tmp`` then renames over."""
         self._require_built()
         path = Path(path)
+        if self._emit_dir is not None:
+            # memmap-emit build: the directory already holds every large
+            # array in this exact format — flush, add the small files, and
+            # rename it into place (no ~16 GB device fetch + rewrite)
+            import shutil
+
+            emit = Path(self._emit_dir)
+            for a in self._emit_arrays:
+                a.flush()
+            np.save(emit / "centroids.npy", np.asarray(self.centroids))
+            n_segs = sum(
+                1 for f in emit.iterdir() if f.name.startswith("rescore_")
+            )
+            (emit / "meta.json").write_text(json.dumps({
+                "num_vectors": self.num_vectors,
+                "int8_blocks": True,
+                "rescore_segments": n_segs,
+                "num_probes": int(
+                    self.tuned_nprobe or self.config.num_probes
+                ),
+                "replicated": bool(self._replicated),
+            }))
+            self._emit_dir = None
+            self._emit_arrays = []
+            if emit == path:
+                return
+            if path.exists():
+                shutil.rmtree(path)
+            emit.rename(path)
+            return
         tmp = path.with_name(path.name + ".tmp")
         if tmp.exists():
             import shutil

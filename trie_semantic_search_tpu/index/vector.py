@@ -307,8 +307,14 @@ class VectorIndex:
                 shape=(len(src), src.shape[1]),
             )
             step = 1 << 18
+            from ..utils import madvise_dontneed
+
             for lo in range(0, len(src), step):
                 out[lo : lo + step] = src[lo : lo + step]
+                # 15 GB at 10M chunks on BOTH sides of this copy — keep
+                # our RSS O(slab); dirty pages reach disk via writeback
+                madvise_dontneed(out)
+                madvise_dontneed(src)
             out.flush()
             del out
         elif vec_path.exists():
