@@ -24,13 +24,16 @@ mkdir -p bench_results
 stamp() { echo "[10m-v2 $(date +%H:%M:%S)] $*"; }
 
 wait_tpu() {
-    for _ in $(seq 1 20); do
+    # NOTE: a probe the 120 s timeout SIGTERMs mid-device-op poisons the
+    # relay for ~60 s (CLAUDE.md) — retrying at exactly 60 s re-poisons
+    # forever. 150 s spacing keeps each retry clear of the window.
+    for _ in $(seq 1 12); do
         if timeout 120 python scripts/tpu_probe.py > /dev/null 2>&1; then
             sleep 5
             return 0
         fi
-        stamp "device probe failed/hung - 60 s wait"
-        sleep 60
+        stamp "device probe failed/hung - 150 s settle"
+        sleep 150
     done
     return 1
 }
