@@ -399,6 +399,7 @@ class ApiServer:
                 "engine": {
                     "total_cases_indexed": engine_stats.total_cases_indexed,
                     "queries_served": engine_stats.queries_served,
+                    "escalated_queries": engine_stats.escalated_queries,
                     "is_warm": getattr(
                         self.state.search_engine, "is_warm", False
                     ),

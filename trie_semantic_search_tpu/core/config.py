@@ -348,6 +348,16 @@ class SearchEngineConfig:
     #: approx_max_k — candidate recall ≈ this value, final ordering exact);
     #: 1.0 forces the exact reduction everywhere.
     fused_recall_target: float = 0.97
+    #: score-aware fallback for the partitioned probe path: when a served
+    #: top-k's score boundary is FLAT (spread ≤ eps·|top1| + 1e-6 — the
+    #: measured signature of the tie-audit recall losses: generic queries
+    #: whose oracle top-k is a wide exact-score tie scattered across
+    #: partitions the centroid ranking never probes), the query re-runs
+    #: through the exact layout stream, which reads every partition and
+    #: cannot miss tie members. Adds 2 pre-warmed jit programs and costs
+    #: one extra device dispatch only on flagged queries.
+    fused_flat_escalate: bool = True
+    fused_flat_escalate_eps: float = 0.01
     enable_query_cache: bool = True
     query_cache_size: int = 10000
     query_cache_ttl_seconds: int = 3600
@@ -519,6 +529,11 @@ class Config:
                     f"Unsupported quality_gate '{self.vector.quality_gate}'"
                     " (off|warn|refuse)"
                 ),
+            )
+        if self.search.fused_flat_escalate_eps < 0:
+            raise ValidationFailed(
+                field="search.fused_flat_escalate_eps",
+                reason="Escalation epsilon must be >= 0",
             )
         if self.storage.db_type == "sled":  # reference config files
             self.storage.db_type = "sqlite"

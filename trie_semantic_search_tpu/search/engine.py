@@ -102,6 +102,10 @@ class SearchEngineStats:
     trie_stats: Optional[dict] = None
     cache_stats: Optional[CacheStats] = None
     queries_served: int = 0
+    #: probe-path queries re-run through the exact layout stream because
+    #: their served top-k boundary was flat (fused.FusedHybridSearch
+    #: flat-boundary escalation)
+    escalated_queries: int = 0
 
 
 class SearchEngine:
@@ -243,6 +247,19 @@ class SearchEngine:
                             "warmup batch %d (filtered=%s) failed: %s",
                             b, filtered, e,
                         )
+        # flat-boundary escalation programs (2 extra shapes at the fixed
+        # ESCALATE_BUCKET; k=32 is the serving k bucket for any sane
+        # max_results — same bucketing as _execute_batch_fused)
+        if self.config.search.use_fused_device_path:
+            try:
+                self._get_fused().warm_escalation(
+                    k=32,
+                    overfetch=self.config.search.fused_overfetch,
+                    recall_target=self.config.search.fused_recall_target,
+                )
+            except Exception as e:
+                ok = False
+                _log.warning("escalation warmup failed: %s", e)
         self.is_warm = ok
 
     def _length_bucket_probes(self) -> tuple[str, ...]:
@@ -339,6 +356,10 @@ class SearchEngine:
                 self.columns,
                 ann_mode=self.config.search.fused_ann_mode,
                 mesh=self.mesh,
+                flat_escalate_eps=(
+                    self.config.search.fused_flat_escalate_eps
+                    if self.config.search.fused_flat_escalate else 0.0
+                ),
             )
         return self._fused
 
@@ -650,4 +671,7 @@ class SearchEngine:
             trie_stats=self.trie_index.get_stats(),
             cache_stats=self.query_cache.get_stats(),
             queries_served=self._queries_served,
+            escalated_queries=(
+                self._fused.escalated if self._fused is not None else 0
+            ),
         )

@@ -55,6 +55,14 @@ from ..utils import batch_bucket as _batch_bucket
 #: (below it, one full-corpus matmul is cheaper than probe+gather).
 PARTITIONED_MIN_VECTORS = 50_000
 
+#: Fixed batch size for flat-boundary escalation re-dispatches. Flagged
+#: queries re-run through the exact layout stream in groups of this size
+#: (padded with inert rows), so escalation adds exactly TWO extra jit
+#: programs (filtered/unfiltered) per serving k — warmup can pre-compile
+#: both — instead of one per batch bucket. The stream reads the corpus
+#: once per ≤TILE_B(=256) query tile, so any group ≤ 256 costs one pass.
+ESCALATE_BUCKET = 8
+
 class FusedHybridSearch:
     """Device-resident state for the fused hybrid query step."""
 
@@ -65,6 +73,7 @@ class FusedHybridSearch:
         columns: MetadataColumns,
         ann_mode: str = "auto",  # "auto" | "brute" | "partitioned"
         mesh=None,  # jax.sharding.Mesh; data axis > 1 → sharded serving
+        flat_escalate_eps: float = 0.0,  # 0 disables flat-boundary escalation
     ):
         if vector_index.vectors is None or not len(vector_index.vectors):
             raise ValueError("vector index has no frozen vectors")
@@ -72,6 +81,17 @@ class FusedHybridSearch:
         self.vector_index = vector_index
         self.columns = columns
         self.mesh = None
+        #: flat-boundary escalation (tie-audit take 2, docs/ROUND5.md): on
+        #: duplicate-heavy corpora the probe path can return a top-k whose
+        #: score boundary is FLAT — the measured signature of the audited
+        #: recall losses (generic queries whose oracle top-k is a wide
+        #: exact-score tie scattered across partitions the centroid ranking
+        #: never probes). When the served spread ``top1 - topk`` is within
+        #: ``eps·|top1| + 1e-6`` the query re-runs through the exact layout
+        #: stream, which reads every partition and cannot miss tie members.
+        self.flat_escalate_eps = float(flat_escalate_eps)
+        #: total queries escalated (observability; engine /stats)
+        self.escalated = 0
 
         self.num_vectors = len(vector_index.vectors)
 
@@ -326,6 +346,208 @@ class FusedHybridSearch:
         num_tiles = -(-batch // TILE_B)
         return batch * nprobe >= P * num_tiles
 
+    def _dispatch_stream(
+        self,
+        q_np: np.ndarray,  # [B, D] f32, B already a fixed bucket
+        court_table: np.ndarray,  # [B, V] bool
+        lo: np.ndarray,  # [B] int32
+        hi: np.ndarray,  # [B] int32
+        trie_rows: np.ndarray,  # [B, W] int32 (-1 = no hit)
+        trie_src: np.ndarray,  # [B, W] int32 SRC_* codes
+        min_sim: np.ndarray,  # [B] f32
+        exact_w: np.ndarray,  # [B] f32
+        use_filters: bool,
+        k: int,
+        overfetch: int,
+        recall_target: float,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """One exact stream of the partition layout (single-chip
+        ``fused_layout_brute_topk`` or its multi-chip ICI-merge twin) over
+        an already-padded host batch. Shared by the large-batch break-even
+        pick and flat-boundary escalation so both compile the SAME program
+        per (batch, filtered, k) shape."""
+        from ..ops.hybrid import resolve_probe_kernel
+
+        q = jnp.asarray(q_np, jnp.float32)
+        if self.ann_mode == "sharded-partitioned":
+            from ..parallel.collectives import sharded_layout_brute_topk
+
+            lex_chunk = self._rep_np[np.maximum(trie_rows, 0)]
+            trie_rows = np.where(lex_chunk >= 0, trie_rows, -1)
+            shared = (
+                jnp.asarray(court_table),
+                jnp.asarray(lo),
+                jnp.asarray(hi),
+                jnp.asarray(trie_rows),
+                jnp.asarray(np.ascontiguousarray(trie_src)),
+                jnp.asarray(np.maximum(lex_chunk, 0)),
+                self.case_court,
+                self.case_date,
+                jnp.asarray(min_sim),
+                jnp.asarray(exact_w),
+            )
+            upk, pinterp = resolve_probe_kernel(
+                recall_target, self.sp_m, int(self.sp_int8.shape[-1])
+            )
+            of = overfetch * 2  # replica/overalloc slot headroom
+            out = sharded_layout_brute_topk(
+                self.mesh, q, self.sp_rows, self.sp_int8,
+                self.sp_scale, self.sp_court, self.sp_date,
+                self.sp_bf16, self.chunk_case, *shared,
+                k=k, overfetch=of, recall_target=recall_target,
+                use_court=use_filters, use_date=use_filters,
+                use_gather_kernel=upk, gather_interpret=pinterp,
+            )
+            return jax.device_get(out)
+
+        upk, pinterp = resolve_probe_kernel(
+            recall_target, int(self.ann.part_rows.shape[1]),
+            int(self.ann.part_int8.shape[-1]),
+        )
+        _, _, pdt = self._part_cols
+        of = overfetch * (2 if self.ann._replicated else 1)
+        P, m = self.ann.part_rows.shape
+        out = fused_layout_brute_topk(
+            q,
+            self.ann.part_rows,
+            self.ann.part_int8,
+            self.ann.part_scale,
+            self.ann.corpus_bf16,
+            self._slot_court,
+            pdt,
+            self.chunk_case,
+            self.chunk_court,
+            self.chunk_date,
+            num_chunks=pick_num_chunks(
+                int(P) * int(m), int(q_np.shape[0]), k * max(1, of)
+            ),
+            recall_target=recall_target,
+            use_court=use_filters,
+            use_date=use_filters,
+            use_gather_kernel=upk,
+            gather_interpret=pinterp,
+            court_table=jnp.asarray(court_table),
+            date_lo=jnp.asarray(lo),
+            date_hi=jnp.asarray(hi),
+            trie_rows=jnp.asarray(trie_rows),
+            trie_src=jnp.asarray(np.ascontiguousarray(trie_src)),
+            trie_chunk_of_case=self.trie_chunk_of_case,
+            min_similarity=jnp.asarray(min_sim),
+            exact_weight=jnp.asarray(exact_w),
+            k=k,
+            overfetch=of,
+        )
+        return jax.device_get(out)
+
+    def _stream_subset(
+        self,
+        hostq: dict,
+        sel: np.ndarray,  # indices into the padded batch
+        use_filters: bool,
+        k: int,
+        overfetch: int,
+        recall_target: float,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Stream-dispatch the ``sel`` rows of a padded host batch, padded
+        to ``ESCALATE_BUCKET`` with inert rows (+inf similarity threshold,
+        no lexical hits — same convention as query_batch's batch pad)."""
+        n, Bp = int(sel.size), ESCALATE_BUCKET
+
+        def pad(a: np.ndarray, fill) -> np.ndarray:
+            out = np.full((Bp,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a[sel]
+            return out
+
+        return self._dispatch_stream(
+            pad(hostq["q"], 0),
+            pad(hostq["court_table"], True),
+            pad(hostq["lo"], np.iinfo(np.int32).min),
+            pad(hostq["hi"], np.iinfo(np.int32).max),
+            pad(hostq["trie_rows"], -1),
+            pad(hostq["trie_src"], SRC_CASE_NAME),
+            pad(hostq["min_sim"], np.float32(np.inf)),
+            pad(hostq["exact_w"], np.float32(0.0)),
+            use_filters, k, overfetch, recall_target,
+        )
+
+    def _escalate_flat(
+        self,
+        hostq: dict,
+        use_filters: bool,
+        k: int,
+        overfetch: int,
+        recall_target: float,
+        v: np.ndarray,
+        i: np.ndarray,
+        cases: np.ndarray,
+        src: np.ndarray,
+        B0: int,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Score-aware fallback for the probe path (tie-audit take 2's
+        open item): re-dispatch queries whose served top-k boundary is
+        flat through the exact layout stream and splice the results back.
+        Only full-k flat boundaries escalate — an underfilled result is a
+        filter/corpus property, not the audited scattered-tie miss — and
+        non-flagged rows pass through bit-identical. Worst case (every
+        query of a 128-batch flat) is ceil(128/8) sequential stream
+        dispatches; batches past the break-even already stream outright."""
+        eps = self.flat_escalate_eps
+        if eps <= 0.0 or k < 2:
+            return v, i, cases, src
+        vv, cc = v[:B0], cases[:B0]
+        finite = np.isfinite(vv) & (cc >= 0)
+        full = finite.all(axis=1)
+        with np.errstate(invalid="ignore"):  # -inf - -inf on underfilled
+            spread = vv[:, 0] - vv[:, -1]  # rows → nan; `full` gates them
+            flagged = np.nonzero(
+                full & (spread <= eps * np.abs(vv[:, 0]) + 1e-6)
+            )[0]
+        if flagged.size == 0:
+            return v, i, cases, src
+        self.escalated += int(flagged.size)
+        out = tuple(np.array(a) for a in (v, i, cases, src))
+        for g0 in range(0, int(flagged.size), ESCALATE_BUCKET):
+            sel = flagged[g0 : g0 + ESCALATE_BUCKET]
+            sub = self._stream_subset(
+                hostq, sel, use_filters, k, overfetch, recall_target
+            )
+            for dst, s in zip(out, sub):
+                dst[sel] = s[: sel.size]
+        return out
+
+    def warm_escalation(
+        self, k: int, overfetch: int, recall_target: float
+    ) -> None:
+        """Pre-compile the TWO escalation stream programs (filtered /
+        unfiltered at ``ESCALATE_BUCKET``) so a serve-time flat boundary
+        never pays jit latency (the round-4 TPU loadtest lesson: any
+        un-warmed shape under load is a 504 storm). No-op when escalation
+        is disabled or the mode has no stream twin."""
+        if self.flat_escalate_eps <= 0.0 or self.ann_mode not in (
+            "partitioned", "sharded-partitioned",
+        ):
+            return
+        if self.ann_mode == "partitioned":
+            D = int(self.ann.part_int8.shape[-1])
+        else:
+            D = int(self.sp_int8.shape[-1])
+        rows, _ = self.trie_index.search_batch_rows(["__warmup__"])
+        W = rows.shape[1]
+        hostq = dict(
+            q=np.zeros((1, D), np.float32),
+            court_table=np.ones((1, self.num_courts), bool),
+            lo=np.full(1, np.iinfo(np.int32).min, np.int32),
+            hi=np.full(1, np.iinfo(np.int32).max, np.int32),
+            trie_rows=np.full((1, W), -1, np.int32),
+            trie_src=np.ascontiguousarray(self._trie_src(W)[None, :]),
+            min_sim=np.full(1, np.inf, np.float32),
+            exact_w=np.zeros(1, np.float32),
+        )
+        for filtered in (False, True):
+            self._stream_subset(
+                hostq, np.array([0]), filtered, k, overfetch, recall_target
+            )
+
     @staticmethod
     def _trie_src(width: int) -> np.ndarray:
         """Column → SRC_* span code for ``search_batch_rows`` output
@@ -412,6 +634,17 @@ class FusedHybridSearch:
         use_filters = any(bool(c) for c in court_filters) or any(
             bool(dr) for dr in date_ranges
         )
+        min_sim_np = np.asarray(min_similarity, np.float32)
+        exact_w_np = np.asarray(exact_weight, np.float32)
+        # padded per-query host arrays, kept for the stream twin: the
+        # large-batch break-even dispatch and flat-boundary escalation
+        hostq = dict(
+            q=np.asarray(query_embs, np.float32),
+            court_table=court_table, lo=lo, hi=hi,
+            trie_rows=trie_rows,
+            trie_src=np.ascontiguousarray(trie_src),
+            min_sim=min_sim_np, exact_w=exact_w_np,
+        )
         q = jnp.asarray(query_embs, jnp.float32)
         if self.ann_mode in ("sharded", "sharded-partitioned"):
             from ..parallel.collectives import (
@@ -444,20 +677,11 @@ class FusedHybridSearch:
                     # large-batch break-even, multi-chip twin: every chip
                     # streams its own shard's layout once per query tile
                     # and shard-local top-k lists merge over ICI
-                    from ..parallel.collectives import (
-                        sharded_layout_brute_topk,
+                    v, i, cases, src = self._dispatch_stream(
+                        hostq["q"], court_table, lo, hi, trie_rows,
+                        trie_src, min_sim_np, exact_w_np,
+                        use_filters, k, overfetch, recall_target,
                     )
-
-                    of = overfetch * 2  # replica/overalloc slot headroom
-                    v, i, cases, src = sharded_layout_brute_topk(
-                        self.mesh, q, self.sp_rows, self.sp_int8,
-                        self.sp_scale, self.sp_court, self.sp_date,
-                        self.sp_bf16, self.chunk_case, *shared,
-                        k=k, overfetch=of, recall_target=recall_target,
-                        use_court=use_filters, use_date=use_filters,
-                        use_gather_kernel=upk, gather_interpret=pinterp,
-                    )
-                    v, i, cases, src = jax.device_get((v, i, cases, src))
                     return v[:B0], i[:B0], cases[:B0], src[:B0]
                 v, i, cases, src = sharded_partitioned_topk(
                     self.mesh, q, self.sp_centroids, self.sp_rows,
@@ -468,6 +692,12 @@ class FusedHybridSearch:
                     rescore_factor=self.sp_rescore,
                     use_probe_kernel=upk, probe_interpret=pinterp,
                 )
+                v, i, cases, src = jax.device_get((v, i, cases, src))
+                v, i, cases, src = self._escalate_flat(
+                    hostq, use_filters, k, overfetch, recall_target,
+                    v, i, cases, src, B0,
+                )
+                return v[:B0], i[:B0], cases[:B0], src[:B0]
             else:
                 S = int(self.mesh.shape["data"])
                 scan_mode, scan_interp = resolve_scan_kernel(
@@ -514,32 +744,11 @@ class FusedHybridSearch:
                 # ops.hybrid.fused_layout_brute_topk): the probe path would
                 # read B·nprobe·m rows; one fused stream of the partition
                 # layout reads P·m per ≤TILE_B query tile and is exact-er.
-                # Replicated layouts double the candidate pool so duplicate
-                # slots can't crowd distinct cases out of the overfetch.
-                of = overfetch * (2 if self.ann._replicated else 1)
-                P, m = self.ann.part_rows.shape
-                v, i, cases, src = fused_layout_brute_topk(
-                    q,
-                    self.ann.part_rows,
-                    self.ann.part_int8,
-                    self.ann.part_scale,
-                    self.ann.corpus_bf16,
-                    self._slot_court,
-                    pdt,
-                    self.chunk_case,
-                    self.chunk_court,
-                    self.chunk_date,
-                    num_chunks=pick_num_chunks(
-                        int(P) * int(m), B, k * max(1, of)
-                    ),
-                    recall_target=recall_target,
-                    use_court=use_filters,
-                    use_date=use_filters,
-                    use_gather_kernel=upk,
-                    gather_interpret=pinterp,
-                    **{**common, "overfetch": of},
+                v, i, cases, src = self._dispatch_stream(
+                    hostq["q"], court_table, lo, hi, trie_rows,
+                    hostq["trie_src"], min_sim_np, exact_w_np,
+                    use_filters, k, overfetch, recall_target,
                 )
-                v, i, cases, src = jax.device_get((v, i, cases, src))
                 return v[:B0], i[:B0], cases[:B0], src[:B0]
             v, i, cases, src = fused_partitioned_topk(
                 q,
@@ -561,6 +770,12 @@ class FusedHybridSearch:
                 probe_interpret=pinterp,
                 **common,
             )
+            v, i, cases, src = jax.device_get((v, i, cases, src))
+            v, i, cases, src = self._escalate_flat(
+                hostq, use_filters, k, overfetch, recall_target,
+                v, i, cases, src, B0,
+            )
+            return v[:B0], i[:B0], cases[:B0], src[:B0]
         else:
             # Program choice (VERDICT r2 item 5): the one-shot program's
             # XLA fallback materialises a [B, N] f32 score matrix whenever
