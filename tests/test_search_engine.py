@@ -244,6 +244,30 @@ def test_stats_and_health(engine):
     assert st.queries_served > 0
 
 
+def test_flat_escalate_config_plumbs_to_fused(engine):
+    """The engine passes search.fused_flat_escalate{,_eps} through to the
+    fused step, and the escalation counter surfaces in get_stats()
+    (mechanism tests: tests/test_flat_escalate.py)."""
+    cfg = engine.config.search
+    old_flag, old_eps, old_fused = (
+        cfg.fused_flat_escalate, cfg.fused_flat_escalate_eps, engine._fused
+    )
+    try:
+        cfg.fused_flat_escalate, cfg.fused_flat_escalate_eps = True, 0.05
+        engine._fused = None
+        fused = engine._get_fused()
+        assert fused.flat_escalate_eps == 0.05
+        fused.escalated = 7
+        assert engine.get_stats().escalated_queries == 7
+        cfg.fused_flat_escalate = False
+        engine._fused = None
+        assert engine._get_fused().flat_escalate_eps == 0.0
+    finally:
+        cfg.fused_flat_escalate = old_flag
+        cfg.fused_flat_escalate_eps = old_eps
+        engine._fused = old_fused
+
+
 def test_artifact_save_load_roundtrip(engine):
     cfg = engine.config
     save_artifacts(engine._built, cfg)
