@@ -288,14 +288,25 @@ def cmd_build(args) -> None:
     r = built.report
     # reload-downtime measurement (round-3 VERDICT weak item 6): time a
     # cold load of the artifacts just written
+    import gc
     import time as _t
 
     from trie_semantic_search_tpu.index.builder import load_artifacts
 
+    # drop the build's own index references first: at 10M chunks the
+    # frozen arrays are ~14 GB — holding them (host memmaps or HBM)
+    # while load_artifacts materialises a second full copy would double
+    # the peak footprint the build is measured on
+    del built, builder
+    gc.collect()
     t0 = _t.perf_counter()
-    loaded = load_artifacts(cfg)
+    load_error = None
+    try:
+        loaded = load_artifacts(cfg)
+        assert loaded is not None
+    except Exception as e:  # the build itself succeeded — record that,
+        load_error = f"{type(e).__name__}: {e}"  # and the reload failure
     load_s = _t.perf_counter() - t0
-    assert loaded is not None
     artifact_bytes = sum(
         f.stat().st_size
         for d in (work / "trie", work / "vec")
@@ -310,6 +321,7 @@ def cmd_build(args) -> None:
             "peak_anon_rss_bytes",
         )},
         "artifact_load_seconds": round(load_s, 1),
+        **({"artifact_load_error": load_error} if load_error else {}),
         "artifact_bytes": artifact_bytes,
         "seconds": round(r.seconds, 1),
     }))

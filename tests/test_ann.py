@@ -634,3 +634,98 @@ def test_assign_topc_column0_matches_assign_clusters():
     np.testing.assert_array_equal(top[:, 0], assign_clusters(v, cent))
     # columns are distinct centroids per row
     assert (top[:, 0] != top[:, 1]).all() and (top[:, 1] != top[:, 2]).all()
+
+
+def test_assign_topc_matches_lax_topk():
+    """The iterative masked-argmax top-c (the round-5 replacement for the
+    ~17 s/slab ``lax.top_k`` over a P-wide axis) must reproduce top_k's
+    values AND its lower-id tie order."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from trie_semantic_search_tpu.index.kmeans import assign_topc
+
+    rng = np.random.default_rng(11)
+    cent = normed(rng.standard_normal((96, 16)).astype(np.float32))
+    # include exact-duplicate centroids so score ties are real
+    cent[17] = cent[3]
+    cent[88] = cent[3]
+    v = normed(rng.standard_normal((257, 16)).astype(np.float32))
+    got = assign_topc(v, cent, 6, block=64)  # non-divisible block
+    sims = jnp.einsum("nd,pd->np", jnp.asarray(v), jnp.asarray(cent),
+                      preferred_element_type=jnp.float32)
+    _, want = lax.top_k(sims, 6)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_lloyd_blocked_matches_unblocked():
+    """S > _LLOYD_BLOCK takes the blocked scan (the round-5 fix for the
+    ~28 s/iteration fused [S, P] Lloyd step). Argmax is per-row, so with
+    the same init the blocked result must match the single-block kernel
+    to f32 summation-order noise — exercised with real padding (S not
+    divisible by the block)."""
+    import jax.numpy as jnp
+
+    from trie_semantic_search_tpu.index import kmeans as km
+
+    rng = np.random.default_rng(12)
+    centers = normed(rng.standard_normal((8, 16)).astype(np.float32))
+    labels = rng.integers(0, 8, km._LLOYD_BLOCK + 1337)
+    pts = normed(
+        centers[labels]
+        + 0.05 * rng.standard_normal((len(labels), 16)).astype(np.float32)
+    )
+    init = pts[np.random.default_rng(0).choice(len(pts), 8, replace=False)]
+    want = np.asarray(
+        km._lloyd(jnp.asarray(pts), jnp.asarray(init), 8, 8)
+    )
+    nb = -(-len(pts) // km._LLOYD_BLOCK)
+    pad = nb * km._LLOYD_BLOCK - len(pts)
+    xp = np.concatenate([pts, np.zeros((pad, 16), np.float32)])
+    valid = np.ones(nb * km._LLOYD_BLOCK, np.float32)
+    valid[-pad:] = 0.0
+    got = np.asarray(km._lloyd_blocked(
+        jnp.asarray(xp.reshape(nb, km._LLOYD_BLOCK, -1)),
+        jnp.asarray(valid.reshape(nb, -1)),
+        jnp.asarray(init), 8, 8,
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # and train_kmeans routes S > block through the blocked path
+    c = train_kmeans(pts, 8, iters=4, sample=len(pts), seed=0)
+    np.testing.assert_allclose(np.linalg.norm(c, axis=1), 1.0, atol=1e-4)
+
+
+def test_build_streaming_host_deferred(corpus, tmp_path):
+    """``device_resident=False`` (round-5: a no-tune corpus build must not
+    pay the ~14 GB HBM transfer just to save): frozen attrs stay host
+    arrays, save_dir adopts unchanged, and the first search promotes
+    lazily with results identical to the eager build."""
+    import jax.numpy as jnp
+
+    cfg = AnnConfig(num_partitions=16, num_probes=4)
+    eager = PartitionedANN(cfg)
+    eager.build_streaming(corpus, seed=0, slab_rows=1000,
+                          emit_dir=tmp_path / "e1")
+    lazy = PartitionedANN(cfg)
+    lazy.build_streaming(corpus, seed=0, slab_rows=1000,
+                         emit_dir=tmp_path / "e2", device_resident=False)
+    assert lazy._host_deferred
+    assert isinstance(lazy.part_int8, np.ndarray)
+    # stats + save work without touching the device
+    assert lazy.get_stats().num_vectors == corpus.shape[0]
+    lazy.save_dir(tmp_path / "adopted")
+    assert not (tmp_path / "e2").exists()
+    # first search promotes and matches the eager build bit-for-bit
+    q = corpus[:8]
+    ve, ie = eager.search(q, k=5)
+    vl, il = lazy.search(q, k=5)
+    assert not lazy._host_deferred
+    assert isinstance(lazy.part_int8, jnp.ndarray)
+    np.testing.assert_array_equal(ie, il)
+    np.testing.assert_allclose(ve, vl, rtol=0, atol=0)
+    # the adopted artifact loads and agrees
+    re = PartitionedANN.load_dir(
+        tmp_path / "adopted", AnnConfig(num_probes=4)
+    )
+    vr, ir = re.search(q, k=5)
+    np.testing.assert_array_equal(ie, ir)

@@ -286,6 +286,12 @@ class PartitionedANN:
         #: save_dir adopts the emit directory instead of rewriting
         self._emit_dir: Optional[Path] = None
         self._emit_arrays: list = []
+        #: True while the frozen arrays are host numpy/memmap views
+        #: (build_streaming(device_resident=False)): a build-only process
+        #: (no-tune corpus build that saves and exits) never pays the
+        #: ~14 GB HBM footprint + transfer; the first search promotes
+        #: lazily via _ensure_device()
+        self._host_deferred = False
 
     # -- build --------------------------------------------------------------
 
@@ -406,6 +412,7 @@ class PartitionedANN:
         slab_rows: int = 262_144,
         reuse_centroids: Optional[np.ndarray] = None,
         emit_dir: Optional[str | Path] = None,
+        device_resident: bool = True,
     ) -> None:
         """Corpus-scale :meth:`build`: identical frozen layout, O(slab)
         incremental host RAM on top of the output arrays (round-3 VERDICT
@@ -427,6 +434,7 @@ class PartitionedANN:
         unchanged: the frozen arrays still land in HBM for serving."""
         n, d = vectors.shape
         self._replicated = False
+        self._host_deferred = False
         if n == 0:
             raise VectorIndexConstructionFailed("empty corpus")
         if not self.config.quantize_int8:
@@ -650,6 +658,26 @@ class PartitionedANN:
                 )
             self._replicated = bool(len(rep_rows))
 
+        if emit_dir is not None and not device_resident:
+            # host-deferred: the frozen attrs stay memmap views over the
+            # emit files. A build-only flow (no-tune corpus build → save
+            # adopts the directory → process exits) then never transfers
+            # ~14 GB into HBM it won't use — at 10M chunks that transfer
+            # is also within ~2 GB of a v5e chip's whole HBM, so paying
+            # it only to save would make build success hinge on fitting
+            # TWO copies once the reload check loads the artifact back.
+            self.centroids = np.asarray(centroids, np.float32)
+            self.part_rows = part_rows
+            self.part_int8 = part_int8
+            self.part_scale = part_scale
+            self.corpus_bf16 = tuple(
+                s.view(ml_dtypes.bfloat16) for s in bf16_segs
+            )
+            self._host_deferred = True
+            self.num_vectors = n
+            self._search_fn = None
+            self._brute_fn = None
+            return
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.part_rows = jnp.asarray(part_rows)
         if emit_dir is not None:
@@ -677,6 +705,27 @@ class PartitionedANN:
         self._brute_fn = None
 
     # -- search -------------------------------------------------------------
+
+    def _ensure_device(self) -> None:
+        """Promote host-deferred frozen arrays (build_streaming with
+        ``device_resident=False``) to device residency on first search."""
+        if not self._host_deferred:
+            return
+        from ..utils import madvise_dontneed
+
+        self.centroids = jnp.asarray(self.centroids, jnp.float32)
+        rows, int8, scale = self.part_rows, self.part_int8, self.part_scale
+        self.part_rows = jnp.asarray(rows)
+        self.part_int8 = jnp.asarray(int8)
+        self.part_scale = jnp.asarray(scale)
+        segs = []
+        for s in self.corpus_bf16:
+            segs.append(jnp.asarray(s))
+            madvise_dontneed(s)
+        self.corpus_bf16 = tuple(segs)
+        for a in (rows, int8, scale):
+            madvise_dontneed(a)
+        self._host_deferred = False
 
     @property
     def default_nprobe(self) -> int:
@@ -840,6 +889,7 @@ class PartitionedANN:
         """Top-k ``(scores, rows)`` per query; rows are corpus row ids, -1
         when fewer than k vectors exist."""
         self._require_built()
+        self._ensure_device()
         nprobe = nprobe or self.default_nprobe
         P, m = (int(s) for s in self.part_rows.shape)
         if nprobe * m >= self.num_vectors or nprobe >= P:
@@ -860,6 +910,7 @@ class PartitionedANN:
         """Exact full-scan top-k over the bf16 corpus (large-batch path /
         recall oracle; BASELINE config 3)."""
         self._require_built()
+        self._ensure_device()
         kk = min(k, self.num_vectors)
         n_real = self.num_vectors
         if self._brute_fn is None or self._brute_fn[0] != kk:

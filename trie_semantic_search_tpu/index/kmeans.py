@@ -15,6 +15,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: rows per device block in the Lloyd/assignment kernels. Bounds the
+#: [block, P] similarity intermediate: at P=8192 a 65536-row block is a
+#: 2.1 GB f32 tile — comfortably resident, and each matmul/argmax maps
+#: cleanly onto the MXU/VPU. The round-5 10M-chunk build measured the
+#: UNBLOCKED variant (one fused [524288, 8192] sims + one-hot einsum per
+#: iteration, intermediates ~17 GB) at ~28 s/iteration on the chip —
+#: 9.5 min of k-means; the blocked scan is the same math at seconds.
+_LLOYD_BLOCK = 65_536
+
+
 @functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
 def _lloyd(
     x: jax.Array,  # [S, D] normalised sample
@@ -29,6 +39,58 @@ def _lloyd(
         sums = jnp.einsum("sp,sd->pd", one_hot, x)
         counts = jnp.sum(one_hot, axis=0)[:, None]
         new_c = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), c)
+        norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
+        return new_c / jnp.maximum(norms, 1e-12), None
+
+    c, _ = jax.lax.scan(step, init, None, length=iters)
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("num_clusters", "iters"))
+def _lloyd_blocked(
+    xb: jax.Array,  # [B, block, D] normalised sample, zero-padded
+    valid: jax.Array,  # [B, block] f32 1.0 for real rows, 0.0 for padding
+    init: jax.Array,  # [P, D] initial centroids
+    num_clusters: int,
+    iters: int,
+) -> jax.Array:
+    """Corpus-sample Lloyd iterations blocked over the sample axis.
+
+    Identical assignments to :func:`_lloyd` (argmax is per-row, so
+    blocking is exact); centroid sums accumulate per block, which only
+    permutes f32 summation order. Padding rows carry weight 0 and never
+    contribute to sums or counts."""
+    d = xb.shape[-1]
+
+    def step(c: jax.Array, _: None) -> tuple[jax.Array, None]:
+        def blk(
+            carry: tuple[jax.Array, jax.Array],
+            xs: tuple[jax.Array, jax.Array],
+        ) -> tuple[tuple[jax.Array, jax.Array], None]:
+            sums, counts = carry
+            v, w = xs  # [block, D], [block]
+            sims = jnp.einsum(
+                "nd,pd->np", v, c, preferred_element_type=jnp.float32
+            )
+            a = jnp.argmax(sims, axis=1)
+            oh = jax.nn.one_hot(a, num_clusters, dtype=jnp.float32)
+            oh = oh * w[:, None]  # [block, P]
+            sums = sums + jnp.einsum(
+                "np,nd->pd", oh, v, preferred_element_type=jnp.float32
+            )
+            counts = counts + jnp.sum(oh, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            blk,
+            (
+                jnp.zeros((num_clusters, d), jnp.float32),
+                jnp.zeros((num_clusters,), jnp.float32),
+            ),
+            (xb, valid),
+        )
+        counts = counts[:, None]
+        new_c = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), c)
         norms = jnp.linalg.norm(new_c, axis=1, keepdims=True)
         return new_c / jnp.maximum(norms, 1e-12), None
 
@@ -77,8 +139,26 @@ def train_kmeans(
         init = np.tile(init, (reps, 1))[:num_clusters]
         init = init + rng.normal(0, 1e-3, init.shape).astype(init.dtype)
         init = init / np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
-    c = _lloyd(jnp.asarray(x, jnp.float32), jnp.asarray(init, jnp.float32),
-               num_clusters, iters)
+    if x.shape[0] <= _LLOYD_BLOCK:
+        c = _lloyd(jnp.asarray(x, jnp.float32), jnp.asarray(init, jnp.float32),
+                   num_clusters, iters)
+    else:
+        nb = -(-x.shape[0] // _LLOYD_BLOCK)
+        pad = nb * _LLOYD_BLOCK - x.shape[0]
+        xp = np.ascontiguousarray(x, np.float32)
+        if pad:
+            xp = np.concatenate(
+                [xp, np.zeros((pad, x.shape[1]), np.float32)]
+            )
+        valid = np.ones(nb * _LLOYD_BLOCK, np.float32)
+        if pad:
+            valid[-pad:] = 0.0
+        c = _lloyd_blocked(
+            jnp.asarray(xp.reshape(nb, _LLOYD_BLOCK, -1)),
+            jnp.asarray(valid.reshape(nb, _LLOYD_BLOCK)),
+            jnp.asarray(init, jnp.float32),
+            num_clusters, iters,
+        )
     return np.asarray(c)
 
 
@@ -105,23 +185,40 @@ def assign_clusters(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topc(v: jax.Array, ce: jax.Array, k: int) -> jax.Array:
+    """Top-``k`` centroid ids per row via ``k`` rounds of masked argmax.
+
+    ``lax.top_k`` over a P=8192 column axis lowers to a general sort on
+    the VPU — measured ~17 s per 262k-row slab on the round-5 10M-chunk
+    build (the ANN finalize's dominant cost). k rounds of
+    argmax-then-mask stream the [block, P] sims tile k times instead
+    (~60 ms at k=8): same result, same tie rule (argmax and top_k both
+    prefer the lower index, and each round removes exactly the previous
+    pick, so equal scores emerge in ascending id order)."""
+    sims = jnp.einsum(
+        "nd,pd->np", v, ce, preferred_element_type=jnp.float32
+    )
+
+    def pick(s: jax.Array, _: None) -> tuple[jax.Array, jax.Array]:
+        a = jnp.argmax(s, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col == a[:, None], -jnp.inf, s)
+        return s, a.astype(jnp.int32)
+
+    _, idx = jax.lax.scan(pick, sims, None, length=k)  # [k, n]
+    return jnp.transpose(idx)
+
+
 def assign_topc(
     vectors: np.ndarray, centroids: np.ndarray, c: int, block: int = 65536
 ) -> np.ndarray:
     """Top-``c`` nearest centroids per row, blocked to bound device memory.
-    Column 0 equals :func:`assign_clusters` (``lax.top_k`` and ``argmax``
-    both break score ties to the lower centroid id). Columns 1+ feed the
-    pad-replica planner (:func:`index.ann._plan_pad_replicas`)."""
+    Column 0 equals :func:`assign_clusters` (both break score ties to the
+    lower centroid id). Columns 1+ feed the pad-replica planner
+    (:func:`index.ann._plan_pad_replicas`)."""
     cent = jnp.asarray(centroids, jnp.float32)
     cc = min(c, centroids.shape[0])
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def _topc(v: jax.Array, ce: jax.Array, k: int) -> jax.Array:
-        sims = jnp.einsum(
-            "nd,pd->np", v, ce, preferred_element_type=jnp.float32
-        )
-        _, idx = jax.lax.top_k(sims, k)
-        return idx.astype(jnp.int32)
 
     out = np.empty((vectors.shape[0], cc), np.int32)
     for s in range(0, vectors.shape[0], block):

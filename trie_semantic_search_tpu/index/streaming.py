@@ -376,19 +376,35 @@ class StreamingIndexBuilder:
                 ).shape[1]
             )
             store_path = self.work_dir / "vectors_f32.npy"
-            mm = np.lib.format.open_memmap(
-                store_path, mode="w+", dtype=np.float32, shape=(total, dim)
-            )
-            pos = 0
-            for s in manifest.shards:
-                emb = np.load(self.work_dir / f"{s}_emb.npy", mmap_mode="r")
-                mm[pos : pos + len(emb)] = emb
-                pos += len(emb)
-                # keep the 15 GB-at-10M-chunks store fill O(shard) in RSS:
-                # zap our PTEs (dirty pages reach disk via writeback)
-                madvise_dontneed(mm)
-            mm.flush()
-            del mm
+            store_done = self.work_dir / "vectors_f32.complete"
+            # resume fast-path: a finalize retry (e.g. after a timeout in
+            # the ANN stage) must not re-copy the multi-GB store. The
+            # marker records the shape the completed fill had; any
+            # mismatch (different shard set) falls through to a re-fill.
+            if store_done.exists() and store_done.read_text() == (
+                f"{total}x{dim}"
+            ):
+                _log.info("vector store fill skipped (complete marker)")
+            else:
+                store_done.unlink(missing_ok=True)
+                mm = np.lib.format.open_memmap(
+                    store_path, mode="w+", dtype=np.float32,
+                    shape=(total, dim),
+                )
+                pos = 0
+                for s in manifest.shards:
+                    emb = np.load(
+                        self.work_dir / f"{s}_emb.npy", mmap_mode="r"
+                    )
+                    mm[pos : pos + len(emb)] = emb
+                    pos += len(emb)
+                    # keep the 15 GB-at-10M-chunks store fill O(shard) in
+                    # RSS: zap our PTEs (dirty pages reach disk via
+                    # writeback)
+                    madvise_dontneed(mm)
+                mm.flush()
+                del mm
+                store_done.write_text(f"{total}x{dim}")
             vector._vectors = np.load(store_path, mmap_mode="r")
             vector._refs = ref_arr
             if len(ref_arr):
@@ -401,6 +417,12 @@ class StreamingIndexBuilder:
                         vector._vectors,
                         emit_dir=Path(self.config.vector.hnsw.index_path)
                         / "ann.mmap.emit",
+                        # a no-tune corpus build never searches before the
+                        # save adopts the emit dir — skip the ~14 GB HBM
+                        # transfer (within ~2 GB of a whole v5e chip at
+                        # 10M chunks); if tuning IS on, its first search
+                        # promotes the arrays lazily (_ensure_device)
+                        device_resident=False,
                     )
                 else:  # sharded index class: logical build API
                     vector.freeze()
