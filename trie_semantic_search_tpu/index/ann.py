@@ -311,6 +311,7 @@ class PartitionedANN:
             )
         n, d = vectors.shape
         self._replicated = False
+        self._host_deferred = False
         v = np.asarray(vectors, np.float32)
         if not np.isfinite(v).all():
             bad = int((~np.isfinite(v)).any(axis=1).sum())

@@ -162,20 +162,22 @@ def train_kmeans(
     return np.asarray(c)
 
 
+# centroids as an explicit argument (a captured device array would ship
+# as an HLO constant through the remote-compile tunnel); module-level so
+# repeated blocked calls reuse one traced program
+@jax.jit
+def _assign(v: jax.Array, cent: jax.Array) -> jax.Array:
+    sims = jnp.einsum(
+        "nd,pd->np", v, cent, preferred_element_type=jnp.float32
+    )
+    return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+
 def assign_clusters(
     vectors: np.ndarray, centroids: np.ndarray, block: int = 65536
 ) -> np.ndarray:
     """Nearest-centroid assignment, blocked to bound device memory."""
     c = jnp.asarray(centroids, jnp.float32)
-
-    # centroids as an explicit argument (a captured device array would ship
-    # as an HLO constant through the remote-compile tunnel)
-    @jax.jit
-    def _assign(v: jax.Array, cent: jax.Array) -> jax.Array:
-        sims = jnp.einsum(
-            "nd,pd->np", v, cent, preferred_element_type=jnp.float32
-        )
-        return jnp.argmax(sims, axis=1).astype(jnp.int32)
 
     out = np.empty((vectors.shape[0],), np.int32)
     for s in range(0, vectors.shape[0], block):
